@@ -1,0 +1,143 @@
+"""End-to-end index conformance: Ray pipeline == single-process oracle.
+
+SURVEY.md §5 items 2-4: byte-identity of extraction, exact posting /
+dict / doclen equality, boolean + BM25 rank identity (brute and WAND).
+"""
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from textindex_ray.corpus import generate_corpus, write_corpus
+from textindex_ray.index.build import build_index
+from textindex_ray.oracle import OracleIndex
+from textindex_ray.query.engine import IndexReader
+
+N_ROWS = 300
+
+
+@pytest.fixture(scope="module")
+def built(ray_session, tmp_path_factory):
+    root = tmp_path_factory.mktemp("idx")
+    corpus_dir = str(root / "corpus")
+    out_dir = str(root / "out")
+    write_corpus(corpus_dir, N_ROWS, rows_per_file=64)
+    meta = build_index(corpus_dir, out_dir, num_buckets=16, chunk_size=32, batch_size=64)
+    oracle = OracleIndex(generate_corpus(N_ROWS), num_buckets=16)
+    return meta, IndexReader(out_dir), oracle, out_dir
+
+
+def test_meta_stats(built):
+    meta, reader, oracle, _ = built
+    assert meta["n_docs"] == oracle.n_docs
+    assert meta["avgdl"] == pytest.approx(oracle.avgdl)
+
+
+def test_docmap_bijection(built):
+    _, reader, oracle, _ = built
+    dm = reader.docmap(columns=["url", "doc_id", "dl"])
+    got = dict(zip(dm.column("url").to_pylist(), dm.column("doc_id").to_pylist()))
+    assert got == oracle.doc_id
+    dls = dict(zip(dm.column("url").to_pylist(), dm.column("dl").to_pylist()))
+    assert dls == oracle.dl
+
+
+def test_dict_exact(built):
+    _, reader, oracle, _ = built
+    want = oracle.dict_table()
+    got = reader._dict
+    assert got.column("term").to_pylist() == want.column("term").to_pylist()
+    assert got.column("df").to_pylist() == want.column("df").to_pylist()
+    assert got.column("cf").to_pylist() == want.column("cf").to_pylist()
+
+
+def test_postings_exact(built):
+    _, reader, oracle, _ = built
+    for term in list(oracle.postings)[::7] + ["alpha", "beta", "gamma"]:
+        if term not in oracle.postings:
+            continue
+        ids, tfs = reader.postings(term)
+        want = sorted(oracle.postings[term].items())
+        assert ids.tolist() == [d for d, _ in want], term
+        assert tfs.tolist() == [c for _, c in want], term
+
+
+def test_boolean_find(built):
+    _, reader, oracle, _ = built
+    queries = [
+        ["alpha"],
+        ["alpha", "beta"],
+        ["alpha", "beta", "gamma"],
+        ["alph*"],
+        ["?amma"],
+        ["alp*", "bet*"],
+        ["nonexistentterm"],
+        ["the"],               # stopword: never indexed -> empty
+        ["zebra", "quill"],
+    ]
+    for q in queries:
+        got = reader.find(q).tolist()
+        want = oracle.find(q)
+        assert got == want, q
+
+
+def test_bm25_rank_identity(built):
+    _, reader, oracle, _ = built
+    queries = [
+        ["alpha"],
+        ["alpha", "beta"],
+        ["gamma", "delta", "epsilon"],
+        ["lorem", "ipsum"],
+        ["zebra", "sphinx", "quartz"],
+        ["alpha", "nonexistent"],
+        ["hund", "haus", "baum"],
+    ]
+    for q in queries:
+        ids_b, sc_b = reader.bm25_topk(q, 10)
+        ids_o, sc_o = oracle.bm25_topk(q, 10)
+        assert ids_b.tolist() == ids_o.tolist(), q
+        np.testing.assert_allclose(sc_b, sc_o, rtol=0, atol=0)  # exact float64
+        ids_w, sc_w = reader.bm25_topk_wand(q, 10)
+        assert ids_w.tolist() == ids_b.tolist(), ("wand", q)
+        np.testing.assert_allclose(sc_w, sc_b, rtol=0, atol=1e-12)
+
+
+def test_extracted_byte_identity(ray_session, tmp_path):
+    """Pipeline extracted_text == oracle extraction, byte-for-byte."""
+    import ray
+
+    corpus_dir = str(tmp_path / "corpus")
+    write_corpus(corpus_dir, 120, rows_per_file=40)
+    from textindex_ray.stages.extract import ExtractTokenize, classify_batch
+
+    ds = (
+        ray.data.read_parquet(corpus_dir, columns=["url", "html"])
+        .map_batches(classify_batch, batch_format="pyarrow")
+        .map_batches(
+            ExtractTokenize,
+            fn_constructor_kwargs={"num_buckets": 16, "keep_text": True},
+            batch_format="pyarrow",
+            batch_size=32,
+            concurrency=2,
+        )
+    )
+    got = {
+        r["url"]: r["extracted_text"]
+        for r in ds.select_columns(["url", "extracted_text"]).take_all()
+    }
+    oracle = OracleIndex(generate_corpus(120), num_buckets=16)
+    want = {u: t for u, (dt, t) in oracle.extracted.items()}
+    assert got == want
+
+
+def test_resume_skips_committed(built, tmp_path):
+    """Re-running build on a committed dir is a no-op that yields the same meta."""
+    meta, reader, oracle, out_dir = built
+    meta2 = build_index(
+        str(tmp_path / "nonexistent-corpus"), out_dir, num_buckets=16, chunk_size=32
+    )
+    assert meta2["n_docs"] == meta["n_docs"]
+    assert meta2["avgdl"] == meta["avgdl"]
