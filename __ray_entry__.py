@@ -1,44 +1,352 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` runs the flagship pipeline (documents-table index build +
+BM25 top-k) on sf0.001. ``queries()`` exposes one callable per
+implemented operator family (SURVEY.md §2); ``oracle_sql()`` gives the
+DuckDB-equivalent SQL for every SQL-expressible one. Ray is initialised
+by the driver — nothing here calls ray.init()/shutdown().
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Column-name and dtype parity with the SQL oracles is part of the
+contract: counts are int64, ratios are integer ppm (floor division; no
+float rounding), BM25 scores are floor(score*1e4) int64.
 """
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 from typing import Any
 
+import numpy as np
+import pyarrow as pa
+
+_SF_ROWS = {"0.001": 300, "0.01": 1500, "0.1": 6000}
+
+
+def _sf_of(sf_dir: str) -> str:
+    base = os.path.basename(os.path.normpath(sf_dir))
+    return base[2:] if base.startswith("sf") else "0.01"
+
+
+# ---------------------------------------------------------------------------
+# corpus-pipeline queries (rows-only checks: extraction semantics are not
+# SQL-expressible; they are pytest-verified against the oracle instead)
+
+_CORPUS_CACHE: dict[str, Any] = {}
+
+
+def _corpus_reader(sf_dir: str):
+    from textindex_ray.corpus import write_corpus
+    from textindex_ray.index.build import build_index
+    from textindex_ray.query.engine import IndexReader
+    import textindex_ray
+
+    sf = _sf_of(sf_dir)
+    if sf in _CORPUS_CACHE:
+        return _CORPUS_CACHE[sf]
+    n = _SF_ROWS.get(sf, 1500)
+    out = "/tmp/textindex_ray_cache/corpus-%s-sf%s" % (textindex_ray.__version__, sf)
+    cdir = os.path.join(out, "corpus")
+    if not os.path.exists(os.path.join(out, "meta.json")):
+        os.makedirs(cdir, exist_ok=True)
+        write_corpus(cdir, n)
+        build_index(cdir, out, num_buckets=32, batch_size=256)
+    r = IndexReader(out)
+    _CORPUS_CACHE[sf] = r
+    return r
+
+
+def corpus_extract_stats(sf_dir: str) -> pa.Table:
+    """Per-document extraction outputs of the synthetic web corpus."""
+    r = _corpus_reader(sf_dir)
+    dm = r.docmap(columns=["url", "doc_id", "dl", "n_words", "doctype"])
+    import pyarrow.compute as pc
+
+    return dm.take(pc.sort_indices(dm.column("doc_id")))
+
+
+def corpus_bm25(sf_dir: str) -> pa.Table:
+    r = _corpus_reader(sf_dir)
+    ids, scores = r.bm25_topk(["alpha", "beta", "gamma"], 10)
+    ids_w, _ = r.bm25_topk_wand(["alpha", "beta", "gamma"], 10)
+    assert ids.tolist() == ids_w.tolist()
+    return pa.table(
+        {
+            "doc_id": pa.array(ids, pa.uint64()),
+            "score_t4": pa.array(np.floor(scores * 1e4).astype(np.int64), pa.int64()),
+        }
+    )
+
+
+def corpus_find(sf_dir: str) -> pa.Table:
+    r = _corpus_reader(sf_dir)
+    return pa.table({"doc_id": pa.array(r.find(["alph*", "beta"]), pa.uint64())})
+
+
+# ---------------------------------------------------------------------------
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship: index the sf0.001 documents table, return BM25 top-k."""
+    from textindex_ray.pipelines.documents import doc_bm25_hash_join
+
+    return doc_bm25_hash_join("/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from textindex_ray.pipelines import documents as D
+    from textindex_ray.functions import dedup, similarity, textstats
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    def docs_ds(sf_dir):
+        return D.documents_ds(sf_dir)
+
+    def emb_ds(sf_dir):
+        import ray.data
+
+        return ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+
+    def q_exact_dedup(sf_dir):
+        return dedup.exact_dedup_groups(docs_ds(sf_dir))
+
+    def q_simhash(sf_dir):
+        return docs_ds(sf_dir).map_batches(dedup.simhash64_batch, batch_format="pyarrow")
+
+    def q_minhash_pairs(sf_dir):
+        return dedup.minhash_lsh_pairs(docs_ds(sf_dir), verify_threshold=0.2)
+
+    def q_ngram_pairs(sf_dir):
+        return dedup.ngram_jaccard_pairs(docs_ds(sf_dir), k=5, min_ppm=200_000)
+
+    def q_knn(sf_dir):
+        import pyarrow.parquet as pq
+
+        t = pq.read_table(
+            os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+        )
+        mask = np.isin(t.column("vec_id").to_numpy(), [0, 1, 2, 3, 4])
+        q = t.filter(pa.array(mask))
+        qm = np.array(q.column("embedding").to_pylist(), dtype=np.float64)
+        qids = q.column("vec_id").to_pylist()
+        res = similarity.knn_brute(emb_ds(sf_dir), qm, qids, k=10)
+        return res.select(["query_id", "vec_id"])  # ids only: float-safe vs SQL
+
+    def q_emb_dup(sf_dir):
+        res = similarity.cosine_dup_pairs(emb_ds(sf_dir), threshold_ppm=900_000)
+        return res.select(["vec_a", "vec_b"])
+
+    def q_langid(sf_dir):
+        return docs_ds(sf_dir).map_batches(textstats.lang_id_batch, batch_format="pyarrow")
+
+    def q_quality(sf_dir):
+        return docs_ds(sf_dir).map_batches(textstats.quality_batch, batch_format="pyarrow")
+
+    def q_token_count(sf_dir):
+        return docs_ds(sf_dir).map_batches(textstats.token_count_batch, batch_format="pyarrow")
+
+    def q_fingerprint(sf_dir):
+        return docs_ds(sf_dir).map_batches(textstats.fingerprint_batch, batch_format="pyarrow")
+
+    return {
+        # inverted-index engine over the documents table (SQL-checked)
+        "doc_dict": D.doc_dict,
+        "doc_doclen": D.doc_doclen,
+        "doc_postings": D.doc_postings,
+        "doc_term_and": D.doc_term_and,
+        "doc_wildcard_and": D.doc_wildcard_and,
+        "doc_bm25_hash_join": D.doc_bm25_hash_join,
+        "doc_bm25_scan_filter_sort": D.doc_bm25_scan_filter_sort,
+        "doc_bm25_customer": D.doc_bm25_customer,
+        # dedup family
+        "exact_dedup_groups": q_exact_dedup,
+        "simhash64": q_simhash,
+        "minhash_lsh_pairs": q_minhash_pairs,
+        "ngram_jaccard_pairs": q_ngram_pairs,
+        # similarity search
+        "embedding_knn": q_knn,
+        "embedding_dup_pairs": q_emb_dup,
+        # text analysis
+        "lang_id": q_langid,
+        "quality_score": q_quality,
+        "token_count": q_token_count,
+        "doc_fingerprint": q_fingerprint,
+        # synthetic web-corpus pipeline (rows-only; pytest-verified vs oracle)
+        "corpus_extract_stats": corpus_extract_stats,
+        "corpus_bm25_topk": corpus_bm25,
+        "corpus_find_and": corpus_find,
+    }
+
+
+# ---------------------------------------------------------------------------
+# DuckDB oracles
+
+def _stoplist_sql() -> str:
+    from textindex_ray.kernel.stopwords import STOP_WORDS
+
+    return ", ".join("'%s'" % w.replace("'", "''") for w in sorted(STOP_WORDS))
+
+
+_TOKS = (
+    "toks AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '\\pL+')) AS term "
+    "FROM documents)"
+)
+
+
+def _filt() -> str:
+    return (
+        _TOKS + ", filt AS (SELECT doc_id, term FROM toks WHERE term NOT IN (%s))"
+        % _stoplist_sql()
+    )
+
+
+def _bm25_sql(terms: list[str]) -> str:
+    vals = ", ".join("('%s')" % t for t in sorted(set(terms)))
+    return f"""
+WITH {_filt()},
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM filt GROUP BY doc_id, term),
+dl AS (SELECT d.doc_id, count(f.term)::DOUBLE AS dl FROM documents d
+       LEFT JOIN filt f ON d.doc_id = f.doc_id GROUP BY d.doc_id),
+stats AS (SELECT count(*)::DOUBLE AS n, sum(dl)/count(*) AS avgdl FROM dl),
+dft AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
+q(term) AS (VALUES {vals}),
+scored AS (
+  SELECT tf.doc_id,
+         sum( ln((s.n - dft.df + 0.5)/(dft.df + 0.5) + 1.0)
+              * tf.tf * 2.2
+              / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / s.avgdl)) ) AS score
+  FROM tf JOIN q USING (term)
+  JOIN dft ON tf.term = dft.term
+  JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN stats s
+  GROUP BY tf.doc_id)
+SELECT doc_id, CAST(floor(score * 10000) AS BIGINT) AS score_t4
+FROM scored ORDER BY score DESC, doc_id LIMIT 10
+"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from textindex_ray.functions.textstats import LANG_MARKERS
+    from textindex_ray.pipelines.documents import AND_TERMS, BM25_QUERIES
+
+    def inlist(ws) -> str:
+        return ", ".join("'%s'" % w for w in ws)
+
+    markers_all = sorted({w for s in LANG_MARKERS.values() for w in s})
+
+    sql = {}
+    sql["doc_dict"] = f"""
+WITH {_filt()}
+SELECT term, count(DISTINCT doc_id)::BIGINT AS df, count(*)::BIGINT AS cf
+FROM filt GROUP BY term"""
+
+    sql["doc_doclen"] = f"""
+WITH {_filt()}
+SELECT d.doc_id, count(f.term)::BIGINT AS dl
+FROM documents d LEFT JOIN filt f ON d.doc_id = f.doc_id
+GROUP BY d.doc_id"""
+
+    sql["doc_postings"] = f"""
+WITH {_filt()}
+SELECT term, doc_id, count(*)::BIGINT AS tf FROM filt GROUP BY term, doc_id"""
+
+    and_parts = " INTERSECT ".join(
+        "SELECT DISTINCT doc_id FROM filt WHERE term = '%s'" % t for t in AND_TERMS
+    )
+    sql["doc_term_and"] = f"WITH {_filt()} {and_parts}"
+
+    sql["doc_wildcard_and"] = (
+        f"WITH {_filt()} SELECT DISTINCT doc_id FROM filt WHERE term LIKE 'jo%'"
+    )
+
+    sql["doc_bm25_hash_join"] = _bm25_sql(BM25_QUERIES["q_hash_join"])
+    sql["doc_bm25_scan_filter_sort"] = _bm25_sql(BM25_QUERIES["q_scan_filter_sort"])
+    sql["doc_bm25_customer"] = _bm25_sql(BM25_QUERIES["q_customer"])
+
+    sql["exact_dedup_groups"] = """
+SELECT md5(text) AS text_hash, min(doc_id)::BIGINT AS keep_doc_id,
+       count(*)::BIGINT AS dup_count
+FROM documents GROUP BY md5(text)"""
+
+    sql["ngram_jaccard_pairs"] = """
+WITH norm AS (SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
+              FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id, substr(t, i, 5) AS g
+  FROM (SELECT doc_id, t, unnest(range(1, greatest(length(t) - 3, 1))) AS i
+        FROM norm WHERE length(t) >= 5)
+  UNION
+  SELECT doc_id, t AS g FROM norm WHERE length(t) < 5 AND length(t) > 0),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*)::BIGINT AS inter
+  FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id),
+sizes AS (SELECT doc_id, count(*)::BIGINT AS n FROM sh GROUP BY doc_id)
+SELECT doc_a, doc_b,
+       (inter * 1000000) // (sa.n + sb.n - inter) AS jaccard_ppm
+FROM pairs JOIN sizes sa ON doc_a = sa.doc_id JOIN sizes sb ON doc_b = sb.doc_id
+WHERE (inter * 1000000) >= 200000 * (sa.n + sb.n - inter)"""
+
+    sql["embedding_knn"] = """
+WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings
+           WHERE vec_id IN (0, 1, 2, 3, 4)),
+sims AS (SELECT q.query_id, e.vec_id,
+                list_cosine_similarity(e.embedding, q.qe) AS cos
+         FROM embeddings e CROSS JOIN q),
+ranked AS (SELECT query_id, vec_id,
+                  row_number() OVER (PARTITION BY query_id
+                                     ORDER BY cos DESC, vec_id) AS rn
+           FROM sims)
+SELECT query_id, vec_id FROM ranked WHERE rn <= 10"""
+
+    sql["embedding_dup_pairs"] = """
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.9"""
+
+    de, en, fr = (inlist(LANG_MARKERS[k]) for k in ("de", "en", "fr"))
+    sql["lang_id"] = f"""
+WITH {_TOKS},
+c AS (SELECT doc_id,
+             count(*) FILTER (WHERE term IN ({de})) AS nde,
+             count(*) FILTER (WHERE term IN ({en})) AS nen,
+             count(*) FILTER (WHERE term IN ({fr})) AS nfr
+      FROM toks GROUP BY doc_id)
+SELECT d.doc_id,
+       CASE WHEN coalesce(nde, 0) > 0 AND nde >= nen AND nde >= nfr THEN 'de'
+            WHEN coalesce(nen, 0) > 0 AND nen >= nfr THEN 'en'
+            WHEN coalesce(nfr, 0) > 0 THEN 'fr'
+            ELSE 'und' END AS lang_pred
+FROM documents d LEFT JOIN c ON d.doc_id = c.doc_id"""
+
+    sql["quality_score"] = f"""
+WITH {_TOKS},
+agg AS (SELECT doc_id, count(*)::BIGINT AS n_tokens,
+               count(*) FILTER (WHERE term IN ({inlist(markers_all)}))::BIGINT AS n_stop,
+               sum(length(term))::BIGINT AS sum_len
+        FROM toks GROUP BY doc_id)
+SELECT d.doc_id,
+       length(d.text)::BIGINT AS n_chars,
+       coalesce(a.n_tokens, 0)::BIGINT AS n_tokens,
+       CASE WHEN coalesce(a.n_tokens, 0) = 0 THEN 0
+            ELSE (a.n_stop * 1000000) // a.n_tokens END::BIGINT AS stop_ratio_ppm,
+       CASE WHEN length(d.text) = 0 THEN 0
+            ELSE (length(regexp_replace(d.text, '[a-zA-Z0-9 \\t\\n\\r]', '', 'g')) * 1000000)
+                 // length(d.text) END::BIGINT AS punct_ratio_ppm,
+       CASE WHEN coalesce(a.n_tokens, 0) = 0 THEN 0
+            ELSE (a.sum_len * 1000000) // a.n_tokens END::BIGINT AS mean_word_len_ppm
+FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id"""
+
+    sql["token_count"] = f"""
+WITH {_TOKS},
+agg AS (SELECT doc_id, count(*)::BIGINT AS n_tokens,
+               count(DISTINCT term)::BIGINT AS n_unique
+        FROM toks GROUP BY doc_id)
+SELECT d.doc_id, coalesce(a.n_tokens, 0)::BIGINT AS n_tokens,
+       coalesce(a.n_unique, 0)::BIGINT AS n_unique
+FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id"""
+
+    sql["doc_fingerprint"] = """
+SELECT doc_id, md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS fingerprint
+FROM documents"""
+
+    # simhash64 / minhash_lsh_pairs / corpus_* : not SQL-expressible
+    # (bit-vote hashing, LSH banding, HTML-grammar extraction) -> rows-only.
+    return sql

@@ -1,0 +1,179 @@
+"""Benchmark harness: headline pipelines over $GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+  {"metric": "index_build_sec", "value": <headline sec>, "unit": "sec",
+   "queries": {...per-section sec...}, "sf": ..., "num_cpus": N,
+   "docs": N, "docs_per_sec": N}
+
+--scaling: runs the same bench in two fresh processes (num_cpus=8 and
+num_cpus=32) on the same input and reports both throughputs plus the
+scaling efficiency (the sandbox evidence for the north rule's N->4N
+cluster-size criterion; see BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+SF_DOCS = {"0.001": 500, "0.01": 5000, "0.1": 50000}
+
+
+def sf_of(sf_dir: str) -> str:
+    base = os.path.basename(os.path.normpath(sf_dir))
+    return base[2:] if base.startswith("sf") else "0.1"
+
+
+def main() -> None:
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    sf = sf_of(sf_dir)
+    n_docs = SF_DOCS.get(sf, 50000)
+
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=num_cpus,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    from textindex_ray.corpus import write_corpus
+    from textindex_ray.index.build import build_index
+    from textindex_ray.query.engine import IndexReader
+
+    queries: dict[str, float] = {}
+
+    # corpus generation is setup, not benchmarked; cached across runs
+    corpus_dir = "/tmp/ti_bench/corpus-sf%s-%d" % (sf, n_docs)
+    if not os.path.exists(os.path.join(corpus_dir, "corpus-00000.parquet")):
+        os.makedirs(corpus_dir, exist_ok=True)
+        write_corpus(corpus_dir, n_docs, rows_per_file=2048)
+    # warm the page cache so we measure compute+shuffle, not first disk read
+    import pyarrow.parquet as pq
+
+    for f in os.listdir(corpus_dir):
+        pq.read_table(os.path.join(corpus_dir, f))
+
+    # ---- headline: full index build (tokenize -> ids -> sort -> encode) ----
+    out_dir = "/tmp/ti_bench/idx-sf%s-%d-cpus%d" % (sf, n_docs, num_cpus)
+    shutil.rmtree(out_dir, ignore_errors=True)
+    t0 = time.time()
+    meta = build_index(
+        corpus_dir,
+        out_dir,
+        num_buckets=64,
+        batch_size=256,
+        concurrency=(2, max(4, num_cpus)),
+        resume=False,
+    )
+    build_sec = time.time() - t0
+    queries["index_build"] = round(build_sec, 3)
+
+    # ---- query latency: boolean + BM25 brute + WAND over the built index --
+    reader = IndexReader(out_dir)
+    qset = [
+        ["alpha"], ["alpha", "beta"], ["gamma", "delta", "epsilon"],
+        ["lorem", "ipsum"], ["alph*", "bet?"], ["zebra", "sphinx", "quartz"],
+        ["haus", "baum", "wald"], ["maison", "arbre"],
+    ]
+    t0 = time.time()
+    for q in qset:
+        reader.find(q)
+    queries["boolean_find"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    for q in qset:
+        reader.bm25_topk([t for t in q if "*" not in t and "?" not in t] or ["alpha"], 10)
+    queries["bm25_brute"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    for q in qset:
+        reader.bm25_topk_wand([t for t in q if "*" not in t and "?" not in t] or ["alpha"], 10)
+    queries["bm25_wand"] = round(time.time() - t0, 3)
+
+    # ---- documents-table ops (dedup + knn + textstats) --------------------
+    import ray.data
+
+    docs = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"))
+    from textindex_ray.functions.dedup import exact_dedup_groups, simhash64_batch
+    from textindex_ray.functions.textstats import quality_batch
+
+    t0 = time.time()
+    exact_dedup_groups(docs).count()
+    queries["exact_dedup"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    docs.map_batches(simhash64_batch, batch_format="pyarrow").count()
+    queries["simhash"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    docs.map_batches(quality_batch, batch_format="pyarrow").count()
+    queries["quality"] = round(time.time() - t0, 3)
+
+    import numpy as np
+    import pyarrow.parquet as pq2
+
+    emb_path = os.path.join(sf_dir, "embeddings.parquet")
+    t = pq2.read_table(emb_path, columns=["vec_id", "embedding"])
+    qm = np.array(t.column("embedding").to_pylist()[:5], dtype=np.float64)
+    from textindex_ray.functions.similarity import knn_brute
+
+    t0 = time.time()
+    knn_brute(ray.data.read_parquet(emb_path), qm, list(range(5)), k=10)
+    queries["knn_brute"] = round(time.time() - t0, 3)
+
+    result = {
+        "metric": "index_build_sec",
+        "value": round(build_sec, 3),
+        "unit": "sec",
+        "queries": queries,
+        "sf": sf,
+        "num_cpus": num_cpus,
+        "docs": int(meta["n_docs"]),
+        "docs_per_sec": round(meta["n_docs"] / build_sec, 1),
+    }
+    ray.shutdown()
+    print(json.dumps(result))
+
+
+def scaling() -> None:
+    lo, hi = 8, 32
+    runs = {}
+    for ncpu in (lo, hi):
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env, capture_output=True, text=True, check=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        ).stdout
+        runs[ncpu] = json.loads(out.strip().splitlines()[-1])
+    tp_lo = runs[lo]["docs_per_sec"]
+    tp_hi = runs[hi]["docs_per_sec"]
+    eff = (tp_hi / tp_lo) / (hi / lo)
+    print(json.dumps({
+        "sec_8": runs[lo]["value"],
+        "sec_32": runs[hi]["value"],
+        "docs_per_sec_8": tp_lo,
+        "docs_per_sec_32": tp_hi,
+        "scaling_efficiency": round(eff, 3),
+        "docs": runs[hi]["docs"],
+        "sf": runs[hi]["sf"],
+    }))
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        scaling()
+    else:
+        main()

@@ -1,0 +1,140 @@
+"""Similarity search over an embedding column (list<float>).
+
+- knn_brute: exact cosine top-k. The query matrix is broadcast once
+  (ray.put); each batch does one numpy matmul against it; per-batch
+  partial top-k rows are reduced with a final small sort — the dataset
+  streams, nothing is materialized.
+- cosine_dup_pairs: embedding near-duplicate pairs above a cosine
+  threshold, via the same broadcast-matmul pattern (all-pairs at small
+  scale; the scale path buckets by random-hyperplane LSH first).
+- rp_lsh_buckets: random-hyperplane signatures for LSH bucketing (the
+  IVF/LSH scale path for ANN).
+
+Scores are emitted as integer ppm (floor of cosine*1e6 after float32->
+float64 promotion) so the DuckDB oracle (list_cosine_similarity)
+comparison is exact — float accumulation differences between numpy and
+DuckDB are absorbed by the floor... they are NOT in general, so the
+oracle queries compute the dot products the same way: sum over float64
+of float32 inputs in index order. See __ray_entry__.oracle_sql notes.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+import ray.data
+
+
+def _to_matrix(batch: pa.Table, col: str = "embedding") -> np.ndarray:
+    arr = batch.column(col)
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    flat = arr.flatten().to_numpy().astype(np.float64)
+    n = len(arr)
+    return flat.reshape(n, -1)
+
+
+def knn_brute(
+    ds: "ray.data.Dataset",
+    queries: np.ndarray,
+    query_ids: list[int],
+    *,
+    k: int = 10,
+) -> pa.Table:
+    """Exact cosine top-k for each query vector.
+
+    Returns (query_id, vec_id, cos_ppm) with k rows per query, ordered
+    by (cos desc, vec_id asc) with integer-ppm cosine.
+    """
+    qn = queries.astype(np.float64)
+    qn = qn / np.linalg.norm(qn, axis=1, keepdims=True)
+    q_ref = ray.put(qn)
+    qids = list(query_ids)
+
+    def score(batch: pa.Table) -> pa.Table:
+        q = ray.get(q_ref)
+        m = _to_matrix(batch)
+        norms = np.linalg.norm(m, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        sims = (m / norms) @ q.T  # (batch, nq)
+        vec_ids = batch.column("vec_id").to_numpy()
+        out_q, out_v, out_s = [], [], []
+        for j in range(sims.shape[1]):
+            s = sims[:, j]
+            top = np.argsort(-s, kind="stable")[: k]
+            out_q.extend([qids[j]] * len(top))
+            out_v.extend(vec_ids[top].tolist())
+            out_s.extend(np.floor(s[top] * 1_000_000).astype(np.int64).tolist())
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                "vec_id": pa.array(out_v, pa.int64()),
+                "cos_ppm": pa.array(out_s, pa.int64()),
+            }
+        )
+
+    partials = ds.map_batches(score, batch_format="pyarrow")
+    # final reduce: tiny table (k rows per query per block)
+    t = partials.to_pandas()
+    t = t.sort_values(["query_id", "cos_ppm", "vec_id"], ascending=[True, False, True])
+    t = t.groupby("query_id", sort=True).head(k).reset_index(drop=True)
+    return pa.Table.from_pandas(t, preserve_index=False)
+
+
+def cosine_dup_pairs(
+    ds: "ray.data.Dataset", *, threshold_ppm: int = 950_000
+) -> pa.Table:
+    """All-pairs embedding near-dups above a cosine threshold (small-scale
+    exact path; (vec_a, vec_b, cos_ppm), vec_a < vec_b)."""
+    rows = ds.select_columns(["vec_id", "embedding"]).take_all()
+    ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
+    m = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    order = np.argsort(ids)
+    ids, m = ids[order], m[order]
+    norms = np.linalg.norm(m, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    mn = m / norms
+    sims = mn @ mn.T
+    iu, ju = np.triu_indices(len(ids), k=1)
+    ppm = np.floor(sims[iu, ju] * 1_000_000).astype(np.int64)
+    keep = ppm >= threshold_ppm
+    return pa.table(
+        {
+            "vec_a": pa.array(ids[iu[keep]], pa.int64()),
+            "vec_b": pa.array(ids[ju[keep]], pa.int64()),
+            "cos_ppm": pa.array(ppm[keep], pa.int64()),
+        }
+    )
+
+
+def rp_lsh_buckets(ds: "ray.data.Dataset", *, n_planes: int = 16, seed: int = 42):
+    """Random-hyperplane LSH: (vec_id, bucket) — the ANN scale path.
+
+    Vectors in the same bucket are candidate neighbors; at cluster scale
+    the knn/dup search runs per bucket (groupby("bucket")) instead of
+    all-pairs.
+    """
+    def make_planes(dim: int) -> np.ndarray:
+        rng = np.random.default_rng(seed)
+        return rng.standard_normal((n_planes, dim))
+
+    state = {}
+
+    def bucketize(batch: pa.Table) -> pa.Table:
+        m = _to_matrix(batch)
+        if "planes" not in state:
+            state["planes"] = make_planes(m.shape[1])
+        signs = (m @ state["planes"].T) > 0
+        bucket = np.zeros(len(m), dtype=np.int64)
+        for i in range(n_planes):
+            bucket |= signs[:, i].astype(np.int64) << i
+        return pa.table(
+            {
+                "vec_id": batch.column("vec_id"),
+                "bucket": pa.array(bucket, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(bucketize, batch_format="pyarrow")

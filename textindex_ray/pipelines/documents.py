@@ -1,0 +1,183 @@
+"""Pipelines over the testdata ``documents`` / ``embeddings`` tables.
+
+These are the driver-graded queries (__ray_entry__.queries). The
+documents table is adapted into the engine's corpus schema
+(url = "doc://<doc_id>", html = utf-8 bytes of text) and indexed with
+the full Ray build pipeline; results map internal docIDs back to the
+original ``doc_id`` so the DuckDB oracle can verify them.
+
+On the testdata charset (plain ASCII, no markup/newlines — asserted in
+tests) the engine tokenizer coincides with the SQL-expressible
+``regexp_extract_all(lower(text), '\\pL+')`` + stopword filter, which is
+what oracle_sql uses.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data
+
+import textindex_ray
+from textindex_ray.index.build import build_index
+from textindex_ray.query.engine import IndexReader
+
+NUM_BUCKETS = 8
+_CACHE: dict[str, IndexReader] = {}
+
+# Fixed query terms for the graded BM25/boolean queries (mid/high-df
+# vocabulary of the testdata documents tables).
+BM25_QUERIES = {
+    "q_hash_join": ["hash", "join"],
+    "q_scan_filter_sort": ["scan", "filter", "sort"],
+    "q_customer": ["customer", "order", "line"],
+}
+AND_TERMS = ["hash", "join"]
+WILDCARD = "jo*"
+
+
+def documents_ds(sf_dir: str) -> "ray.data.Dataset":
+    return ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"))
+
+
+def _adapt(batch: pa.Table) -> pa.Table:
+    urls = ["doc://%012d" % i for i in batch.column("doc_id").to_pylist()]
+    return pa.table(
+        {
+            "url": pa.array(urls, pa.string()),
+            "html": batch.column("text").cast(pa.binary()),
+        }
+    )
+
+
+def documents_reader(sf_dir: str) -> IndexReader:
+    """Build (or reuse) the index over the documents table of sf_dir."""
+    key = os.path.abspath(sf_dir)
+    if key in _CACHE:
+        return _CACHE[key]
+    out = os.path.join(
+        "/tmp/textindex_ray_cache",
+        "docs-%s-%s" % (textindex_ray.__version__, key.strip("/").replace("/", "_")),
+    )
+    corpus_dir = os.path.join(out, "corpus")
+    if not os.path.exists(os.path.join(out, "meta.json")):
+        os.makedirs(corpus_dir, exist_ok=True)
+        documents_ds(sf_dir).map_batches(_adapt, batch_format="pyarrow").write_parquet(
+            corpus_dir
+        )
+        build_index(corpus_dir, out, num_buckets=NUM_BUCKETS, batch_size=512)
+    reader = IndexReader(out)
+    _CACHE[key] = reader
+    return reader
+
+
+def _orig_ids(reader: IndexReader):
+    """internal doc_id -> original documents.doc_id (sorted arrays)."""
+    dm = reader.docmap(columns=["doc_id", "url"])
+    ids = dm.column("doc_id").to_numpy()
+    orig = np.array([int(u[6:]) for u in dm.column("url").to_pylist()], dtype=np.int64)
+    order = np.argsort(ids)
+    return ids[order], orig[order]
+
+
+def _map_ids(reader: IndexReader, internal: np.ndarray) -> np.ndarray:
+    ids, orig = _orig_ids(reader)
+    return orig[np.searchsorted(ids, internal)]
+
+
+# -- graded queries ---------------------------------------------------------
+
+def doc_dict(sf_dir: str) -> pa.Table:
+    """Vocabulary with df/cf over the documents table."""
+    r = documents_reader(sf_dir)
+    d = r._dict
+    return pa.table(
+        {
+            "term": d.column("term").cast(pa.string()),
+            "df": d.column("df").cast(pa.int64()),
+            "cf": d.column("cf").cast(pa.int64()),
+        }
+    )
+
+
+def doc_doclen(sf_dir: str) -> pa.Table:
+    """(doc_id, dl): non-stopword token count per document (incl. 0)."""
+    r = documents_reader(sf_dir)
+    dm = r.docmap(columns=["doc_id", "url", "dl"])
+    orig = [int(u[6:]) for u in dm.column("url").to_pylist()]
+    t = pa.table(
+        {
+            "doc_id": pa.array(orig, pa.int64()),
+            "dl": dm.column("dl").cast(pa.int64()),
+        }
+    )
+    return t.take(pc.sort_indices(t.column("doc_id")))
+
+
+def doc_postings(sf_dir: str) -> pa.Table:
+    """Full (term, doc_id, tf) postings relation."""
+    r = documents_reader(sf_dir)
+    terms_out, ids_out, tfs_out = [], [], []
+    for term in r._terms:
+        ids, tfs = r.postings(term)
+        terms_out.extend([term] * len(ids))
+        ids_out.append(ids)
+        tfs_out.append(tfs)
+    ids_all = np.concatenate(ids_out) if ids_out else np.empty(0, np.uint64)
+    tfs_all = np.concatenate(tfs_out) if tfs_out else np.empty(0, np.uint64)
+    return pa.table(
+        {
+            "term": pa.array(terms_out, pa.string()),
+            "doc_id": pa.array(_map_ids(r, ids_all), pa.int64()),
+            "tf": pa.array(tfs_all.astype(np.int64), pa.int64()),
+        }
+    )
+
+
+def doc_term_and(sf_dir: str) -> pa.Table:
+    """Docs containing ALL of AND_TERMS (reference `find` semantics)."""
+    r = documents_reader(sf_dir)
+    internal = r.find(AND_TERMS)
+    orig = np.sort(_map_ids(r, internal))
+    return pa.table({"doc_id": pa.array(orig, pa.int64())})
+
+
+def doc_wildcard_and(sf_dir: str) -> pa.Table:
+    """Docs matching the wildcard pattern WILDCARD (vocab-expanded OR)."""
+    r = documents_reader(sf_dir)
+    internal = r.find([WILDCARD])
+    orig = np.sort(_map_ids(r, internal))
+    return pa.table({"doc_id": pa.array(orig, pa.int64())})
+
+
+def _bm25(sf_dir: str, terms: list[str], k: int = 10) -> pa.Table:
+    r = documents_reader(sf_dir)
+    ids, scores = r.bm25_topk(terms, k)
+    # block-max WAND must agree (also exercised in the graded path)
+    ids_w, scores_w = r.bm25_topk_wand(terms, k)
+    assert ids.tolist() == ids_w.tolist(), "WAND / brute-force rank mismatch"
+    orig = _map_ids(r, ids)
+    return pa.table(
+        {
+            "doc_id": pa.array(orig, pa.int64()),
+            # floor at 1e4: absorbs reduction-order ulps vs the SQL oracle
+            "score_t4": pa.array(np.floor(scores * 1e4).astype(np.int64), pa.int64()),
+        }
+    )
+
+
+def doc_bm25_hash_join(sf_dir: str) -> pa.Table:
+    return _bm25(sf_dir, BM25_QUERIES["q_hash_join"])
+
+
+def doc_bm25_scan_filter_sort(sf_dir: str) -> pa.Table:
+    return _bm25(sf_dir, BM25_QUERIES["q_scan_filter_sort"])
+
+
+def doc_bm25_customer(sf_dir: str) -> pa.Table:
+    return _bm25(sf_dir, BM25_QUERIES["q_customer"])
