@@ -55,10 +55,10 @@ def main() -> None:
     queries: dict[str, float] = {}
 
     # corpus generation is setup, not benchmarked; cached across runs
-    corpus_dir = "/tmp/ti_bench/corpus-sf%s-%d" % (sf, n_docs)
+    corpus_dir = "/tmp/ti_bench/corpus-sf%s-%d-v2" % (sf, n_docs)
     if not os.path.exists(os.path.join(corpus_dir, "corpus-00000.parquet")):
         os.makedirs(corpus_dir, exist_ok=True)
-        write_corpus(corpus_dir, n_docs, rows_per_file=2048)
+        write_corpus(corpus_dir, n_docs, rows_per_file=2048, body_scale=8)
     # warm the page cache so we measure compute+shuffle, not first disk read
     import pyarrow.parquet as pq
 
@@ -73,8 +73,7 @@ def main() -> None:
         corpus_dir,
         out_dir,
         num_buckets=64,
-        batch_size=256,
-        concurrency=(2, max(4, num_cpus)),
+        batch_size=1024,
         resume=False,
     )
     build_sec = time.time() - t0

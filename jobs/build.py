@@ -1,0 +1,61 @@
+"""`ray job submit` entry point: distributed index build.
+
+Usage (cluster):
+    ray job submit --working-dir . -- python jobs/build.py \
+        --corpus /data/corpus --out /data/index [--num-buckets 4096] \
+        [--no-checkpoint] [--incremental]
+
+Idempotent and resumable: phase-level _COMMITTED markers are honored, so
+resubmitting an interrupted job continues from the last committed phase;
+--incremental anti-joins the corpus against the committed docmap and
+merges only new documents (merge.update_index).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--corpus", required=True)
+    ap.add_argument("--out", required=True)
+    ap.add_argument("--num-buckets", type=int, default=64)
+    ap.add_argument("--chunk-size", type=int, default=1024)
+    ap.add_argument("--batch-size", type=int, default=256)
+    ap.add_argument("--no-checkpoint", action="store_true")
+    ap.add_argument("--no-resume", action="store_true")
+    ap.add_argument("--incremental", action="store_true")
+    args = ap.parse_args(argv)
+
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="auto" if False else "local", include_dashboard=False,
+                 ignore_reinit_error=True, logging_level="ERROR")
+
+    if args.incremental:
+        from textindex_ray.index.merge import update_index
+
+        meta = update_index(
+            args.corpus, args.out,
+            num_buckets=args.num_buckets, chunk_size=args.chunk_size,
+        )
+    else:
+        from textindex_ray.index.build import build_index
+
+        meta = build_index(
+            args.corpus, args.out,
+            num_buckets=args.num_buckets, chunk_size=args.chunk_size,
+            batch_size=args.batch_size,
+            checkpoint=not args.no_checkpoint, resume=not args.no_resume,
+        )
+    print(json.dumps(meta))
+    ray.shutdown()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

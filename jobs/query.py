@@ -1,0 +1,67 @@
+"""`ray job submit` entry point: query a built index.
+
+    python jobs/query.py --index /data/index find alpha 'bet*'
+    python jobs/query.py --index /data/index bm25 alpha beta --k 10 [--wand]
+    python jobs/query.py --index /data/index files '*example*'
+    python jobs/query.py --index /data/index lines --corpus /data/corpus alpha
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--index", required=True)
+    ap.add_argument("mode", choices=["find", "bm25", "files", "lines", "stats"])
+    ap.add_argument("terms", nargs="*")
+    ap.add_argument("--k", type=int, default=10)
+    ap.add_argument("--wand", action="store_true")
+    ap.add_argument("--corpus", help="corpus path for `lines` snippets")
+    args = ap.parse_intermixed_args(argv)
+
+    from textindex_ray.query.engine import IndexReader
+
+    r = IndexReader(args.index)
+    if args.mode == "stats":
+        print(json.dumps({"n_docs": r.n_docs, "avgdl": r.avgdl,
+                          "vocab": len(r._terms)}))
+        return 0
+    if args.mode == "find":
+        ids = r.find(args.terms)
+        print(json.dumps({"doc_ids": ids.tolist(), "urls": r.urls_for(ids)[:20]}))
+        return 0
+    if args.mode == "bm25":
+        fn = r.bm25_topk_wand if args.wand else r.bm25_topk
+        ids, scores = fn(args.terms, args.k)
+        print(json.dumps({
+            "doc_ids": ids.tolist(),
+            "scores": scores.tolist(),
+            "urls": r.urls_for(ids),
+        }))
+        return 0
+    if args.mode == "files":
+        print(json.dumps(r.find_files(args.terms[0] if args.terms else "*")[:50]))
+        return 0
+    if args.mode == "lines":
+        import ray
+
+        if not ray.is_initialized():
+            ray.init(address="local", include_dashboard=False,
+                     ignore_reinit_error=True, logging_level="ERROR")
+        from textindex_ray.query.snippets import matched_lines
+
+        ids = r.find(args.terms)
+        out = matched_lines(args.corpus, r.urls_for(ids), args.terms)
+        for url, lines in out[:20]:
+            print(json.dumps({"url": url, "lines": lines[:5]}))
+        ray.shutdown()
+        return 0
+    return 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

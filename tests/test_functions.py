@@ -1,0 +1,136 @@
+"""Dedup / similarity / textstats operator tests (training-data family)."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+
+@pytest.fixture(scope="module")
+def docs_ds(ray_session):
+    import ray.data
+
+    return ray.data.read_parquet("/root/testdata/sf0.001/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def emb_ds(ray_session):
+    import ray.data
+
+    return ray.data.read_parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+
+def test_exact_dedup_groups(docs_ds):
+    from textindex_ray.functions.dedup import exact_dedup_groups
+
+    t = exact_dedup_groups(docs_ds).to_pandas()
+    assert t["dup_count"].sum() == 500
+    assert set(t.columns) == {"text_hash", "keep_doc_id", "dup_count"}
+    # every group keeps its minimum doc_id; group count == distinct texts
+    import duckdb
+
+    want = duckdb.sql(
+        "select count(distinct text) from read_parquet('/root/testdata/sf0.001/documents.parquet')"
+    ).fetchone()[0]
+    assert len(t) == want
+
+
+def test_exact_dedup_keep_first(docs_ds):
+    from textindex_ray.functions.dedup import exact_dedup
+
+    kept = exact_dedup(docs_ds).to_pandas()
+    assert kept["doc_id"].is_unique
+    assert len(kept) <= 500
+
+
+def test_simhash_deterministic(docs_ds):
+    from textindex_ray.functions.dedup import simhash64_batch
+
+    a = docs_ds.map_batches(simhash64_batch, batch_format="pyarrow").to_pandas()
+    b = docs_ds.map_batches(simhash64_batch, batch_format="pyarrow").to_pandas()
+    a = a.sort_values("doc_id").reset_index(drop=True)
+    b = b.sort_values("doc_id").reset_index(drop=True)
+    assert a.equals(b)
+    # near-identical docs should have close hamming distance: identical texts
+    # must produce identical simhash
+    import duckdb
+
+    dups = duckdb.sql(
+        "select list(doc_id) from read_parquet('/root/testdata/sf0.001/documents.parquet') group by text having count(*) > 1 limit 1"
+    ).fetchall()
+    if dups:
+        ids = dups[0][0]
+        vals = a.set_index("doc_id").loc[ids, "simhash"].unique()
+        assert len(vals) == 1
+
+
+def test_minhash_lsh_finds_exact_dups(docs_ds):
+    from textindex_ray.functions.dedup import minhash_lsh_pairs, ngram_jaccard_pairs
+
+    pairs = minhash_lsh_pairs(docs_ds, verify_threshold=0.9).to_pandas()
+    # every exact-duplicate pair (jaccard 1.0) must be found by LSH
+    exact = ngram_jaccard_pairs(docs_ds, k=5, min_ppm=1_000_000).to_pandas()
+    got = set(zip(pairs.doc_a, pairs.doc_b))
+    want = set(zip(exact.doc_a, exact.doc_b))
+    assert want <= got
+    # all reported pairs meet the threshold
+    assert (pairs["jaccard_ppm"] >= 900_000).all()
+
+
+def test_knn_self_is_top1(emb_ds):
+    import pyarrow.parquet as pq
+
+    from textindex_ray.functions.similarity import knn_brute
+
+    t = pq.read_table(
+        "/root/testdata/sf0.001/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    qm = np.array(t.column("embedding").to_pylist()[:3], dtype=np.float64)
+    res = knn_brute(emb_ds, qm, [0, 1, 2], k=5).to_pandas()
+    for q in (0, 1, 2):
+        sub = res[res.query_id == q]
+        assert len(sub) == 5
+        assert sub.iloc[0]["vec_id"] == q  # self-similarity tops the list
+
+
+def test_textstats_batches(docs_ds):
+    from textindex_ray.functions.textstats import (
+        fingerprint_batch,
+        lang_id_batch,
+        quality_batch,
+        token_count_batch,
+    )
+
+    li = docs_ds.map_batches(lang_id_batch, batch_format="pyarrow").to_pandas()
+    assert set(li["lang_pred"]) <= {"de", "en", "fr", "und"}
+    q = docs_ds.map_batches(quality_batch, batch_format="pyarrow").to_pandas()
+    assert (q["n_tokens"] > 0).all()
+    assert (q["stop_ratio_ppm"] <= 1_000_000).all()
+    tc = docs_ds.map_batches(token_count_batch, batch_format="pyarrow").to_pandas()
+    assert (tc["n_unique"] <= tc["n_tokens"]).all()
+    fp = docs_ds.map_batches(fingerprint_batch, batch_format="pyarrow").to_pandas()
+    assert fp["fingerprint"].str.len().eq(32).all()
+
+
+def test_multimodal_plumbing(ray_session):
+    import ray.data
+
+    from textindex_ray.functions.multimodal import ImageFeatures, frame_sample_plan
+
+    payloads = [b"fake-image-bytes-%d" % i for i in range(10)]
+    ds = ray.data.from_items(
+        [{"media_id": i, "payload": p} for i, p in enumerate(payloads)]
+    )
+    out = ds.map_batches(
+        ImageFeatures, batch_format="pyarrow", batch_size=4, concurrency=2
+    ).to_pandas()
+    assert len(out) == 10
+    assert (out["width"] == 8).all()
+    assert out["feature"].map(len).eq(16).all()
+    # deterministic across runs
+    out2 = ds.map_batches(
+        ImageFeatures, batch_format="pyarrow", batch_size=4, concurrency=2
+    ).to_pandas()
+    assert out.sort_values("media_id").reset_index(drop=True).equals(
+        out2.sort_values("media_id").reset_index(drop=True)
+    )
+    assert frame_sample_plan(10, 3) == [0, 3, 6, 9]

@@ -65,14 +65,14 @@ def _words(rng: random.Random, n: int) -> str:
     return " ".join(out)
 
 
-def _html_body(rng: random.Random, i: int) -> bytes:
+def _html_body(rng: random.Random, i: int, scale: int = 1) -> bytes:
     """HTML page bytes covering the grammar content matrix."""
     prefix = rng.choice(
         [b"<!DOCTYPE html>", b"<html>", b"<HTML>", b"<head>", b"<?xml version='1.0'?>",
          b"<!doctype html>", b"<--", b"_<!DOCTYPE x>", b"<!--ADULTSONLY-->"]
     )
     parts = [prefix.decode("utf-8", "replace"), "\n"]
-    n_frag = rng.randint(3, 12)
+    n_frag = rng.randint(3, 12) * scale
     for _ in range(n_frag):
         kind = rng.random()
         if kind < 0.35:
@@ -107,9 +107,9 @@ def _html_body(rng: random.Random, i: int) -> bytes:
     return body
 
 
-def _text_body(rng: random.Random, i: int) -> bytes:
+def _text_body(rng: random.Random, i: int, scale: int = 1) -> bytes:
     lines = [_words(rng, rng.randint(4, 10))]  # first line: specials never match
-    n_lines = rng.randint(2, 10)
+    n_lines = rng.randint(2, 10) * scale
     for _ in range(n_lines):
         kind = rng.random()
         if kind < 0.55:
@@ -136,18 +136,22 @@ def _ignore_body(rng: random.Random, i: int) -> bytes:
     return b"BIN\x01\x02\x03" + bytes(rng.randrange(256) for _ in range(32))
 
 
-def generate_corpus(n_rows: int, seed: int = 42) -> pa.Table:
-    """Build the corpus table deterministically. ~60% html, ~35% text, ~5% ignore."""
+def generate_corpus(n_rows: int, seed: int = 42, body_scale: int = 1) -> pa.Table:
+    """Build the corpus table deterministically. ~60% html, ~35% text, ~5% ignore.
+
+    body_scale multiplies the fragment/line counts per document (bench
+    corpora use larger, more web-page-like bodies; tests use 1).
+    """
     urls, tss, htmls, texts, langs = [], [], [], [], []
     for i in range(n_rows):
         rng = random.Random((seed << 20) ^ i)  # per-row rng: order/partition independent
         lang = _LANGS[i % len(_LANGS)]
         r = i % 20
         if r < 12:
-            cat, body = "page", _html_body(rng, i)
+            cat, body = "page", _html_body(rng, i, body_scale)
             text = ""
         elif r < 19:
-            cat, body = "doc", _text_body(rng, i)
+            cat, body = "doc", _text_body(rng, i, body_scale)
             text = body.decode("utf-8", "replace")
         else:
             cat, body = "bin", _ignore_body(rng, i)
@@ -168,14 +172,14 @@ def generate_corpus(n_rows: int, seed: int = 42) -> pa.Table:
     )
 
 
-def write_corpus(path: str, n_rows: int, seed: int = 42, rows_per_file: int = 4096) -> None:
+def write_corpus(path: str, n_rows: int, seed: int = 42, rows_per_file: int = 4096, body_scale: int = 1) -> None:
     """Write the corpus as a directory of Parquet files (one per shard)."""
     import os
 
     import pyarrow.parquet as pq
 
     os.makedirs(path, exist_ok=True)
-    table = generate_corpus(n_rows, seed)
+    table = generate_corpus(n_rows, seed, body_scale)
     if n_rows == 0:
         # still write one schema-bearing (empty) file so readers can infer
         pq.write_table(table, os.path.join(path, "corpus-00000.parquet"))

@@ -3,17 +3,18 @@
 Ray-Data-first physical plan (SURVEY.md §3.1 / §7):
 
     Phase T  tokenize   read_parquet(corpus, columns=url/html)
-                        -> map_batches(classify_batch)            [stateless]
-                        -> map_batches(ExtractTokenize, actor pool)
-                        -> write_parquet(out/tokenized)           [checkpoint]
-    Phase S  stats      read(tokenized: dl) -> count + sum        [tiny agg]
-    Phase P  postings   read(tokenized)
+                        -> map_batches(ExtractTokenize, actor pool; the
+                           classifier is fused into the actor)
+                        -> write_parquet(out/tokenized)   [optional checkpoint]
+    Phase P  postings   (tokenized | fused extract)
                         -> groupby(bucket).map_groups(assign+explode)
                            (deterministic docIDs; docmap parts written
                             atomically inside the group task)
-                        -> sort(term, doc_id)                      [the wide step]
-                        -> map_batches(encode_chunks)              [delta+varint]
+                        -> sort(term, doc_id)              [the wide step]
+                        -> map_batches(encode_chunks)      [delta+varint]
                         -> write_parquet(out/index)
+    Phase S  stats      docmap dl -> N/avgdl (driver-side below 256MB,
+                        distributed aggregate above)
     Phase D  dict       read(index: term,n,cf) -> groupby(term).sum -> out/dict
 
 Shuffle inventory: ONE hash shuffle keyed on ``bucket`` (doc-granular,
@@ -34,9 +35,9 @@ computes the same ids). Dense per bucket, so delta+varint stays
 compact.
 
 Resume: each phase directory gets an atomic ``_COMMITTED`` marker and a
-``metrics.jsonl`` lineage record; a rerun skips committed phases, and
-``incremental=True`` anti-joins the corpus against already-indexed urls
-(the reference's have_file dedup, threads.rs:292-297, made distributed).
+``metrics.jsonl`` lineage record; a rerun skips committed phases.
+Incremental indexing (the reference's have_file dedup,
+threads.rs:292-297, made distributed) lives in merge.update_index.
 """
 
 from __future__ import annotations
@@ -130,15 +131,19 @@ def make_assign_and_explode(docmap_dir: str):
     return assign_and_explode
 
 
-def make_encode_chunks(avgdl: float, chunk_size: int):
+def make_encode_chunks(chunk_size: int):
     """Encode a (term, doc_id, tf, dl)-sorted batch into posting chunks.
 
     A term whose postings span multiple sorted blocks yields multiple
     chunk rows (doc ranges disjoint and ordered) — that is the index
     format, so range-partition skew needs no special casing.
+
+    Chunks store (max_tf, min_dl): the block-max WAND bound
+    idf * max_tf*(k1+1)/(max_tf + k1*(1-b+b*min_dl/avgdl)) is computed at
+    query time (impact is increasing in tf and decreasing in dl, so the
+    pair gives a valid upper bound) — encoding therefore needs no corpus
+    stats and the whole build is a single fused pipeline.
     """
-    k1b = K1 * (1.0 - B)
-    k1bn = K1 * B / max(avgdl, 1e-9)
 
     def encode_chunks(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
@@ -150,16 +155,13 @@ def make_encode_chunks(avgdl: float, chunk_size: int):
         uniq = enc.dictionary.to_pylist()
         doc_ids = batch.column("doc_id").to_numpy()
         tfs = batch.column("tf").to_numpy().astype(np.uint64)
-        dls = batch.column("dl").to_numpy().astype(np.float64)
-        # per-posting impact (idf applied at query time), float64
-        tff = tfs.astype(np.float64)
-        impact = tff * (K1 + 1.0) / (tff + k1b + k1bn * dls)
+        dls = batch.column("dl").to_numpy().astype(np.uint64)
 
         bounds = np.flatnonzero(np.diff(codes)) + 1
         starts = np.concatenate(([0], bounds))
         ends = np.concatenate((bounds, [len(codes)]))
 
-        o_term, o_first, o_last, o_n, o_maxtf, o_maximp, o_cf, o_docs, o_tfb = (
+        o_term, o_first, o_last, o_n, o_maxtf, o_mindl, o_cf, o_docs, o_tfb = (
             [], [], [], [], [], [], [], [], [])
         for s, e in zip(starts, ends):
             term = uniq[codes[s]]
@@ -172,7 +174,7 @@ def make_encode_chunks(avgdl: float, chunk_size: int):
                 o_last.append(ids[-1])
                 o_n.append(ce - cs)
                 o_maxtf.append(int(t.max()))
-                o_maximp.append(float(impact[cs:ce].max()))
+                o_mindl.append(int(dls[cs:ce].min()))
                 o_cf.append(int(t.sum()))
                 o_docs.append(delta_encode(ids))
                 o_tfb.append(encode_tfs(t))
@@ -183,7 +185,7 @@ def make_encode_chunks(avgdl: float, chunk_size: int):
                 "last_doc": pa.array(o_last, pa.uint64()),
                 "n": pa.array(o_n, pa.uint32()),
                 "max_tf": pa.array(o_maxtf, pa.uint32()),
-                "max_impact": pa.array(o_maximp, pa.float64()),
+                "min_dl": pa.array(o_mindl, pa.uint32()),
                 "cf": pa.array(o_cf, pa.uint64()),
                 "docs": pa.array(o_docs, pa.large_binary()),
                 "tfs": pa.array(o_tfb, pa.large_binary()),
@@ -201,11 +203,73 @@ def _empty_chunks() -> pa.Table:
             "last_doc": pa.array([], pa.uint64()),
             "n": pa.array([], pa.uint32()),
             "max_tf": pa.array([], pa.uint32()),
-            "max_impact": pa.array([], pa.float64()),
+            "min_dl": pa.array([], pa.uint32()),
             "cf": pa.array([], pa.uint64()),
             "docs": pa.array([], pa.large_binary()),
             "tfs": pa.array([], pa.large_binary()),
         }
+    )
+
+
+SALT_SHIFT = 14  # heavy-term salting: doc-range groups of 2^14 local ids
+
+
+def build_postings_hash(postings, chunk_size: int, *, heavy_df: int = 100_000):
+    """Posting-list construction via explicit term-hash groupby-aggregate
+    with heavy-hitter skew splitting (the north-star mechanism; the
+    default build uses the range-sort path, which handles skew natively —
+    both produce the same postings).
+
+    1. df estimation: per-batch partial term counts (pre-aggregation,
+       one row per term per block) -> small groupby(term).sum -> the
+       heavy set (df > heavy_df) is collected on the driver (few terms
+       by construction) and broadcast via ray.put.
+    2. salting: a heavy term's shuffle key becomes
+       ``term \x00 hex(doc_id >> SALT_SHIFT)`` — doc-RANGE salts, so each
+       salted group holds a contiguous, disjoint docID range and its
+       encoded chunks are globally ordered without a re-merge.
+    3. groupby(skey).map_groups: sort by doc_id, delta+varint encode.
+    """
+    from ray.data.aggregate import Sum
+
+    def partial_counts(batch: pa.Table) -> pa.Table:
+        vc = pc.value_counts(batch.column("term").combine_chunks())
+        return pa.table(
+            {"term": vc.field("values"), "c": vc.field("counts").cast(pa.int64())}
+        )
+
+    dfs = postings.map_batches(partial_counts, batch_format="pyarrow")
+    dfs = dfs.groupby("term").aggregate(Sum("c", alias_name="df"))
+    heavy_rows = dfs.filter(lambda r: r["df"] > heavy_df).take_all()
+    heavy = {r["term"] for r in heavy_rows}
+    heavy_ref = ray.put(heavy)
+
+    def add_skey(batch: pa.Table) -> pa.Table:
+        hv = ray.get(heavy_ref)
+        terms = batch.column("term").to_pylist()
+        if hv:
+            ids = batch.column("doc_id").to_numpy()
+            skeys = [
+                t if t not in hv else "%s\x00%012x" % (t, int(i) >> SALT_SHIFT)
+                for t, i in zip(terms, ids)
+            ]
+        else:
+            skeys = terms
+        return batch.append_column("skey", pa.array(skeys, pa.string()))
+
+    encode = make_encode_chunks(chunk_size)
+
+    def encode_group(group: pa.Table) -> pa.Table:
+        group = group.drop_columns(["skey"])
+        order = pc.sort_indices(
+            group, [("term", "ascending"), ("doc_id", "ascending")]
+        )
+        return encode(group.take(order))
+
+    return (
+        postings.map_batches(add_skey, batch_format="pyarrow")
+        .groupby("skey")
+        .map_groups(encode_group, batch_format="pyarrow")
     )
 
 
@@ -250,19 +314,37 @@ def _write_empty_index(out_dir: str, num_buckets: int, chunk_size: int) -> dict:
     return meta
 
 
+def default_concurrency() -> int:
+    try:
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+    except Exception:
+        cpus = 8
+    return max(2, int(cpus * 3 // 4))
+
+
 def build_index(
     corpus_path,
     out_dir: str,
     *,
     num_buckets: int = 64,
     chunk_size: int = 1024,
-    batch_size: int = 256,
+    batch_size: int = 1024,
     concurrency=None,
     keep_text: bool = False,
-    incremental: bool = False,
+    checkpoint: bool = True,
     resume: bool = True,
+    shuffle: str = "sort",
+    heavy_df: int = 100_000,
 ) -> dict:
-    """Run the full build. Returns the meta dict (N, avgdl, timings)."""
+    """Run the full build. Returns the meta dict (N, avgdl, timings).
+
+    checkpoint=True (default) writes the tokenized staging table and is
+    the resume boundary (re-runs skip extraction); checkpoint=False fuses
+    extract straight into the postings shuffle (single streaming
+    pipeline, index-granular resume only).
+    """
+    import pyarrow.dataset as pads
+
     os.makedirs(out_dir, exist_ok=True)
     tok_dir = os.path.join(out_dir, "tokenized")
     docmap_dir = os.path.join(out_dir, "docmap")
@@ -270,69 +352,81 @@ def build_index(
     dict_dir = os.path.join(out_dir, "dict")
     timings = {}
 
-    if not (resume and _committed(tok_dir)) and ray.data.read_parquet(corpus_path).count() == 0:
-        return _write_empty_index(out_dir, num_buckets, chunk_size)
+    have_tok = resume and checkpoint and _committed(tok_dir)
+    have_idx = resume and _committed(index_dir)
 
-    # ---- Phase T: tokenize ------------------------------------------------
-    if not (resume and _committed(tok_dir)):
+    if not (have_tok or have_idx):
+        # metadata-only row count (no Ray job)
+        if pads.dataset(corpus_path).count_rows() == 0:
+            return _write_empty_index(out_dir, num_buckets, chunk_size)
+
+    if concurrency is None:
+        concurrency = default_concurrency()
+
+    def extract_pipeline():
+        ds = ray.data.read_parquet(corpus_path, columns=["url", "html"])
+        # classification is fused into the actor (ExtractTokenize
+        # classifies when no doctype column is present)
+        return ds.map_batches(
+            ExtractTokenize,
+            fn_constructor_kwargs={"num_buckets": num_buckets, "keep_text": keep_text},
+            batch_format="pyarrow",
+            batch_size=batch_size,
+            concurrency=concurrency,
+        )
+
+    # ---- Phase T: tokenize checkpoint (optional) --------------------------
+    if checkpoint and not have_tok and not have_idx:
         t0 = time.time()
         os.makedirs(_data(tok_dir), exist_ok=True)
-        ds = ray.data.read_parquet(corpus_path, columns=["url", "html"])
-        if incremental and _committed(docmap_dir):
-            done = set(
-                pq.read_table(_data(docmap_dir), columns=["url"]).column("url").to_pylist()
-            )
-            done_ref = ray.put(done)
-            ds = ds.map_batches(
-                lambda b, ref=done_ref: b.filter(
-                    pa.array([u not in ray.get(ref) for u in b.column("url").to_pylist()])
-                ),
-                batch_format="pyarrow",
-            )
-        kwargs = {}
-        if concurrency is not None:
-            kwargs["concurrency"] = concurrency
-        (
-            ds.map_batches(classify_batch, batch_format="pyarrow")
-            .map_batches(
-                ExtractTokenize,
-                fn_constructor_kwargs={"num_buckets": num_buckets, "keep_text": keep_text},
-                batch_format="pyarrow",
-                batch_size=batch_size,
-                **(kwargs or {"concurrency": (1, 8)}),
-            )
-            .write_parquet(_data(tok_dir))
-        )
+        extract_pipeline().write_parquet(_data(tok_dir))
         timings["tokenize_sec"] = time.time() - t0
         _commit(tok_dir, {"phase": "tokenize", "sec": timings["tokenize_sec"]})
 
-    # ---- Phase S: corpus stats -------------------------------------------
-    t0 = time.time()
-    stats_ds = ray.data.read_parquet(_data(tok_dir), columns=["dl"])
-    n_docs = stats_ds.count()
-    total_dl = stats_ds.sum("dl") if n_docs else 0
-    avgdl = (total_dl / n_docs) if n_docs else 0.0
-    timings["stats_sec"] = time.time() - t0
-
-    # ---- Phase P: postings ------------------------------------------------
-    if not (resume and _committed(index_dir)):
+    # ---- Phase P: docIDs + postings (the wide step) -----------------------
+    if not have_idx:
         t0 = time.time()
         os.makedirs(_data(docmap_dir), exist_ok=True)
         os.makedirs(_data(index_dir), exist_ok=True)
-        tok = ray.data.read_parquet(
-            _data(tok_dir),
-            columns=["url", "bucket", "doctype", "dl", "n_words", "terms", "tfs"],
-        )
+        if checkpoint:
+            tok = ray.data.read_parquet(
+                _data(tok_dir),
+                columns=["url", "bucket", "doctype", "dl", "n_words", "terms", "tfs"],
+            )
+        else:
+            tok = extract_pipeline()
         postings = tok.groupby("bucket").map_groups(
             make_assign_and_explode(_data(docmap_dir)), batch_format="pyarrow"
         )
-        chunks = postings.sort(["term", "doc_id"]).map_batches(
-            make_encode_chunks(avgdl, chunk_size), batch_format="pyarrow"
-        )
+        if shuffle == "hash":
+            chunks = build_postings_hash(postings, chunk_size, heavy_df=heavy_df)
+        else:
+            chunks = postings.sort(["term", "doc_id"]).map_batches(
+                make_encode_chunks(chunk_size), batch_format="pyarrow"
+            )
         chunks.write_parquet(_data(index_dir))
         timings["postings_sec"] = time.time() - t0
         _commit(docmap_dir, {"phase": "docmap", "sec": timings["postings_sec"]})
         _commit(index_dir, {"phase": "index", "sec": timings["postings_sec"]})
+
+    # ---- Phase S: corpus stats (from the docmap; driver-side when small) --
+    t0 = time.time()
+    dm_files = [
+        os.path.join(_data(docmap_dir), f)
+        for f in os.listdir(_data(docmap_dir))
+        if f.endswith(".parquet")
+    ]
+    dm_bytes = sum(os.path.getsize(f) for f in dm_files)
+    if dm_bytes < 256 * 1024 * 1024:
+        dl_col = pq.read_table(_data(docmap_dir), columns=["dl"]).column("dl")
+        n_docs = len(dl_col)
+        total_dl = int(pc.sum(dl_col).as_py() or 0)
+    else:  # scale path: distributed aggregate
+        sds = ray.data.read_parquet(_data(docmap_dir), columns=["dl"])
+        n_docs = sds.count()
+        total_dl = int(sds.sum("dl")) if n_docs else 0
+    avgdl = (total_dl / n_docs) if n_docs else 0.0
+    timings["stats_sec"] = time.time() - t0
 
     # ---- Phase D: dictionary ---------------------------------------------
     if not (resume and _committed(dict_dir)):
@@ -341,11 +435,18 @@ def build_index(
         from ray.data.aggregate import Sum
 
         cds = ray.data.read_parquet(_data(index_dir), columns=["term", "n", "cf"])
-        if cds.count() > 0:
+        if pads.dataset(_data(index_dir)).count_rows() > 0:
             d = cds.groupby("term").aggregate(
                 Sum("n", alias_name="df"), Sum("cf", alias_name="cf")
             )
             d.sort("term").write_parquet(_data(dict_dir))
+        else:
+            pq.write_table(
+                pa.table({"term": pa.array([], pa.string()),
+                          "df": pa.array([], pa.uint64()),
+                          "cf": pa.array([], pa.uint64())}),
+                os.path.join(_data(dict_dir), "empty.parquet"),
+            )
         timings["dict_sec"] = time.time() - t0
         _commit(dict_dir, {"phase": "dict", "sec": timings["dict_sec"]})
 

@@ -1,0 +1,255 @@
+"""Index merge with docID remapping, and incremental index update.
+
+merge_indexes: sort-merge K independently built indexes into one global
+index. Each source's postings are decoded, docIDs are remapped through a
+per-source remap table (old internal id -> new internal id under the
+merged docmap), and the union is re-sorted/re-encoded — the north-star
+"segment-level posting lists are sort-merged into a global index with a
+docID remapping table".
+
+Duplicate urls across sources keep the FIRST source's document (the
+reference's incremental have_file semantics: already-indexed files are
+skipped, /root/reference/src/proc3/threads.rs:292-297); later sources'
+postings for dropped docs are filtered out during remap.
+
+update_index: incremental indexing — anti-join the corpus against the
+committed docmap urls, build a delta index of only the new documents,
+then merge. At testdata scale the committed-url set is broadcast
+(ray.put); at 10^12-doc scale the same anti-join runs with a Bloom
+filter per worker instead of an exact set (noted inline).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+from collections import defaultdict
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+import ray
+import ray.data
+
+from textindex_ray.index.build import (
+    BUCKET_SHIFT,
+    _commit,
+    _data,
+    _empty_chunks,
+    build_index,
+    K1,
+    B,
+    make_encode_chunks,
+)
+from textindex_ray.index.codec import decode_tfs, delta_decode
+from textindex_ray.stages.extract import url_bucket
+
+
+def _read_docmap(index_dir: str) -> pa.Table:
+    return pq.read_table(_data(os.path.join(index_dir, "docmap")))
+
+
+def merge_indexes(index_dirs: list[str], out_dir: str, *, num_buckets: int = 64,
+                  chunk_size: int = 1024) -> dict:
+    """Merge K indexes into out_dir. Returns the merged meta dict."""
+    import json
+    import time
+
+    os.makedirs(out_dir, exist_ok=True)
+    docmap_dir = os.path.join(out_dir, "docmap")
+    index_dir = os.path.join(out_dir, "index")
+    dict_dir = os.path.join(out_dir, "dict")
+    for d in (docmap_dir, index_dir, dict_dir):
+        os.makedirs(_data(d), exist_ok=True)
+
+    # ---- merged docmap: first-source-wins per url, re-bucketed ------------
+    seen: dict[str, tuple[int, int, int, int]] = {}  # url -> (src, old_id, dl, n_words)
+    doctypes: dict[str, str] = {}
+    for si, d in enumerate(index_dirs):
+        dm = _read_docmap(d)
+        for url, old_id, dl, nw, dt in zip(
+            dm.column("url").to_pylist(),
+            dm.column("doc_id").to_pylist(),
+            dm.column("dl").to_pylist(),
+            dm.column("n_words").to_pylist(),
+            dm.column("doctype").to_pylist(),
+        ):
+            if url not in seen:
+                seen[url] = (si, old_id, dl, nw)
+                doctypes[url] = dt
+
+    urls = sorted(seen)
+    buckets = url_bucket(urls, num_buckets)
+    per_bucket = defaultdict(list)
+    for u, b in zip(urls, buckets):
+        per_bucket[int(b)].append(u)
+    new_id: dict[str, int] = {}
+    for b, us in sorted(per_bucket.items()):
+        for r, u in enumerate(sorted(us)):
+            new_id[u] = (b << BUCKET_SHIFT) | r
+
+    # per-source remap arrays: old ids (sorted) -> new id or -1 (dropped)
+    remaps = []
+    for si, d in enumerate(index_dirs):
+        dm = _read_docmap(d)
+        old = dm.column("doc_id").to_numpy()
+        us = dm.column("url").to_pylist()
+        new = np.array(
+            [new_id[u] if seen[u][0] == si else -1 for u in us], dtype=np.int64
+        )
+        order = np.argsort(old)
+        remaps.append((old[order].astype(np.uint64), new[order]))
+
+    # merged docmap parquet (per new bucket)
+    for b, us in sorted(per_bucket.items()):
+        us = sorted(us)
+        t = pa.table(
+            {
+                "url": pa.array(us, pa.string()),
+                "doc_id": pa.array([new_id[u] for u in us], pa.uint64()),
+                "segment_id": pa.array(np.full(len(us), b, dtype=np.uint32), pa.uint32()),
+                "local_doc_id": pa.array(np.arange(len(us), dtype=np.uint64), pa.uint64()),
+                "dl": pa.array([seen[u][2] for u in us], pa.uint32()),
+                "n_words": pa.array([seen[u][3] for u in us], pa.uint32()),
+                "doctype": pa.array([doctypes[u] for u in us], pa.string()),
+            }
+        )
+        pq.write_table(t, os.path.join(_data(docmap_dir), "docmap-%05d.parquet" % b))
+    _commit(docmap_dir, {"phase": "merge-docmap", "sources": index_dirs})
+
+    n_docs = len(urls)
+    total_dl = sum(v[2] for v in seen.values())
+    avgdl = total_dl / n_docs if n_docs else 0.0
+    dl_of = {new_id[u]: seen[u][2] for u in urls}
+
+    # ---- postings: decode + remap per source, union, re-sort, re-encode ---
+    def make_decode_remap(old_ids: np.ndarray, new_ids: np.ndarray):
+        def fn(batch: pa.Table) -> pa.Table:
+            terms_out, ids_out, tfs_out = [], [], []
+            for term, docs_b, tfs_b in zip(
+                batch.column("term").to_pylist(),
+                batch.column("docs").to_pylist(),
+                batch.column("tfs").to_pylist(),
+            ):
+                ids = delta_decode(docs_b)
+                tfs = decode_tfs(tfs_b)
+                pos = np.searchsorted(old_ids, ids)
+                mapped = new_ids[pos]
+                keep = mapped >= 0
+                if keep.any():
+                    terms_out.extend([term] * int(keep.sum()))
+                    ids_out.append(mapped[keep].astype(np.uint64))
+                    tfs_out.append(tfs[keep])
+            if not ids_out:
+                return pa.table(
+                    {"term": pa.array([], pa.string()),
+                     "doc_id": pa.array([], pa.uint64()),
+                     "tf": pa.array([], pa.uint32()),
+                     "dl": pa.array([], pa.uint32())}
+                )
+            ids_all = np.concatenate(ids_out)
+            dls = np.array([dl_of[int(i)] for i in ids_all], dtype=np.uint32)
+            return pa.table(
+                {
+                    "term": pa.array(terms_out, pa.string()),
+                    "doc_id": pa.array(ids_all, pa.uint64()),
+                    "tf": pa.array(np.concatenate(tfs_out).astype(np.uint32), pa.uint32()),
+                    "dl": pa.array(dls, pa.uint32()),
+                }
+            )
+
+        return fn
+
+    parts = []
+    for (old, new), d in zip(remaps, index_dirs):
+        src = ray.data.read_parquet(
+            _data(os.path.join(d, "index")), columns=["term", "docs", "tfs"]
+        )
+        parts.append(src.map_batches(make_decode_remap(old, new), batch_format="pyarrow"))
+    postings = parts[0]
+    for p in parts[1:]:
+        postings = postings.union(p)
+
+    chunks = postings.sort(["term", "doc_id"]).map_batches(
+        make_encode_chunks(chunk_size), batch_format="pyarrow"
+    )
+    chunks.write_parquet(_data(index_dir))
+    _commit(index_dir, {"phase": "merge-index", "sources": index_dirs})
+
+    from ray.data.aggregate import Sum
+
+    cds = ray.data.read_parquet(_data(index_dir), columns=["term", "n", "cf"])
+    if cds.count() > 0:
+        cds.groupby("term").aggregate(
+            Sum("n", alias_name="df"), Sum("cf", alias_name="cf")
+        ).sort("term").write_parquet(_data(dict_dir))
+    else:
+        pq.write_table(
+            pa.table({"term": pa.array([], pa.string()),
+                      "df": pa.array([], pa.uint64()),
+                      "cf": pa.array([], pa.uint64())}),
+            os.path.join(_data(dict_dir), "empty.parquet"),
+        )
+    _commit(dict_dir, {"phase": "merge-dict"})
+
+    meta = {
+        "n_docs": n_docs, "total_dl": int(total_dl), "avgdl": float(avgdl),
+        "k1": K1, "b": B, "num_buckets": num_buckets,
+        "bucket_shift": BUCKET_SHIFT, "chunk_size": chunk_size,
+        "merged_from": list(index_dirs), "built_at": time.time(), "timings": {},
+    }
+    with open(os.path.join(out_dir, "meta.json.tmp"), "w") as f:
+        json.dump(meta, f, indent=2)
+    os.replace(os.path.join(out_dir, "meta.json.tmp"), os.path.join(out_dir, "meta.json"))
+    return meta
+
+
+def update_index(corpus_path, index_dir: str, *, work_dir: str | None = None,
+                 num_buckets: int = 64, chunk_size: int = 1024) -> dict:
+    """Incremental indexing: index only not-yet-committed urls, then merge.
+
+    The committed url set is broadcast to the filter stage (exact set
+    here; a Bloom filter at 10^12-doc scale). Returns the merged meta;
+    the merged index replaces index_dir atomically (build aside + swap).
+    """
+    work_dir = work_dir or (index_dir.rstrip("/") + ".work")
+    delta_dir = os.path.join(work_dir, "delta")
+    merged_dir = os.path.join(work_dir, "merged")
+    shutil.rmtree(work_dir, ignore_errors=True)
+    os.makedirs(delta_dir, exist_ok=True)
+
+    committed = set(_read_docmap(index_dir).column("url").to_pylist())
+    ref = ray.put(committed)
+
+    ds = ray.data.read_parquet(corpus_path, columns=["url", "html"])
+
+    def anti_join(batch: pa.Table) -> pa.Table:
+        done = ray.get(ref)
+        mask = pa.array([u not in done for u in batch.column("url").to_pylist()])
+        return batch.filter(mask)
+
+    new_corpus = ds.map_batches(anti_join, batch_format="pyarrow")
+    staged = os.path.join(work_dir, "corpus-delta")
+    os.makedirs(staged, exist_ok=True)
+    new_corpus.write_parquet(staged)
+    # ensure readable even when zero new rows
+    if not any(f.endswith(".parquet") for f in os.listdir(staged)):
+        pq.write_table(
+            pa.table({"url": pa.array([], pa.string()),
+                      "html": pa.array([], pa.binary())}),
+            os.path.join(staged, "empty.parquet"),
+        )
+
+    build_index(staged, delta_dir, num_buckets=num_buckets, chunk_size=chunk_size)
+    meta = merge_indexes([index_dir, delta_dir], merged_dir,
+                         num_buckets=num_buckets, chunk_size=chunk_size)
+
+    # atomic-ish swap: old index preserved as .bak until success
+    bak = index_dir.rstrip("/") + ".bak"
+    shutil.rmtree(bak, ignore_errors=True)
+    os.replace(index_dir, bak)
+    os.replace(merged_dir, index_dir)
+    shutil.rmtree(bak, ignore_errors=True)
+    shutil.rmtree(work_dir, ignore_errors=True)
+    return meta

@@ -222,7 +222,9 @@ class IndexReader:
         for t in uniq:
             rows = self.chunk_rows([t])
             if rows.num_rows:
-                cursors.append(_TermCursor(t, rows, self.idf(t)))
+                cursors.append(
+                    _TermCursor(t, rows, self.idf(t), self.k1, self.b, self.avgdl)
+                )
         if not cursors:
             return np.empty(0, np.uint64), np.empty(0, np.float64)
         dl_ids, dl_vals = self._dl_lookup()
@@ -304,14 +306,24 @@ class IndexReader:
 
 
 class _TermCursor:
-    """Cursor over one term's chunk rows with lazy chunk decode."""
+    """Cursor over one term's chunk rows with lazy chunk decode.
 
-    def __init__(self, term: str, rows: pa.Table, idf: float):
+    The per-chunk upper bound is computed from the stored (max_tf,
+    min_dl) pair: impact is increasing in tf and decreasing in dl, so
+    idf * max_tf*(k1+1)/(max_tf + k1*(1-b+b*min_dl/avgdl)) bounds every
+    posting in the chunk.
+    """
+
+    def __init__(self, term: str, rows: pa.Table, idf: float, k1: float, b: float, avgdl: float):
         self.term = term
         self.idf = idf
         self.first = rows.column("first_doc").to_numpy()
         self.last = rows.column("last_doc").to_numpy()
-        self.max_impact = rows.column("max_impact").to_numpy() * idf
+        mtf = rows.column("max_tf").to_numpy().astype(np.float64)
+        mdl = rows.column("min_dl").to_numpy().astype(np.float64)
+        self.max_impact = idf * mtf * (k1 + 1.0) / (
+            mtf + k1 * (1.0 - b + b * mdl / max(avgdl, 1e-9))
+        )
         self.docs_bufs = rows.column("docs").to_pylist()
         self.tfs_bufs = rows.column("tfs").to_pylist()
         self.n_chunks = rows.num_rows

@@ -65,7 +65,11 @@ class ExtractTokenize:
     def __call__(self, batch: pa.Table) -> pa.Table:
         urls = batch.column("url").to_pylist()
         raws = batch.column("html").to_pylist()
-        doctypes = batch.column("doctype").to_pylist()
+        if "doctype" in batch.column_names:
+            doctypes = batch.column("doctype").to_pylist()
+        else:
+            # classify inline (fused stage — one pass over the batch)
+            doctypes = [classify_bytes(r) for r in raws]
 
         out_url, out_doctype, out_dl, out_nw = [], [], [], []
         out_terms, out_tfs, out_text = [], [], []
