@@ -54,8 +54,16 @@ def _has_wildcard(pat: str) -> bool:
     return "*" in pat or "?" in pat
 
 
+_PRELOAD_LIMIT = 512 * 1024 * 1024  # in-memory chunk table below this size
+
+
 class IndexReader:
-    def __init__(self, index_path: str):
+    def __init__(self, index_path: str, preload: bool | None = None):
+        """preload=None (auto): hold the whole chunk table in memory when
+        the index is small (fast repeated queries); large indexes use
+        parquet predicate pushdown per term instead (row groups are
+        (term, doc)-sorted, so pruning applies). At cluster scale the
+        reader is sharded across serving actors, one term-range each."""
         self.path = index_path
         with open(os.path.join(index_path, "meta.json")) as f:
             self.meta = json.load(f)
@@ -73,7 +81,21 @@ class IndexReader:
         self._dict = dt
         self._terms = dt.column("term").to_pylist()
         self._df = dict(zip(self._terms, dt.column("df").to_pylist()))
-        self._chunks = pads.dataset(os.path.join(index_path, "index", "data"))
+        idx_data = os.path.join(index_path, "index", "data")
+        self._chunks = pads.dataset(idx_data)
+        if preload is None:
+            size = sum(
+                os.path.getsize(os.path.join(idx_data, f))
+                for f in os.listdir(idx_data)
+                if f.endswith(".parquet")
+            )
+            preload = size < _PRELOAD_LIMIT
+        self._mem = None
+        if preload:
+            t = self._chunks.to_table()
+            t = t.take(pc.sort_indices(t, [("term", "ascending"), ("first_doc", "ascending")]))
+            self._mem = t
+            self._mem_terms = np.array(t.column("term").to_pylist())
 
     # -- vocabulary ---------------------------------------------------------
 
@@ -98,6 +120,17 @@ class IndexReader:
     def chunk_rows(self, terms: list[str]) -> pa.Table:
         if not terms:
             return self._chunks.head(0)
+        if self._mem is not None:
+            # memory path: term rows are contiguous in the sorted table
+            parts = []
+            for t in sorted(set(terms)):
+                lo = int(np.searchsorted(self._mem_terms, t, side="left"))
+                hi = int(np.searchsorted(self._mem_terms, t, side="right"))
+                if hi > lo:
+                    parts.append(self._mem.slice(lo, hi - lo))
+            if not parts:
+                return self._mem.slice(0, 0)
+            return pa.concat_tables(parts)
         t = self._chunks.to_table(filter=pc.field("term").isin(terms))
         return t.take(pc.sort_indices(t, [("term", "ascending"), ("first_doc", "ascending")]))
 
@@ -212,10 +245,15 @@ class IndexReader:
     # -- block-max WAND -----------------------------------------------------
 
     def bm25_topk_wand(self, terms: list[str], k: int = 10):
-        """Block-max WAND over the per-chunk max_impact metadata.
+        """Block-max top-k over the per-chunk (max_tf, min_dl) metadata.
 
-        Rank-identical to bm25_topk (tested): same float64 formula, the
-        block-max bound only prunes chunks that cannot enter the top-k.
+        Window-vectorized block-max WAND: the doc space is processed in
+        windows ending at the smallest current chunk boundary. A window
+        whose summed chunk upper bounds cannot beat the current kth score
+        is skipped wholesale (cursors advance past their chunks without
+        decoding); otherwise every posting in the window is scored with
+        the same vectorized float64 kernel and accumulation order as
+        bm25_topk, so results are rank- and score-identical (tested).
         """
         uniq = sorted(set(terms))
         cursors = []
@@ -223,167 +261,122 @@ class IndexReader:
             rows = self.chunk_rows([t])
             if rows.num_rows:
                 cursors.append(
-                    _TermCursor(t, rows, self.idf(t), self.k1, self.b, self.avgdl)
+                    _ChunkCursor(rows, self.idf(t), self.k1, self.b, self.avgdl)
                 )
         if not cursors:
             return np.empty(0, np.uint64), np.empty(0, np.float64)
         dl_ids, dl_vals = self._dl_lookup()
-        k1, b, avgdl = self.k1, self.b, max(self.avgdl, 1e-9)
 
-        heap: list[tuple[float, np.uint64]] = []  # min-heap of (score, -?) ; tie handling below
+        top_ids = np.empty(0, np.uint64)
+        top_sc = np.empty(0, np.float64)
         threshold = -np.inf
 
         while True:
             live = [c for c in cursors if not c.done]
             if not live:
                 break
-            live.sort(key=lambda c: c.cur_doc)
-            # WAND pivot: smallest prefix whose max-impact sum exceeds threshold
-            acc = 0.0
-            pivot_idx = -1
-            for i, c in enumerate(live):
-                acc += c.max_remaining
-                # >= so exact score ties can still enter (tie-break: doc asc)
-                if acc >= threshold or len(heap) < k:
-                    pivot_idx = i
-                    break
-            if pivot_idx < 0:
-                break
-            pivot_doc = live[pivot_idx].cur_doc
-            # block-max refinement: sum of chunk maxima covering pivot_doc
-            # over cursors at or before the pivot
-            bm = 0.0
-            for c in live:
-                if c.cur_doc > pivot_doc:
-                    break
-                bm += c.chunk_max_at(pivot_doc)
-            if len(heap) >= k and bm < threshold:
-                # skip: every doc in (pivot, next_doc) is bounded by bm, where
-                # next_doc respects both prefix chunk ends and suffix cursors
-                nxt_prefix = min(
-                    int(c.chunk_end_at(pivot_doc)) + 1
-                    for c in live
-                    if c.cur_doc <= pivot_doc
-                )
-                nxt_suffix = min(
-                    (int(c.cur_doc) for c in live if c.cur_doc > pivot_doc),
-                    default=nxt_prefix,
-                )
-                nxt = np.uint64(min(nxt_prefix, nxt_suffix))
+            window_end = min(c.cur_last for c in live)
+            involved = [c for c in live if c.cur_first <= window_end]
+            ub = sum(c.cur_ub for c in involved)
+            if top_ids.size >= k and ub < threshold:
                 for c in live:
-                    if c.cur_doc <= pivot_doc:
-                        c.advance_to(nxt)
+                    if c.cur_last <= window_end:
+                        c.next_chunk()
                 continue
-            # align lagging cursors to the pivot before scoring (they may
-            # also contain pivot_doc further along their postings)
-            lag = [c for c in live if c.cur_doc < pivot_doc]
-            if lag:
-                for c in lag:
-                    c.advance_to(pivot_doc)
+            # score the window exactly (same accumulation order as brute)
+            per_term = []
+            for c in involved:
+                ids, sc = c.take_upto(window_end, dl_ids, dl_vals)
+                if ids.size:
+                    per_term.append((ids, sc))
+            for c in live:
+                if not c.done and c.consumed:
+                    c.next_chunk()
+            if not per_term:
                 continue
-            # score pivot_doc exactly
-            score = 0.0
-            dl = dl_vals[np.searchsorted(dl_ids, pivot_doc)]
-            for c in live:
-                if not c.done and c.cur_doc == pivot_doc:
-                    tf = float(c.cur_tf)
-                    score += c.idf * tf * (k1 + 1.0) / (tf + k1 * (1.0 - b + b * dl / avgdl))
-            for c in live:
-                if not c.done and c.cur_doc == pivot_doc:
-                    c.next_posting()
-            item = (score, -int(pivot_doc))
-            if len(heap) < k:
-                heapq.heappush(heap, item)
-            elif item > heap[0]:
-                heapq.heapreplace(heap, item)
-            if len(heap) >= k:
-                threshold = heap[0][0]
-
-        out = sorted(heap, key=lambda x: (-x[0], -x[1]))
-        ids = np.array([np.uint64(-d) for _, d in out], dtype=np.uint64)
-        scores = np.array([s for s, _ in out], dtype=np.float64)
-        return ids, scores
+            uids = np.unique(np.concatenate([i for i, _ in per_term]))
+            totals = np.zeros(uids.size, np.float64)
+            for ids, sc in per_term:
+                totals[np.searchsorted(uids, ids)] += sc
+            cand_ids = np.concatenate([top_ids, uids])
+            cand_sc = np.concatenate([top_sc, totals])
+            order = np.lexsort((cand_ids, -cand_sc))[:k]
+            top_ids, top_sc = cand_ids[order], cand_sc[order]
+            if top_ids.size >= k:
+                threshold = top_sc[-1]
+        return top_ids, top_sc
 
 
-class _TermCursor:
-    """Cursor over one term's chunk rows with lazy chunk decode.
+class _ChunkCursor:
+    """Per-term cursor over chunk rows with lazy decode and partial
+    (window-bounded) consumption.
 
-    The per-chunk upper bound is computed from the stored (max_tf,
-    min_dl) pair: impact is increasing in tf and decreasing in dl, so
+    The per-chunk upper bound comes from the stored (max_tf, min_dl):
+    impact is increasing in tf and decreasing in dl, so
     idf * max_tf*(k1+1)/(max_tf + k1*(1-b+b*min_dl/avgdl)) bounds every
-    posting in the chunk.
+    posting in the chunk (inflated by 1+1e-12 against float rounding).
     """
 
-    def __init__(self, term: str, rows: pa.Table, idf: float, k1: float, b: float, avgdl: float):
-        self.term = term
+    def __init__(self, rows: pa.Table, idf: float, k1: float, b: float, avgdl: float):
         self.idf = idf
+        self.k1 = k1
+        self.b = b
+        self.avgdl = avgdl
         self.first = rows.column("first_doc").to_numpy()
         self.last = rows.column("last_doc").to_numpy()
         mtf = rows.column("max_tf").to_numpy().astype(np.float64)
         mdl = rows.column("min_dl").to_numpy().astype(np.float64)
-        self.max_impact = idf * mtf * (k1 + 1.0) / (
-            mtf + k1 * (1.0 - b + b * mdl / max(avgdl, 1e-9))
-        )
+        self.ub = (
+            idf * mtf * (k1 + 1.0)
+            / (mtf + k1 * (1.0 - b + b * mdl / max(avgdl, 1e-9)))
+        ) * (1.0 + 1e-12)
         self.docs_bufs = rows.column("docs").to_pylist()
         self.tfs_bufs = rows.column("tfs").to_pylist()
         self.n_chunks = rows.num_rows
-        self.max_remaining = float(self.max_impact.max()) if self.n_chunks else 0.0
         self.ci = 0
         self._ids = None
         self._tfs = None
-        self._pi = 0
+        self._off = 0
         self.done = self.n_chunks == 0
-        if not self.done:
-            self._load_chunk(0)
-
-    def _load_chunk(self, ci: int):
-        self.ci = ci
-        self._ids = delta_decode(self.docs_bufs[ci])
-        self._tfs = decode_tfs(self.tfs_bufs[ci])
-        self._pi = 0
+        self.consumed = False
 
     @property
-    def cur_doc(self):
-        return self._ids[self._pi]
+    def cur_first(self):
+        return self.first[self.ci]
 
     @property
-    def cur_tf(self):
-        return self._tfs[self._pi]
+    def cur_last(self):
+        return self.last[self.ci]
 
-    def chunk_max_at(self, doc) -> float:
-        """Max impact of the chunk that covers/follows doc for this term."""
-        ci = int(np.searchsorted(self.last, doc))
-        if ci >= self.n_chunks:
-            return 0.0
-        return float(self.max_impact[ci])
+    @property
+    def cur_ub(self) -> float:
+        return float(self.ub[self.ci])
 
-    def chunk_end_at(self, doc):
-        ci = int(np.searchsorted(self.last, doc))
-        if ci >= self.n_chunks:
-            return np.uint64(2**63)
-        return self.last[ci]
+    def _ensure(self):
+        if self._ids is None:
+            self._ids = delta_decode(self.docs_bufs[self.ci])
+            self._tfs = decode_tfs(self.tfs_bufs[self.ci])
+            self._off = 0
 
-    def next_posting(self):
-        self._pi += 1
-        if self._pi >= self._ids.size:
-            if self.ci + 1 < self.n_chunks:
-                self._load_chunk(self.ci + 1)
-            else:
-                self.done = True
+    def take_upto(self, window_end, dl_ids, dl_vals):
+        """Consume postings with doc_id <= window_end; return (ids, scores)."""
+        self._ensure()
+        cut = int(np.searchsorted(self._ids, window_end, side="right"))
+        ids = self._ids[self._off : cut]
+        tfs = self._tfs[self._off : cut]
+        self._off = cut
+        self.consumed = cut >= self._ids.size
+        if ids.size == 0:
+            return ids, np.empty(0, np.float64)
+        dls = dl_vals[np.searchsorted(dl_ids, ids)]
+        tf = tfs.astype(np.float64)
+        denom = tf + self.k1 * (1.0 - self.b + self.b * dls / max(self.avgdl, 1e-9))
+        return ids, self.idf * tf * (self.k1 + 1.0) / denom
 
-    def advance_to(self, doc):
-        """Advance cursor to first posting with doc_id >= doc."""
-        if self.done:
-            return
-        if doc > self.last[self.n_chunks - 1]:
+    def next_chunk(self):
+        self.ci += 1
+        self._ids = None
+        self._tfs = None
+        self.consumed = False
+        if self.ci >= self.n_chunks:
             self.done = True
-            return
-        ci = int(np.searchsorted(self.last, doc))
-        if ci != self.ci:
-            self._load_chunk(ci)
-        self._pi = int(np.searchsorted(self._ids, doc))
-        if self._pi >= self._ids.size:
-            if self.ci + 1 < self.n_chunks:
-                self._load_chunk(self.ci + 1)
-            else:
-                self.done = True
