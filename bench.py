@@ -32,7 +32,8 @@ def main() -> None:
     sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
     num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
     sf = sf_of(sf_dir)
-    n_docs = SF_DOCS.get(sf, 50000)
+    n_docs = int(os.environ.get("GRAFT_BENCH_DOCS", SF_DOCS.get(sf, 50000)))
+    build_only = os.environ.get("GRAFT_BENCH_BUILD_ONLY") == "1"
 
     import ray
 
@@ -78,6 +79,16 @@ def main() -> None:
     )
     build_sec = time.time() - t0
     queries["index_build"] = round(build_sec, 3)
+
+    if build_only:
+        print(json.dumps({
+            "metric": "index_build_sec", "value": round(build_sec, 3),
+            "unit": "sec", "queries": queries, "sf": sf, "num_cpus": num_cpus,
+            "docs": int(meta["n_docs"]),
+            "docs_per_sec": round(meta["n_docs"] / build_sec, 1),
+        }))
+        ray.shutdown()
+        return
 
     # ---- query latency: boolean + BM25 brute + WAND over the built index --
     reader = IndexReader(out_dir)
@@ -147,10 +158,20 @@ def main() -> None:
 
 
 def scaling() -> None:
+    """8 vs 32 CPUs on the same (larger, compute-dominated) corpus.
+
+    The scaling corpus is bigger than the headline bench corpus so that
+    per-phase fixed costs (actor-pool spin-up, shuffle barriers — a few
+    seconds regardless of data size) do not dominate the 32-CPU run;
+    this mirrors a real cluster where each node holds a large data
+    share. Build-only child runs, fresh ray.init each.
+    """
     lo, hi = 8, 32
     runs = {}
+    docs = int(os.environ.get("GRAFT_SCALING_DOCS", "800000"))
     for ncpu in (lo, hi):
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
+                   GRAFT_BENCH_DOCS=str(docs), GRAFT_BENCH_BUILD_ONLY="1")
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
             env=env, capture_output=True, text=True, check=True,

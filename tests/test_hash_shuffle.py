@@ -33,3 +33,26 @@ def test_hash_path_equals_sort_path(ray_session, tmp_path):
         np.testing.assert_allclose(sa, sb, rtol=0, atol=0)
         iw, sw = rh.bm25_topk_wand(q, 10)
         assert iw.tolist() == ib.tolist()
+
+
+def test_bucket_path_equals_sort_path(ray_session, tmp_path):
+    corpus = str(tmp_path / "c2")
+    write_corpus(corpus, 250, rows_per_file=64)
+    build_index(corpus, str(tmp_path / "is2"), num_buckets=8, chunk_size=32, shuffle="sort")
+    build_index(corpus, str(tmp_path / "ib2"), num_buckets=8, chunk_size=32, shuffle="bucket")
+    rs, rb = IndexReader(str(tmp_path / "is2")), IndexReader(str(tmp_path / "ib2"))
+    assert rs._dict.column("term").to_pylist() == rb._dict.column("term").to_pylist()
+    assert rs._dict.column("df").to_pylist() == rb._dict.column("df").to_pylist()
+    for term in rs._terms[::3]:
+        a, ta = rs.postings(term)
+        b, tb = rb.postings(term)
+        assert a.tolist() == b.tolist(), term
+        assert ta.tolist() == tb.tolist(), term
+    for q in (["alpha", "beta"], ["lorem"]):
+        ia, sa = rs.bm25_topk(q, 10)
+        ib, sb = rb.bm25_topk(q, 10)
+        assert ia.tolist() == ib.tolist()
+        np.testing.assert_allclose(sa, sb, rtol=0, atol=0)
+        iw, sw = rb.bm25_topk_wand(q, 10)
+        assert iw.tolist() == ib.tolist()
+        np.testing.assert_allclose(sw, sb, rtol=0, atol=0)

@@ -131,6 +131,32 @@ def make_assign_and_explode(docmap_dir: str):
     return assign_and_explode
 
 
+def make_assign_and_build(docmap_dir: str, chunk_size: int):
+    """Per-bucket group fn: assign docIDs, persist the docmap part, and
+    build the bucket's posting chunks in-task (no global postings sort).
+
+    Buckets own disjoint docID ranges (doc_id = bucket << 36 | rank), so
+    per-term chunk rows from different buckets cover disjoint, ordered
+    doc ranges — exactly the chunked index format. The only all-to-all
+    in the build is therefore the doc-level groupby(bucket); heavy terms
+    are spread evenly across buckets by construction (md5 bucketing), so
+    term skew cannot concentrate in one task.
+    """
+    explode = make_assign_and_explode(docmap_dir)
+    encode = make_encode_chunks(chunk_size)
+
+    def assign_and_build(group: pa.Table) -> pa.Table:
+        postings = explode(group)
+        if postings.num_rows == 0:
+            return _empty_chunks()
+        order = pc.sort_indices(
+            postings, [("term", "ascending"), ("doc_id", "ascending")]
+        )
+        return encode(postings.take(order))
+
+    return assign_and_build
+
+
 def make_encode_chunks(chunk_size: int):
     """Encode a (term, doc_id, tf, dl)-sorted batch into posting chunks.
 
@@ -333,7 +359,7 @@ def build_index(
     keep_text: bool = False,
     checkpoint: bool = True,
     resume: bool = True,
-    shuffle: str = "sort",
+    shuffle: str = "bucket",
     heavy_df: int = 100_000,
 ) -> dict:
     """Run the full build. Returns the meta dict (N, avgdl, timings).
@@ -395,15 +421,22 @@ def build_index(
             )
         else:
             tok = extract_pipeline()
-        postings = tok.groupby("bucket").map_groups(
-            make_assign_and_explode(_data(docmap_dir)), batch_format="pyarrow"
-        )
-        if shuffle == "hash":
-            chunks = build_postings_hash(postings, chunk_size, heavy_df=heavy_df)
-        else:
-            chunks = postings.sort(["term", "doc_id"]).map_batches(
-                make_encode_chunks(chunk_size), batch_format="pyarrow"
+        if shuffle == "bucket":
+            # one all-to-all total: per-bucket mini-indexes built in-task
+            chunks = tok.groupby("bucket").map_groups(
+                make_assign_and_build(_data(docmap_dir), chunk_size),
+                batch_format="pyarrow",
             )
+        else:
+            postings = tok.groupby("bucket").map_groups(
+                make_assign_and_explode(_data(docmap_dir)), batch_format="pyarrow"
+            )
+            if shuffle == "hash":
+                chunks = build_postings_hash(postings, chunk_size, heavy_df=heavy_df)
+            else:
+                chunks = postings.sort(["term", "doc_id"]).map_batches(
+                    make_encode_chunks(chunk_size), batch_format="pyarrow"
+                )
         chunks.write_parquet(_data(index_dir))
         timings["postings_sec"] = time.time() - t0
         _commit(docmap_dir, {"phase": "docmap", "sec": timings["postings_sec"]})
