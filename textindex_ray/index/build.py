@@ -73,6 +73,15 @@ def _committed(d: str) -> bool:
     return os.path.exists(os.path.join(d, "_COMMITTED"))
 
 
+def _fresh(d: str) -> None:
+    """Reset an uncommitted phase dir: stale partial output from an
+    interrupted run must not mix with the rerun's files."""
+    import shutil
+
+    shutil.rmtree(_data(d), ignore_errors=True)
+    os.makedirs(_data(d), exist_ok=True)
+
+
 def _commit(d: str, metrics: dict) -> None:
     with open(os.path.join(d, "metrics.jsonl"), "a") as f:
         f.write(json.dumps(metrics) + "\n")
@@ -404,7 +413,7 @@ def build_index(
     # ---- Phase T: tokenize checkpoint (optional) --------------------------
     if checkpoint and not have_tok and not have_idx:
         t0 = time.time()
-        os.makedirs(_data(tok_dir), exist_ok=True)
+        _fresh(tok_dir)
         extract_pipeline().write_parquet(_data(tok_dir))
         timings["tokenize_sec"] = time.time() - t0
         _commit(tok_dir, {"phase": "tokenize", "sec": timings["tokenize_sec"]})
@@ -412,8 +421,8 @@ def build_index(
     # ---- Phase P: docIDs + postings (the wide step) -----------------------
     if not have_idx:
         t0 = time.time()
-        os.makedirs(_data(docmap_dir), exist_ok=True)
-        os.makedirs(_data(index_dir), exist_ok=True)
+        _fresh(docmap_dir)
+        _fresh(index_dir)
         if checkpoint:
             tok = ray.data.read_parquet(
                 _data(tok_dir),
@@ -464,7 +473,7 @@ def build_index(
     # ---- Phase D: dictionary ---------------------------------------------
     if not (resume and _committed(dict_dir)):
         t0 = time.time()
-        os.makedirs(_data(dict_dir), exist_ok=True)
+        _fresh(dict_dir)
         from ray.data.aggregate import Sum
 
         cds = ray.data.read_parquet(_data(index_dir), columns=["term", "n", "cf"])
