@@ -19,6 +19,7 @@ def main(argv=None) -> int:
     ap.add_argument("mode", choices=["find", "bm25", "files", "lines", "stats"])
     ap.add_argument("terms", nargs="*")
     ap.add_argument("--k", type=int, default=10)
+    ap.add_argument("--page", type=int, default=0, help="page of 20 results (reference paging, main.rs:207)")
     ap.add_argument("--wand", action="store_true")
     ap.add_argument("--corpus", help="corpus path for `lines` snippets")
     args = ap.parse_intermixed_args(argv)
@@ -32,7 +33,12 @@ def main(argv=None) -> int:
         return 0
     if args.mode == "find":
         ids = r.find(args.terms)
-        print(json.dumps({"doc_ids": ids.tolist(), "urls": r.urls_for(ids)[:20]}))
+        lo = args.page * 20
+        page = ids[lo : lo + 20]
+        print(json.dumps({
+            "total": int(ids.size), "page": args.page,
+            "doc_ids": page.tolist(), "urls": r.urls_for(page),
+        }))
         return 0
     if args.mode == "bm25":
         fn = r.bm25_topk_wand if args.wand else r.bm25_topk

@@ -134,3 +134,33 @@ def test_multimodal_plumbing(ray_session):
         out2.sort_values("media_id").reset_index(drop=True)
     )
     assert frame_sample_plan(10, 3) == [0, 3, 6, 9]
+
+
+def test_batch_query_eval(ray_session, tmp_path):
+    import ray.data
+
+    from textindex_ray.corpus import write_corpus, generate_corpus
+    from textindex_ray.index.build import build_index
+    from textindex_ray.oracle import OracleIndex
+    from textindex_ray.query.batch_eval import evaluate_queries
+
+    corpus = str(tmp_path / "c")
+    write_corpus(corpus, 150, rows_per_file=64)
+    idx = str(tmp_path / "i")
+    build_index(corpus, idx, num_buckets=8)
+    queries = ray.data.from_items(
+        [
+            {"qid": 1, "kind": "term_and", "terms": ["alpha", "beta"], "k": 0},
+            {"qid": 2, "kind": "wildcard_and", "terms": ["alph*"], "k": 0},
+            {"qid": 3, "kind": "bm25_topk", "terms": ["lorem", "ipsum"], "k": 10},
+            {"qid": 4, "kind": "term_and", "terms": ["nonexistentterm"], "k": 0},
+        ]
+    )
+    res = {r["qid"]: r for r in evaluate_queries(idx, queries).iter_rows()}
+    oracle = OracleIndex(generate_corpus(150), num_buckets=8)
+    assert res[1]["doc_ids"] == oracle.find(["alpha", "beta"])
+    assert res[2]["doc_ids"] == oracle.find(["alph*"])
+    ids_o, sc_o = oracle.bm25_topk(["lorem", "ipsum"], 10)
+    assert res[3]["doc_ids"] == ids_o.tolist()
+    assert res[3]["scores"] == sc_o.tolist()
+    assert res[4]["doc_ids"] == []

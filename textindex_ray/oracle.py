@@ -112,6 +112,24 @@ class OracleIndex:
             }
         )
 
+    def invert_tf(self, url: str):
+        """TmpWords::invert port (tmp_index.rs:30-38): tf -> [terms]."""
+        out = {}
+        for t, c in self.tf.get(url, {}).items():
+            out.setdefault(c, []).append(t)
+        return {k: sorted(v) for k, v in sorted(out.items())}
+
+    def df_histogram(self, n_bins: int = 256):
+        """Analog of the reference's 256-bag frequency histogram
+        (bag_stats, index2.rs:100/507/526): tally of terms per
+        cf-proportional frequency class."""
+        total = sum(self.cf.values()) or 1
+        bins = [0] * n_bins
+        for t, c in self.cf.items():
+            b = min(n_bins - 1, c * n_bins * 20 // total)
+            bins[b] += 1
+        return bins
+
     # -- queries ------------------------------------------------------------
 
     def find(self, patterns) -> list[int]:
