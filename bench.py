@@ -168,7 +168,7 @@ def scaling() -> None:
     """
     lo, hi = 8, 32
     runs = {}
-    docs = int(os.environ.get("GRAFT_SCALING_DOCS", "800000"))
+    docs = int(os.environ.get("GRAFT_SCALING_DOCS", "1600000"))
     for ncpu in (lo, hi):
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
                    GRAFT_BENCH_DOCS=str(docs), GRAFT_BENCH_BUILD_ONLY="1")
