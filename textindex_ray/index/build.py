@@ -457,13 +457,15 @@ def build_index(
         t0 = time.time()
         _fresh(docmap_dir)
         _fresh(index_dir)
-        if checkpoint and shuffle == "bucket":
+        bucket_dirs = (
+            sorted(d for d in os.listdir(_data(tok_dir)) if d.startswith("bucket="))
+            if checkpoint and os.path.isdir(_data(tok_dir))
+            else []
+        )
+        if checkpoint and shuffle == "bucket" and bucket_dirs:
             # the staging write already scattered docs by bucket: build each
             # bucket's mini-index from its own partition dir — zero Ray
             # shuffle in this phase (embarrassingly parallel over buckets)
-            bucket_dirs = sorted(
-                d for d in os.listdir(_data(tok_dir)) if d.startswith("bucket=")
-            )
             bds = ray.data.from_items(
                 [{"bucket_dir": os.path.join(_data(tok_dir), d),
                   "bucket": int(d.split("=")[1])} for d in bucket_dirs]
