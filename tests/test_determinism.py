@@ -1,0 +1,64 @@
+"""Execution-shape invariance: the index and all query results are
+identical regardless of batch size, actor count, or build path — the
+in-test form of the north rule's rank-identity across cluster sizes
+(the 8-vs-32-CPU process-level evidence lives in bench.py --scaling and
+BASELINE.md)."""
+
+import numpy as np
+
+from textindex_ray.corpus import write_corpus
+from textindex_ray.index.build import build_index
+from textindex_ray.query.engine import IndexReader
+
+QUERIES = [
+    ["alpha"],
+    ["alpha", "beta"],
+    ["gamma", "delta", "epsilon"],
+    ["alph*", "bet?"],
+    ["lorem", "ipsum", "dolor"],
+    ["haus", "baum"],
+]
+
+
+def test_results_invariant_to_execution_shape(ray_session, tmp_path):
+    corpus = str(tmp_path / "c")
+    write_corpus(corpus, 300, rows_per_file=32)
+
+    # NB: the actor pool must leave CPUs for the read/write stages — a
+    # pool of size == num_cpus starves the input and the pipeline stalls
+    # (the library default is cpus-2 for exactly this reason)
+    configs = [
+        dict(batch_size=32, concurrency=1, shuffle="bucket"),
+        dict(batch_size=256, concurrency=2, shuffle="bucket"),
+        dict(batch_size=64, concurrency=2, shuffle="sort"),
+    ]
+    readers = []
+    for i, cfg in enumerate(configs):
+        out = str(tmp_path / ("i%d" % i))
+        build_index(corpus, out, num_buckets=8, chunk_size=64, **cfg)
+        readers.append(IndexReader(out))
+
+    base = readers[0]
+    for other in readers[1:]:
+        assert base.n_docs == other.n_docs
+        assert base.avgdl == other.avgdl
+        assert base._dict.column("term").to_pylist() == other._dict.column("term").to_pylist()
+        assert base._dict.column("df").to_pylist() == other._dict.column("df").to_pylist()
+        for term in base._terms[::5]:
+            a, ta = base.postings(term)
+            b, tb = other.postings(term)
+            assert a.tolist() == b.tolist(), term
+            assert ta.tolist() == tb.tolist(), term
+        for q in QUERIES:
+            fa = base.find(q)
+            fb = other.find(q)
+            assert fa.tolist() == fb.tolist(), q
+            qa = [t for t in q if "*" not in t and "?" not in t]
+            if qa:
+                ia, sa = base.bm25_topk(qa, 10)
+                ib, sb = other.bm25_topk(qa, 10)
+                assert ia.tolist() == ib.tolist(), q
+                np.testing.assert_allclose(sa, sb, rtol=0, atol=0)
+                iw, sw = other.bm25_topk_wand(qa, 10)
+                assert iw.tolist() == ib.tolist(), q
+                np.testing.assert_allclose(sw, sb, rtol=0, atol=0)
