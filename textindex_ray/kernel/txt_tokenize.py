@@ -47,6 +47,7 @@ _WS_SET = frozenset(_RUST_WS)
 # predicate is exactly str.isalpha.
 _WORD_RUN = re.compile(r"[^\W\d_]+")
 
+_KV_RE = re.compile(r"[A-Za-z0-9\-*]*:")
 _KEY_CHARS = frozenset("abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789-*")
 
 _PGP_BEGIN = "-----BEGIN PGP SIGNATURE-----"
@@ -156,21 +157,16 @@ def _try_base64_v2(s: str, pos: int):
 
 def _try_key_value(s: str, pos: int):
     """parse_key_value (txt_parse.rs:338-356): [alnum-*]* ':' rest-of-line."""
-    n = len(s)
-    p = pos
-    while p < n and s[p] in _KEY_CHARS:
-        p += 1
-    if p >= n or s[p] != ":":
+    m = _KV_RE.match(s, pos)
+    if m is None:
         return None
-    return _until_newline(s, p + 1)
+    return _until_newline(s, m.end())
 
 
-def _iter_words(s: str):
-    """Yield the word tokens of ``s`` in reference grammar order.
-
-    Implements the parse_txt loop (txt_parse.rs:74-105): after each
-    consumed newline the specials are attempted (with rewind on failure);
-    otherwise tag / word / nonword / newline in alt order.
+def _iter_words_ref(s: str):
+    """Reference implementation of the word stream (step-at-a-time port
+    of the parse_txt loop, txt_parse.rs:74-105). Used as the fuzz oracle
+    for the segment-vectorized _iter_words below; semantics identical.
     """
     n = len(s)
     pos = 0
@@ -252,15 +248,19 @@ def tokenize_text(s: str):
     (indexer.rs:53-58) and 20-byte UTF-8-safe truncated
     (index2.rs:598-619; canonicalized at tokenize time per SURVEY §1.3).
     """
-    terms = []
-    n_words = 0
+    words = list(_iter_words(s))
+    n_words = len(words)
     stop = STOP_WORDS
-    for w in _iter_words(s):
-        n_words += 1
+    terms = []
+    app = terms.append
+    for w in words:
         lw = w.lower()
         if lw in stop:
             continue
-        terms.append(truncate_term(lw))
+        if len(lw) < 20 and lw.isascii():
+            app(lw)  # < 20 bytes by construction: truncation is a no-op
+        else:
+            app(truncate_term(lw))
     return terms, n_words
 
 
@@ -271,3 +271,77 @@ def tokenize_counts(s: str):
     """
     terms, n_words = tokenize_text(s)
     return Counter(terms), len(terms), n_words
+
+
+def _split_isalpha(run: str):
+    r"""Split a regex word-run into its maximal isalpha sub-runs (the
+    regex class [^\W\d_] admits a few non-isalpha numerics, e.g. Nl)."""
+    out = []
+    cur = []
+    for ch in run:
+        if ch.isalpha():
+            cur.append(ch)
+        elif cur:
+            out.append("".join(cur))
+            cur = []
+    if cur:
+        out.append("".join(cur))
+    return out
+
+
+def _iter_words(s: str):
+    """Yield the word tokens of ``s`` — segment-vectorized fast path.
+
+    Semantics proof sketch (validated by fuzzing against _iter_words_ref):
+    a parse step can only start at the doc start, right after a consumed
+    newline, after a tag, or after a word/nonword run. Runs stop only at
+    alphabetic chars or ``\n``, so mid-line steps always start on an
+    alphabetic char or a newline — never on ``<`` or ``\r``. Hence tags
+    occur only in a leading chain at a step start, and the rest of the
+    line up to the next ``\n`` is a plain alternation of word/nonword
+    runs, which one regex findall extracts wholesale.
+    """
+    n = len(s)
+    pos = 0
+    findall = _WORD_RUN.findall
+    while pos < n:
+        c = s[pos]
+        if c == "\n" or c == "\r":
+            q = _skip_ws(s, pos + 1)
+            # first-char gates: pgp starts '-', uu-base64 'b', BEGIN-block 'B'
+            c2 = s[q] if q < n else ""
+            e = None
+            if c2 == "-":
+                e = _try_pgp(s, q)
+            elif c2 == "b":
+                e = _try_base64(s, q)
+            elif c2 == "B":
+                e = _try_base64_v2(s, q)
+            if e is None:
+                e = _try_key_value(s, q)
+            if e is not None:
+                pos = e
+                continue
+            if c == "\n":
+                pos += 1
+                continue
+            # '\r': nonword run ('\r' + following non-alpha non-'\n')
+            pos += 1
+            while pos < n and s[pos] != "\n" and not s[pos].isalpha():
+                pos += 1
+            continue
+        if c == "<":
+            i = s.find(">", pos + 1, pos + 22)
+            if i > pos + 1:
+                pos = i + 1
+                continue  # next step may chain another tag / newline
+            # failed tag: '<' joins the segment's nonword text below
+        end = s.find("\n", pos)
+        if end == -1:
+            end = n
+        for run in findall(s, pos, end):
+            if run.isalpha():
+                yield run
+            else:
+                yield from _split_isalpha(run)
+        pos = end
