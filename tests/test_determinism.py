@@ -62,3 +62,39 @@ def test_results_invariant_to_execution_shape(ray_session, tmp_path):
                 iw, sw = other.bm25_topk_wand(qa, 10)
                 assert iw.tolist() == ib.tolist(), q
                 np.testing.assert_allclose(sw, sb, rtol=0, atol=0)
+
+
+def test_wand_prunes_on_skewed_terms(ray_session, tmp_path):
+    """Block-max WAND must actually skip chunks when idf contrast is high:
+    query = one rare + one ubiquitous term; most of the ubiquitous term's
+    chunks are bounded below the top-k threshold."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    n = 4000
+    texts = []
+    for i in range(n):
+        t = "common filler words everywhere always " * 3
+        if i % 500 == 0:
+            t += " raregem"
+        if i % 4 == 0:
+            t += " oftenish" * (1 + i % 3)
+        texts.append(t)
+    table = pa.table(
+        {
+            "url": pa.array(["u://%06d" % i for i in range(n)]),
+            "html": pa.array([t.encode() for t in texts], pa.binary()),
+        }
+    )
+    cdir = tmp_path / "c"
+    cdir.mkdir()
+    pq.write_table(table, str(cdir / "p.parquet"))
+    out = str(tmp_path / "i")
+    build_index(str(cdir), out, num_buckets=4, chunk_size=64)
+    r = IndexReader(out)
+    ids_b, sc_b = r.bm25_topk(["raregem", "common"], 5)
+    ids_w, sc_w = r.bm25_topk_wand(["raregem", "common"], 5)
+    assert ids_w.tolist() == ids_b.tolist()
+    np.testing.assert_allclose(sc_w, sc_b, rtol=0, atol=0)
+    st = r.last_wand_stats
+    assert st["chunks_decoded"] < st["chunks_total"], st

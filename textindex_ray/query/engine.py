@@ -264,6 +264,7 @@ class IndexReader:
                     _ChunkCursor(rows, self.idf(t), self.k1, self.b, self.avgdl)
                 )
         if not cursors:
+            self.last_wand_stats = {"chunks_total": 0, "chunks_decoded": 0}
             return np.empty(0, np.uint64), np.empty(0, np.float64)
         dl_ids, dl_vals = self._dl_lookup()
 
@@ -276,12 +277,25 @@ class IndexReader:
             if not live:
                 break
             window_end = min(c.cur_last for c in live)
-            involved = [c for c in live if c.cur_first <= window_end]
-            ub = sum(c.cur_ub for c in involved)
-            if top_ids.size >= k and ub < threshold:
+            # involvement by NEXT UNCONSUMED posting, not chunk start: a
+            # cursor whose remaining postings all lie beyond the window
+            # contributes nothing to it (classic WAND pivot semantics)
+            involved = [c for c in live if c.next_doc <= window_end]
+            if not involved:
                 for c in live:
                     if c.cur_last <= window_end:
                         c.next_chunk()
+                continue
+            ub = sum(c.cur_ub for c in involved)
+            if top_ids.size >= k and ub < threshold:
+                # prune: skip (never score) all postings <= window_end;
+                # whole chunks drop undecoded, spanning chunks skip by
+                # offset (ids decoded, no scoring)
+                for c in involved:
+                    if c.cur_last <= window_end:
+                        c.next_chunk()
+                    else:
+                        c.skip_upto(window_end)
                 continue
             # score the window exactly (same accumulation order as brute)
             per_term = []
@@ -304,6 +318,10 @@ class IndexReader:
             top_ids, top_sc = cand_ids[order], cand_sc[order]
             if top_ids.size >= k:
                 threshold = top_sc[-1]
+        self.last_wand_stats = {
+            "chunks_total": sum(c.n_chunks for c in cursors),
+            "chunks_decoded": sum(c.decoded for c in cursors),
+        }
         return top_ids, top_sc
 
 
@@ -339,6 +357,7 @@ class _ChunkCursor:
         self._off = 0
         self.done = self.n_chunks == 0
         self.consumed = False
+        self.decoded = 0  # pruning telemetry
 
     @property
     def cur_first(self):
@@ -352,11 +371,26 @@ class _ChunkCursor:
     def cur_ub(self) -> float:
         return float(self.ub[self.ci])
 
+    @property
+    def next_doc(self):
+        """Next unconsumed posting's docID (chunk first if undecoded)."""
+        if self._ids is None:
+            return self.first[self.ci]
+        return self._ids[self._off]
+
+    def skip_upto(self, window_end):
+        """Advance past postings <= window_end without scoring (the chunk
+        spans the window boundary; ids decoded, scores never computed)."""
+        self._ensure()
+        self._off = int(np.searchsorted(self._ids, window_end, side="right"))
+        self.consumed = self._off >= self._ids.size
+
     def _ensure(self):
         if self._ids is None:
             self._ids = delta_decode(self.docs_bufs[self.ci])
             self._tfs = decode_tfs(self.tfs_bufs[self.ci])
             self._off = 0
+            self.decoded += 1
 
     def take_upto(self, window_end, dl_ids, dl_vals):
         """Consume postings with doc_id <= window_end; return (ids, scores)."""
