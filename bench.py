@@ -89,11 +89,14 @@ def main() -> None:
     out_dir = "/tmp/ti_bench/idx-sf%s-%d-cpus%d" % (sf, n_docs, num_cpus)
     shutil.rmtree(out_dir, ignore_errors=True)
     t0 = time.time()
+    conc_frac = os.environ.get("GRAFT_BENCH_CONC_FRAC")
+    conc = max(2, int(num_cpus * float(conc_frac))) if conc_frac else None
     meta = build_index(
         corpus_dir,
         out_dir,
         num_buckets=64,
         batch_size=1024,
+        concurrency=conc,
         resume=False,
     )
     build_sec = time.time() - t0
@@ -185,12 +188,16 @@ def scaling() -> None:
     this mirrors a real cluster where each node holds a large data
     share. Build-only child runs, fresh ray.init each.
     """
-    lo, hi = 8, 32
+    lo = int(os.environ.get("GRAFT_SCALING_LO", "8"))
+    hi = int(os.environ.get("GRAFT_SCALING_HI", "32"))
     runs = {}
     docs = int(os.environ.get("GRAFT_SCALING_DOCS", "1600000"))
     for ncpu in (lo, hi):
+        # equal actor fraction at both levels so the ratio measures real
+        # scaling (cpus-2 would give the low level a smaller tokenize share)
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
-                   GRAFT_BENCH_DOCS=str(docs), GRAFT_BENCH_BUILD_ONLY="1")
+                   GRAFT_BENCH_DOCS=str(docs), GRAFT_BENCH_BUILD_ONLY="1",
+                   GRAFT_BENCH_CONC_FRAC=os.environ.get("GRAFT_BENCH_CONC_FRAC", "0.75"))
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
             env=env, capture_output=True, text=True, check=True,
@@ -201,10 +208,12 @@ def scaling() -> None:
     tp_hi = runs[hi]["docs_per_sec"]
     eff = (tp_hi / tp_lo) / (hi / lo)
     print(json.dumps({
-        "sec_8": runs[lo]["value"],
-        "sec_32": runs[hi]["value"],
-        "docs_per_sec_8": tp_lo,
-        "docs_per_sec_32": tp_hi,
+        "cpus_lo": lo,
+        "cpus_hi": hi,
+        "sec_lo": runs[lo]["value"],
+        "sec_hi": runs[hi]["value"],
+        "docs_per_sec_lo": tp_lo,
+        "docs_per_sec_hi": tp_hi,
         "scaling_efficiency": round(eff, 3),
         "docs": runs[hi]["docs"],
         "sf": runs[hi]["sf"],

@@ -528,21 +528,38 @@ def build_index(
     if not (resume and _committed(dict_dir)):
         t0 = time.time()
         _fresh(dict_dir)
-        from ray.data.aggregate import Sum
+        idx_files = [
+            os.path.join(_data(index_dir), f)
+            for f in os.listdir(_data(index_dir))
+            if f.endswith(".parquet")
+        ]
+        idx_bytes = sum(os.path.getsize(f) for f in idx_files)
+        if idx_bytes < 512 * 1024 * 1024:
+            # the chunk metadata table is tiny relative to the corpus: a
+            # driver-side arrow group_by beats a Ray job's fixed costs
+            ct = pq.read_table(_data(index_dir), columns=["term", "n", "cf"])
+            if ct.num_rows:
+                d = (
+                    ct.group_by("term")
+                    .aggregate([("n", "sum"), ("cf", "sum")])
+                    .rename_columns(["term", "df", "cf"])
+                )
+                d = d.take(pc.sort_indices(d.column("term")))
+                d = pa.table({"term": d.column("term"),
+                              "df": d.column("df").cast(pa.uint64()),
+                              "cf": d.column("cf").cast(pa.uint64())})
+            else:
+                d = pa.table({"term": pa.array([], pa.string()),
+                              "df": pa.array([], pa.uint64()),
+                              "cf": pa.array([], pa.uint64())})
+            pq.write_table(d, os.path.join(_data(dict_dir), "dict.parquet"))
+        else:  # scale path: distributed aggregate
+            from ray.data.aggregate import Sum
 
-        cds = ray.data.read_parquet(_data(index_dir), columns=["term", "n", "cf"])
-        if pads.dataset(_data(index_dir)).count_rows() > 0:
-            d = cds.groupby("term").aggregate(
+            cds = ray.data.read_parquet(_data(index_dir), columns=["term", "n", "cf"])
+            cds.groupby("term").aggregate(
                 Sum("n", alias_name="df"), Sum("cf", alias_name="cf")
-            )
-            d.sort("term").write_parquet(_data(dict_dir))
-        else:
-            pq.write_table(
-                pa.table({"term": pa.array([], pa.string()),
-                          "df": pa.array([], pa.uint64()),
-                          "cf": pa.array([], pa.uint64())}),
-                os.path.join(_data(dict_dir), "empty.parquet"),
-            )
+            ).sort("term").write_parquet(_data(dict_dir))
         timings["dict_sec"] = time.time() - t0
         _commit(dict_dir, {"phase": "dict", "sec": timings["dict_sec"]})
 
