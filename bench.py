@@ -188,8 +188,8 @@ def scaling() -> None:
     this mirrors a real cluster where each node holds a large data
     share. Build-only child runs, fresh ray.init each.
     """
-    lo = int(os.environ.get("GRAFT_SCALING_LO", "8"))
-    hi = int(os.environ.get("GRAFT_SCALING_HI", "32"))
+    lo = int(os.environ.get("GRAFT_SCALING_LO", "4"))
+    hi = int(os.environ.get("GRAFT_SCALING_HI", "16"))
     runs = {}
     docs = int(os.environ.get("GRAFT_SCALING_DOCS", "1600000"))
     for ncpu in (lo, hi):
