@@ -44,8 +44,10 @@ def _corpus_reader(sf_dir: str):
     sf = _sf_of(sf_dir)
     if sf in _CORPUS_CACHE:
         return _CORPUS_CACHE[sf]
+    from textindex_ray.pipelines.documents import _code_tag
+
     n = _SF_ROWS.get(sf, 1500)
-    out = "/tmp/textindex_ray_cache/corpus-%s-sf%s" % (textindex_ray.__version__, sf)
+    out = "/tmp/textindex_ray_cache/corpus-%s-sf%s" % (_code_tag(), sf)
     cdir = os.path.join(out, "corpus")
     if not os.path.exists(os.path.join(out, "meta.json")):
         os.makedirs(cdir, exist_ok=True)

@@ -33,7 +33,9 @@ def main(argv=None) -> int:
     import ray
 
     if not ray.is_initialized():
-        ray.init(address="auto" if False else "local", include_dashboard=False,
+        # `ray job submit` against a cluster provides an existing session;
+        # standalone invocation starts a local one
+        ray.init(address="local", include_dashboard=False,
                  ignore_reinit_error=True, logging_level="ERROR")
 
     if args.incremental:

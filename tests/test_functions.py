@@ -164,3 +164,30 @@ def test_batch_query_eval(ray_session, tmp_path):
     assert res[3]["doc_ids"] == ids_o.tolist()
     assert res[3]["scores"] == sc_o.tolist()
     assert res[4]["doc_ids"] == []
+
+
+def test_matched_lines_o12(ray_session, tmp_path):
+    """O12 snippet stage: OR-semantics line matching over raw bytes
+    (proc3.rs:396-435 semantics: whitespace-split tokens, wildcard per
+    term, lossy-decoded raw document text)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from textindex_ray.query.snippets import matched_lines
+
+    docs = [
+        ("u://a", b"alpha beta\ngamma line\nno match here"),
+        ("u://b", b"nothing relevant\nalp wildcard albatross"),
+        ("u://c", b"ALPHA case sensitive\nalpha yes"),
+    ]
+    d = tmp_path / "c"
+    d.mkdir()
+    pq.write_table(
+        pa.table({"url": pa.array([u for u, _ in docs]),
+                  "html": pa.array([b for _, b in docs], pa.binary())}),
+        str(d / "p.parquet"),
+    )
+    out = dict(matched_lines(str(d), ["u://a", "u://b", "u://c"], ["alpha", "gam*"]))
+    assert out["u://a"] == ["alpha beta", "gamma line"]
+    assert out["u://b"] == []  # 'alp' and 'albatross' don't wildcard-match
+    assert out["u://c"] == ["alpha yes"]  # case-sensitive like WildMatch

@@ -1,0 +1,45 @@
+"""Reference query suite conformance (FIXTURES.md §3 / SURVEY.md §5.4):
+the distributed engine answers the whole suite rank-identically to the
+oracle goldens, through the batch-evaluation actor pool."""
+
+import numpy as np
+import pytest
+
+from textindex_ray.corpus import generate_corpus, write_corpus
+from textindex_ray.fixtures import REFERENCE_QUERIES, golden_table, queries_table
+from textindex_ray.index.build import build_index
+from textindex_ray.oracle import OracleIndex
+from textindex_ray.query.batch_eval import evaluate_queries
+from textindex_ray.query.engine import IndexReader
+
+N = 400
+
+
+@pytest.fixture(scope="module")
+def suite(ray_session, tmp_path_factory):
+    root = tmp_path_factory.mktemp("suite")
+    write_corpus(str(root / "c"), N, rows_per_file=128)
+    build_index(str(root / "c"), str(root / "i"), num_buckets=16)
+    oracle = OracleIndex(generate_corpus(N), num_buckets=16)
+    return str(root / "i"), oracle
+
+
+def test_suite_rank_identical(suite):
+    import ray.data
+
+    index_path, oracle = suite
+    golden = {r["qid"]: r for r in golden_table(oracle).to_pylist()}
+    qds = ray.data.from_arrow(queries_table())
+    res = {r["qid"]: r for r in evaluate_queries(index_path, qds).iter_rows()}
+    assert set(res) == set(golden)
+    for qid, (kind, terms, k) in enumerate(REFERENCE_QUERIES, start=1):
+        if kind == "file_glob":
+            # engine counts urls; golden stores the count in scores[0]
+            r = IndexReader(index_path)
+            assert float(len(r.find_files(terms[0]))) == golden[qid]["scores"][0], terms
+            continue
+        assert res[qid]["doc_ids"] == golden[qid]["doc_ids"], (qid, kind, terms)
+        if kind == "bm25_topk":
+            np.testing.assert_allclose(
+                res[qid]["scores"], golden[qid]["scores"], rtol=0, atol=0
+            )

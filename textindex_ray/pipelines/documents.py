@@ -27,6 +27,21 @@ import textindex_ray
 from textindex_ray.index.build import build_index
 from textindex_ray.query.engine import IndexReader
 
+
+def _code_tag() -> str:
+    """Cache-busting tag: git HEAD when available (stale /tmp caches from
+    an older engine version must never answer for the current one)."""
+    import subprocess
+
+    try:
+        root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+        return subprocess.run(
+            ["git", "-C", root, "rev-parse", "--short", "HEAD"],
+            capture_output=True, text=True, timeout=10,
+        ).stdout.strip() or textindex_ray.__version__
+    except Exception:
+        return textindex_ray.__version__
+
 NUM_BUCKETS = 8
 _CACHE: dict[str, IndexReader] = {}
 
@@ -62,7 +77,7 @@ def documents_reader(sf_dir: str) -> IndexReader:
         return _CACHE[key]
     out = os.path.join(
         "/tmp/textindex_ray_cache",
-        "docs-%s-%s" % (textindex_ray.__version__, key.strip("/").replace("/", "_")),
+        "docs-%s-%s" % (_code_tag(), key.strip("/").replace("/", "_")),
     )
     corpus_dir = os.path.join(out, "corpus")
     if not os.path.exists(os.path.join(out, "meta.json")):
