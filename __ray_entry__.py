@@ -85,6 +85,43 @@ def corpus_find(sf_dir: str) -> pa.Table:
     return pa.table({"doc_id": pa.array(r.find(["alph*", "beta"]), pa.uint64())})
 
 
+def corpus_query_suite(sf_dir: str) -> pa.Table:
+    """The full reference query suite (FIXTURES.md §3) answered by the
+    batch-evaluation actor pool over the synthetic corpus index."""
+    import ray.data
+
+    from textindex_ray.fixtures import queries_table
+    from textindex_ray.query.batch_eval import evaluate_queries
+
+    r = _corpus_reader(sf_dir)
+    qds = ray.data.from_arrow(queries_table())
+    res = evaluate_queries(r.path, qds)
+    t = res.to_pandas()
+    t["n_results"] = t["doc_ids"].map(len)
+    return pa.table(
+        {
+            "qid": pa.array(t["qid"].tolist(), pa.int32()),
+            "n_results": pa.array(t["n_results"].tolist(), pa.int64()),
+        }
+    )
+
+
+def corpus_snippets(sf_dir: str) -> pa.Table:
+    """O12 matched-lines over the first few boolean hits."""
+    from textindex_ray.query.snippets import matched_lines
+
+    r = _corpus_reader(sf_dir)
+    ids = r.find(["zebra"])[:5]
+    urls = r.urls_for(ids)
+    out = matched_lines(os.path.join(r.path, "corpus"), urls, ["zebra"])
+    return pa.table(
+        {
+            "url": pa.array([u for u, _ in out], pa.string()),
+            "n_lines": pa.array([len(l) for _, l in out], pa.int64()),
+        }
+    )
+
+
 # ---------------------------------------------------------------------------
 
 def entry() -> Any:
@@ -147,6 +184,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def q_fingerprint(sf_dir):
         return docs_ds(sf_dir).map_batches(textstats.fingerprint_batch, batch_format="pyarrow")
 
+    def q_lsh_buckets(sf_dir):
+        res = similarity.rp_lsh_buckets(emb_ds(sf_dir), n_planes=8)
+        return res
+
     return {
         # inverted-index engine over the documents table (SQL-checked)
         "doc_dict": D.doc_dict,
@@ -170,10 +211,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_score": q_quality,
         "token_count": q_token_count,
         "doc_fingerprint": q_fingerprint,
+        "embedding_lsh_buckets": q_lsh_buckets,
         # synthetic web-corpus pipeline (rows-only; pytest-verified vs oracle)
         "corpus_extract_stats": corpus_extract_stats,
         "corpus_bm25_topk": corpus_bm25,
         "corpus_find_and": corpus_find,
+        "corpus_query_suite": corpus_query_suite,
+        "corpus_snippets": corpus_snippets,
     }
 
 
