@@ -33,10 +33,10 @@ def main(argv=None) -> int:
     import ray
 
     if not ray.is_initialized():
-        # `ray job submit` against a cluster provides an existing session;
-        # standalone invocation starts a local one
-        ray.init(address="local", include_dashboard=False,
-                 ignore_reinit_error=True, logging_level="ERROR")
+        # no explicit address: honors RAY_ADDRESS (cluster under
+        # `ray job submit`), falls back to a local instance standalone
+        ray.init(include_dashboard=False, ignore_reinit_error=True,
+                 logging_level="ERROR")
 
     if args.incremental:
         from textindex_ray.index.merge import update_index

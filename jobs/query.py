@@ -56,8 +56,8 @@ def main(argv=None) -> int:
         import ray
 
         if not ray.is_initialized():
-            ray.init(address="local", include_dashboard=False,
-                     ignore_reinit_error=True, logging_level="ERROR")
+            ray.init(include_dashboard=False, ignore_reinit_error=True,
+                     logging_level="ERROR")
         from textindex_ray.query.snippets import matched_lines
 
         ids = r.find(args.terms)

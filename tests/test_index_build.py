@@ -141,3 +141,63 @@ def test_resume_skips_committed(built, tmp_path):
     )
     assert meta2["n_docs"] == meta["n_docs"]
     assert meta2["avgdl"] == meta["avgdl"]
+
+
+def test_all_ignored_corpus(ray_session, tmp_path):
+    """Rows exist but every doc classifies 'ignore' -> valid empty index."""
+    import pyarrow as pa
+
+    t = pa.table(
+        {
+            "url": pa.array(["u://%d" % i for i in range(10)]),
+            "html": pa.array([b"BIN\x01\x02\x03" + bytes([i]) for i in range(10)], pa.binary()),
+        }
+    )
+    d = tmp_path / "c"
+    d.mkdir()
+    pq.write_table(t, str(d / "p.parquet"))
+    meta = build_index(str(d), str(tmp_path / "i"), num_buckets=4)
+    assert meta["n_docs"] == 0
+    r = IndexReader(str(tmp_path / "i"))
+    assert r.find(["anything"]).tolist() == []
+
+
+def test_duplicate_urls_deduped(ray_session, tmp_path):
+    """Re-crawled urls keep exactly one (deterministic) document."""
+    import pyarrow as pa
+
+    t = pa.table(
+        {
+            "url": pa.array(["u://a", "u://b", "u://a", "u://c", "u://a"]),
+            "html": pa.array(
+                [b"alpha beta", b"gamma", b"alpha beta gamma delta", b"epsilon", b"zeta"],
+                pa.binary(),
+            ),
+        }
+    )
+    d = tmp_path / "c"
+    d.mkdir()
+    pq.write_table(t, str(d / "p.parquet"))
+    meta = build_index(str(d), str(tmp_path / "i"), num_buckets=4)
+    assert meta["n_docs"] == 3
+    r = IndexReader(str(tmp_path / "i"))
+    dm = r.docmap(columns=["url", "doc_id"])
+    urls = dm.column("url").to_pylist()
+    assert sorted(urls) == ["u://a", "u://b", "u://c"]
+    # deterministic winner: rebuild gives the identical index
+    build_index(str(d), str(tmp_path / "i2"), num_buckets=4, batch_size=2)
+    r2 = IndexReader(str(tmp_path / "i2"))
+    assert r._dict.equals(r2._dict)
+    for term in r._terms:
+        assert r.postings(term)[0].tolist() == r2.postings(term)[0].tolist()
+
+
+def test_resume_param_mismatch_rejected(ray_session, tmp_path):
+    from textindex_ray.corpus import write_corpus as wc
+
+    c = str(tmp_path / "c")
+    wc(c, 60, rows_per_file=30)
+    out = str(tmp_path / "i")
+    build_index(c, out, num_buckets=4)
+    with pytest.raises(ValueError, match="resume mismatch"):
+        build_index(c, out, num_buckets=16)

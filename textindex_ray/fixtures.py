@@ -65,7 +65,9 @@ def queries_table() -> pa.Table:
 
 def golden_table(oracle: OracleIndex) -> pa.Table:
     """qid, doc_ids (asc for boolean; ranked for bm25), scores."""
-    import fnmatch
+    import re
+
+    from textindex_ray.query.engine import wildcard_to_regex
 
     qids, ids_out, scores_out = [], [], []
     for qid, (kind, terms, k) in enumerate(REFERENCE_QUERIES, start=1):
@@ -76,9 +78,8 @@ def golden_table(oracle: OracleIndex) -> pa.Table:
             a, s = oracle.bm25_topk(terms, k or 10)
             ids, scores = [int(x) for x in a], list(s)
         elif kind == "file_glob":
-            urls = sorted(
-                u for u in oracle.doc_id if fnmatch.fnmatchcase(u, terms[0])
-            )
+            rx = re.compile(wildcard_to_regex(terms[0]))
+            urls = sorted(u for u in oracle.doc_id if rx.match(u))
             ids, scores = [], [float(len(urls))]
         qids.append(qid)
         ids_out.append(ids)

@@ -60,26 +60,30 @@ def knn_brute(
         norms[norms == 0] = 1.0
         sims = (m / norms) @ q.T  # (batch, nq)
         vec_ids = batch.column("vec_id").to_numpy()
-        out_q, out_v, out_s = [], [], []
+        out_q, out_v, out_c = [], [], []
         for j in range(sims.shape[1]):
             s = sims[:, j]
             top = np.argsort(-s, kind="stable")[: k]
             out_q.extend([qids[j]] * len(top))
             out_v.extend(vec_ids[top].tolist())
-            out_s.extend(np.floor(s[top] * 1_000_000).astype(np.int64).tolist())
+            out_c.extend(s[top].tolist())
         return pa.table(
             {
                 "query_id": pa.array(out_q, pa.int64()),
                 "vec_id": pa.array(out_v, pa.int64()),
-                "cos_ppm": pa.array(out_s, pa.int64()),
+                "cos": pa.array(out_c, pa.float64()),
             }
         )
 
     partials = ds.map_batches(score, batch_format="pyarrow")
-    # final reduce: tiny table (k rows per query per block)
+    # final reduce: tiny table (k rows per query per block); ranked by the
+    # RAW cosine (floored ppm would mis-rank near-tied boundary candidates
+    # vs the SQL oracle), ppm emitted only as the display value
     t = partials.to_pandas()
-    t = t.sort_values(["query_id", "cos_ppm", "vec_id"], ascending=[True, False, True])
+    t = t.sort_values(["query_id", "cos", "vec_id"], ascending=[True, False, True])
     t = t.groupby("query_id", sort=True).head(k).reset_index(drop=True)
+    t["cos_ppm"] = np.floor(t["cos"].to_numpy() * 1_000_000).astype(np.int64)
+    t = t[["query_id", "vec_id", "cos_ppm"]]
     return pa.Table.from_pandas(t, preserve_index=False)
 
 

@@ -55,14 +55,11 @@ import ray
 import ray.data
 
 from textindex_ray.index.codec import delta_encode, encode_tfs
-from textindex_ray.stages.extract import ExtractTokenize, classify_batch
+from textindex_ray.stages.extract import ExtractTokenize
 
 K1 = 1.2
 B = 0.75
 BUCKET_SHIFT = 36  # doc_id = (bucket << 36) | local rank
-
-_DEFAULTS = dict(num_buckets=64, chunk_size=1024, batch_size=256, concurrency=None)
-
 
 def _data(d: str) -> str:
     """Parquet files live under <phase>/data; markers/metrics at <phase>/."""
@@ -82,12 +79,29 @@ def _fresh(d: str) -> None:
     os.makedirs(_data(d), exist_ok=True)
 
 
-def _commit(d: str, metrics: dict) -> None:
+def _commit(d: str, metrics: dict, params: dict | None = None) -> None:
     with open(os.path.join(d, "metrics.jsonl"), "a") as f:
         f.write(json.dumps(metrics) + "\n")
     with open(os.path.join(d, "_COMMITTED.tmp"), "w") as f:
-        f.write(json.dumps({"ts": time.time()}))
+        f.write(json.dumps({"ts": time.time(), "params": params or {}}))
     os.replace(os.path.join(d, "_COMMITTED.tmp"), os.path.join(d, "_COMMITTED"))
+
+
+def _check_params(d: str, params: dict) -> None:
+    """A committed phase must have been built with the same parameters —
+    resuming a num_buckets=8 staging under num_buckets=64 would silently
+    break the docID contract."""
+    try:
+        with open(os.path.join(d, "_COMMITTED")) as f:
+            stored = json.load(f).get("params") or {}
+    except (OSError, json.JSONDecodeError):
+        return
+    for k, v in params.items():
+        if k in stored and stored[k] != v:
+            raise ValueError(
+                "resume mismatch in %s: committed with %s=%r, rerun wants %r "
+                "(use a fresh out_dir or resume=False)" % (d, k, stored[k], v)
+            )
 
 
 def make_assign_and_explode(docmap_dir: str):
@@ -97,6 +111,26 @@ def make_assign_and_explode(docmap_dir: str):
     def assign_and_explode(group: pa.Table) -> pa.Table:
         order = pc.sort_indices(group.column("url"))
         group = group.take(order)
+        # duplicate urls (re-crawls): keep one row per url, chosen by a
+        # content digest so the winner is deterministic regardless of
+        # block arrival order (reference have_file keeps first-seen in
+        # walk order, threads.rs:292-297; a distributed build has no
+        # walk order, so content-digest-min is the canonical choice)
+        urls_np = group.column("url").to_pylist()
+        if len(urls_np) != len(set(urls_np)):
+            import hashlib
+
+            best: dict[str, tuple[str, int]] = {}
+            terms_l = group.column("terms").to_pylist()
+            tfs_l = group.column("tfs").to_pylist()
+            for i, u in enumerate(urls_np):
+                dig = hashlib.md5(
+                    repr((terms_l[i], tfs_l[i])).encode()
+                ).hexdigest()
+                if u not in best or dig < best[u][0]:
+                    best[u] = (dig, i)
+            keep = sorted(i for _, i in best.values())
+            group = group.take(pa.array(keep, pa.int64()))
         n = group.num_rows
         if n == 0:
             return pa.table(
@@ -267,6 +301,11 @@ def build_postings_hash(postings, chunk_size: int, *, heavy_df: int = 100_000):
     """
     from ray.data.aggregate import Sum
 
+    # the df-estimation pass and the encode pass both consume `postings`;
+    # materialize once so the expensive extract+groupby lineage does not
+    # re-execute for the second pass
+    postings = postings.materialize()
+
     def partial_counts(batch: pa.Table) -> pa.Table:
         vc = pc.value_counts(batch.column("term").combine_chunks())
         return pa.table(
@@ -417,8 +456,13 @@ def build_index(
     dict_dir = os.path.join(out_dir, "dict")
     timings = {}
 
+    params = {"num_buckets": num_buckets, "chunk_size": chunk_size}
     have_tok = resume and checkpoint and _committed(tok_dir)
     have_idx = resume and _committed(index_dir)
+    if have_tok:
+        _check_params(tok_dir, {"num_buckets": num_buckets})
+    if have_idx:
+        _check_params(index_dir, params)
 
     if not (have_tok or have_idx):
         # metadata-only row count (no Ray job)
@@ -450,7 +494,8 @@ def build_index(
             _data(tok_dir), partition_cols=["bucket"], min_rows_per_file=50_000
         )
         timings["tokenize_sec"] = time.time() - t0
-        _commit(tok_dir, {"phase": "tokenize", "sec": timings["tokenize_sec"]})
+        _commit(tok_dir, {"phase": "tokenize", "sec": timings["tokenize_sec"]},
+                {"num_buckets": num_buckets})
 
     # ---- Phase P: docIDs + postings (the wide step) -----------------------
     if not have_idx:
@@ -462,6 +507,11 @@ def build_index(
             if checkpoint and os.path.isdir(_data(tok_dir))
             else []
         )
+        if checkpoint and not bucket_dirs and not any(
+            f.endswith(".parquet") for f in os.listdir(_data(tok_dir))
+        ):
+            # rows existed but every document classified 'ignore'
+            return _write_empty_index(out_dir, num_buckets, chunk_size)
         if checkpoint and shuffle == "bucket" and bucket_dirs:
             # the staging write already scattered docs by bucket: build each
             # bucket's mini-index from its own partition dir — zero Ray
@@ -493,8 +543,8 @@ def build_index(
             )
             chunks.write_parquet(_data(index_dir))
             timings["postings_sec"] = time.time() - t0
-            _commit(docmap_dir, {"phase": "docmap", "sec": timings["postings_sec"]})
-            _commit(index_dir, {"phase": "index", "sec": timings["postings_sec"]})
+            _commit(docmap_dir, {"phase": "docmap", "sec": timings["postings_sec"]}, params)
+            _commit(index_dir, {"phase": "index", "sec": timings["postings_sec"]}, params)
         else:
             _build_postings_shuffled(
                 extract_pipeline() if not checkpoint else ray.data.read_parquet(
@@ -539,15 +589,11 @@ def build_index(
             # driver-side arrow group_by beats a Ray job's fixed costs
             ct = pq.read_table(_data(index_dir), columns=["term", "n", "cf"])
             if ct.num_rows:
-                d = (
-                    ct.group_by("term")
-                    .aggregate([("n", "sum"), ("cf", "sum")])
-                    .rename_columns(["term", "df", "cf"])
-                )
+                g = ct.group_by("term").aggregate([("n", "sum"), ("cf", "sum")])
+                d = pa.table({"term": g.column("term"),
+                              "df": g.column("n_sum").cast(pa.uint64()),
+                              "cf": g.column("cf_sum").cast(pa.uint64())})
                 d = d.take(pc.sort_indices(d.column("term")))
-                d = pa.table({"term": d.column("term"),
-                              "df": d.column("df").cast(pa.uint64()),
-                              "cf": d.column("cf").cast(pa.uint64())})
             else:
                 d = pa.table({"term": pa.array([], pa.string()),
                               "df": pa.array([], pa.uint64()),

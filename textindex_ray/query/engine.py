@@ -22,7 +22,6 @@ row-group pruning applies).
 
 from __future__ import annotations
 
-import heapq
 import json
 import math
 import os
@@ -255,6 +254,8 @@ class IndexReader:
         the same vectorized float64 kernel and accumulation order as
         bm25_topk, so results are rank- and score-identical (tested).
         """
+        if k <= 0:
+            return np.empty(0, np.uint64), np.empty(0, np.float64)
         uniq = sorted(set(terms))
         cursors = []
         for t in uniq:
