@@ -191,3 +191,32 @@ def test_matched_lines_o12(ray_session, tmp_path):
     assert out["u://a"] == ["alpha beta", "gamma line"]
     assert out["u://b"] == []  # 'alp' and 'albatross' don't wildcard-match
     assert out["u://c"] == ["alpha yes"]  # case-sensitive like WildMatch
+
+
+def test_large_binary_docs_small_batches(ray_session, tmp_path):
+    """Memory-aware config: multi-MB documents flow through the pipeline
+    with a small batch_size (the media-payload pattern, SCALE.md)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from textindex_ray.index.build import build_index
+    from textindex_ray.query.engine import IndexReader
+
+    body = ("alpha beta gamma words " * 50000).encode()  # ~1.1 MB text docs
+    t = pa.table(
+        {
+            "url": pa.array(["u://%02d" % i for i in range(12)]),
+            "html": pa.array([body + b"doc%d" % i for i in range(12)], pa.binary()),
+        }
+    )
+    d = tmp_path / "c"
+    d.mkdir()
+    pq.write_table(t, str(d / "p.parquet"))
+    meta = build_index(
+        str(d), str(tmp_path / "i"), num_buckets=4, batch_size=4, concurrency=2
+    )
+    assert meta["n_docs"] == 12
+    assert meta["avgdl"] >= 150000
+    r = IndexReader(str(tmp_path / "i"))
+    ids, _ = r.bm25_topk(["alpha", "doc"], 5)
+    assert len(ids) == 5

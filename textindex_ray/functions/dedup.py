@@ -170,10 +170,14 @@ def minhash_lsh_pairs(
         concurrency=(1, 8),
     )
     # carry text through the band rows? No — explode only ids, then verify
-    # pairs against a broadcast text lookup (testdata scale) / co-grouped
-    # join (cluster scale). Here: broadcast, documents tables are small
-    # relative to the corpus (the heavy corpus path uses the index dedup).
-    texts = {r["doc_id"]: r["text"] for r in ds.select_columns(["doc_id", "text"]).iter_rows()}
+    # pairs against a broadcast text lookup. Broadcast is right while the
+    # candidate-relevant text set fits a worker (documents tables here);
+    # the cluster-scale path replaces this with a partitioned hash join of
+    # (doc_a, doc_b) pairs against the text table (ray_guide "both sides
+    # large"), verifying per bucket — the band groupby already co-locates
+    # candidates, so that join shuffles only candidate rows.
+    tt = ds.select_columns(["doc_id", "text"]).take_all()
+    texts = {r["doc_id"]: r["text"] for r in tt}
     texts_ref = ray.put(texts)
     k = shingle_k
 
