@@ -188,6 +188,30 @@ def queries() -> dict[str, Callable[[str], Any]]:
         res = similarity.rp_lsh_buckets(emb_ds(sf_dir), n_planes=8)
         return res
 
+    def q_events_window(sf_dir):
+        import ray.data
+        from textindex_ray.functions.events import tumbling_window_stats
+
+        ev = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"))
+        return tumbling_window_stats(ev)
+
+    def q_events_sessions(sf_dir):
+        import ray.data
+        from textindex_ray.functions.events import sessionize
+
+        ev = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"))
+        res = sessionize(ev)
+        import pyarrow as pa2
+
+        t = res.to_pandas()
+        return pa2.table(
+            {
+                "user_id": pa2.array(t["user_id"].tolist(), pa2.int64()),
+                "session_id": pa2.array(t["session_id"].tolist(), pa2.int64()),
+                "n_events": pa2.array(t["n_events"].tolist(), pa2.int64()),
+            }
+        )
+
     return {
         # inverted-index engine over the documents table (SQL-checked)
         "doc_dict": D.doc_dict,
@@ -212,6 +236,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_count": q_token_count,
         "doc_fingerprint": q_fingerprint,
         "embedding_lsh_buckets": q_lsh_buckets,
+        # stream-shaped (events log)
+        "events_window_stats": q_events_window,
+        "events_sessions": q_events_sessions,
         # synthetic web-corpus pipeline (rows-only; pytest-verified vs oracle)
         "corpus_extract_stats": corpus_extract_stats,
         "corpus_bm25_topk": corpus_bm25,
@@ -392,6 +419,32 @@ FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id"""
     sql["doc_fingerprint"] = """
 SELECT doc_id, md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS fingerprint
 FROM documents"""
+
+    sql["events_window_stats"] = """
+SELECT event_type,
+       (epoch_us(ts) // 3600000000)::BIGINT AS window,
+       count(*)::BIGINT AS n_events,
+       sum(CAST(floor(value * 10000) AS BIGINT))::BIGINT AS sum_value_t4
+FROM events GROUP BY event_type, (epoch_us(ts) // 3600000000)"""
+
+    sql["events_sessions"] = """
+WITH ordered AS (
+  SELECT user_id, event_id, ts,
+         epoch_us(ts) - lag(epoch_us(ts))
+             OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap
+  FROM events),
+marked AS (
+  SELECT user_id, event_id,
+         CASE WHEN gap IS NULL OR gap > 1800000000 THEN 1 ELSE 0 END AS new_s,
+         ts
+  FROM ordered),
+sess AS (
+  SELECT user_id, event_id,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) - 1 AS session_id
+  FROM marked)
+SELECT user_id, session_id::BIGINT AS session_id, count(*)::BIGINT AS n_events
+FROM sess GROUP BY user_id, session_id"""
 
     # simhash64 / minhash_lsh_pairs / corpus_* : not SQL-expressible
     # (bit-vote hashing, LSH banding, HTML-grammar extraction) -> rows-only.

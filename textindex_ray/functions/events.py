@@ -1,0 +1,80 @@
+"""Stream-shaped operators over the events table.
+
+Ray Data has no event-time windows; per the streaming-shaped pattern the
+input is treated as a partitioned log: windows are computed by grouping
+on (key, floor(ts/size)) — a plain hash aggregate, exactly expressible
+in SQL for the oracle. Sessionization uses groupby(key).map_groups over
+ts-sorted groups (ordering assumption: per-key sort inside the group,
+stated here; cross-key order is irrelevant).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data
+
+_HOUR_US = 3_600_000_000
+
+
+def add_window(batch: pa.Table, *, window_us: int = _HOUR_US) -> pa.Table:
+    ts = batch.column("ts").cast(pa.int64()).to_numpy()
+    win = (ts // window_us).astype(np.int64)
+    batch = batch.append_column("window", pa.array(win, pa.int64()))
+    # per-event integer micro-units BEFORE aggregation: an integer sum is
+    # order-free, so engine and SQL agree exactly (a float sum's
+    # accumulation order differs between systems and flips floor() at
+    # boundaries)
+    v4 = np.floor(
+        np.nan_to_num(batch.column("value").to_numpy(zero_copy_only=False)) * 1e4
+    ).astype(np.int64)
+    return batch.append_column("value_t4", pa.array(v4, pa.int64()))
+
+
+def tumbling_window_stats(ds: "ray.data.Dataset", *, window_us: int = _HOUR_US):
+    """(event_type, window, n_events, sum_value_t4): tumbling event-time
+    windows by type; sum over per-event floor(value*1e4) integers."""
+    from ray.data.aggregate import Count, Sum
+
+    out = (
+        ds.map_batches(lambda b: add_window(b, window_us=window_us), batch_format="pyarrow")
+        .groupby(["event_type", "window"])
+        .aggregate(Count(alias_name="n_events"), Sum("value_t4", alias_name="_sv"))
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_type": b.column("event_type"),
+                "window": b.column("window").cast(pa.int64()),
+                "n_events": b.column("n_events").cast(pa.int64()),
+                "sum_value_t4": b.column("_sv").cast(pa.int64()),
+            }
+        )
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
+def sessionize(ds: "ray.data.Dataset", *, gap_us: int = 1_800_000_000):
+    """Per-user sessions: consecutive events within gap_us belong to one
+    session. Returns (user_id, session_id, n_events, start_ts, end_ts).
+    Ordering assumption: events are sorted by ts within each user group
+    (enforced inside the group fn)."""
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("ts").reset_index(drop=True)
+        ts = g["ts"].astype("int64")
+        new_session = (ts.diff().fillna(gap_us + 1) > gap_us).cumsum()
+        out = (
+            g.assign(session=new_session)
+            .groupby("session")
+            .agg(n_events=("event_id", "count"), start_ts=("ts", "min"), end_ts=("ts", "max"))
+            .reset_index()
+        )
+        out["user_id"] = g["user_id"].iloc[0]
+        out["session_id"] = out["session"] - 1
+        return out[["user_id", "session_id", "n_events", "start_ts", "end_ts"]]
+
+    return ds.groupby("user_id").map_groups(per_user, batch_format="pandas")
