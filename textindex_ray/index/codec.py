@@ -49,6 +49,10 @@ def varint_decode(buf: bytes) -> np.ndarray:
     b = np.frombuffer(buf, dtype=np.uint8)
     if b.size == 0:
         return np.empty(0, dtype=_U64)
+    if not (b & 0x80).any():
+        # fast path: every value is a single byte (dense docID deltas and
+        # small tfs — the overwhelmingly common case)
+        return b.astype(_U64)
     ends = np.flatnonzero(b < 0x80)
     starts = np.empty(ends.size, dtype=np.int64)
     starts[0] = 0
