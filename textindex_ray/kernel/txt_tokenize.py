@@ -248,19 +248,18 @@ def tokenize_text(s: str):
     (indexer.rs:53-58) and 20-byte UTF-8-safe truncated
     (index2.rs:598-619; canonicalized at tokenize time per SURVEY §1.3).
     """
-    words = list(_iter_words(s))
+    words = _iter_words(s)
     n_words = len(words)
     stop = STOP_WORDS
-    terms = []
-    app = terms.append
-    for w in words:
-        lw = w.lower()
-        if lw in stop:
-            continue
-        if len(lw) < 20 and lw.isascii():
-            app(lw)  # < 20 bytes by construction: truncation is a no-op
-        else:
-            app(truncate_term(lw))
+    lowered = map(str.lower, words)
+    # len < 5 can never reach 20 utf-8 bytes; short ASCII skips the byte
+    # check entirely; only the long/non-ASCII tail pays truncate_term
+    # (which returns unchanged below 20 bytes)
+    terms = [
+        w if (len(w) < 5 or (len(w) < 20 and w.isascii())) else truncate_term(w)
+        for w in lowered
+        if w not in stop
+    ]
     return terms, n_words
 
 
@@ -301,6 +300,7 @@ def _iter_words(s: str):
     line up to the next ``\n`` is a plain alternation of word/nonword
     runs, which one regex findall extracts wholesale.
     """
+    out: list[str] = []
     n = len(s)
     pos = 0
     findall = _WORD_RUN.findall
@@ -339,9 +339,11 @@ def _iter_words(s: str):
         end = s.find("\n", pos)
         if end == -1:
             end = n
-        for run in findall(s, pos, end):
+        runs = findall(s, pos, end)
+        for run in runs:
             if run.isalpha():
-                yield run
+                out.append(run)
             else:
-                yield from _split_isalpha(run)
+                out.extend(_split_isalpha(run))
         pos = end
+    return out
