@@ -28,8 +28,29 @@ def main(argv=None) -> int:
 
     r = IndexReader(args.index)
     if args.mode == "stats":
-        print(json.dumps({"n_docs": r.n_docs, "avgdl": r.avgdl,
-                          "vocab": len(r._terms)}))
+        # reference `stats base` parity (main.rs:326-328) + the 256-class
+        # frequency histogram analog (bag_stats, index2.rs:100/507/526)
+        import os as _os
+
+        dfs = r._dict.column("cf").to_pylist()
+        total = sum(dfs) or 1
+        bins = [0] * 16
+        for c in dfs:
+            bins[min(15, c * 16 * 20 // total)] += 1
+        phases = {}
+        for ph in ("tokenized", "docmap", "index", "dict"):
+            mpath = _os.path.join(args.index, ph, "metrics.jsonl")
+            if _os.path.exists(mpath):
+                with open(mpath) as f:
+                    for line in f:
+                        rec = json.loads(line)
+                        if "sec" in rec:
+                            phases[ph] = round(rec["sec"], 2)
+        print(json.dumps({
+            "n_docs": r.n_docs, "avgdl": round(r.avgdl, 4),
+            "vocab": len(r._terms), "total_dl": int(r.meta.get("total_dl", 0)),
+            "cf_histogram_16": bins, "phase_sec": phases,
+        }))
         return 0
     if args.mode == "find":
         ids = r.find(args.terms)
