@@ -256,21 +256,47 @@ def simhash64_batch(batch: pa.Table) -> pa.Table:
 # ---------------------------------------------------------------------------
 # n-gram Jaccard (exact, all-pairs — small scale / verification path)
 
+_POPCOUNT = np.array([bin(i).count("1") for i in range(256)], dtype=np.int64)
+
+
 def ngram_jaccard_pairs(ds: "ray.data.Dataset", *, k: int = 5, min_ppm: int = 500_000):
-    """Exact char-n-gram Jaccard over all pairs. O(n^2) — the oracle /
-    small-scale path; the scale path is minhash_lsh_pairs."""
+    """Exact char-n-gram Jaccard over all pairs — bitset/popcount
+    vectorized (n x n intersections via uint8 AND + a popcount LUT).
+    Exactness: identical to set arithmetic (integer ppm); the cluster
+    path for unknown-size corpora is minhash_lsh_pairs."""
     rows = ds.select_columns(["doc_id", "text"]).take_all()
     sh = {r["doc_id"]: _shingles(r["text"], k) for r in rows}
     ids = sorted(sh)
+    n = len(ids)
+    if n == 0:
+        return pa.table(
+            {"doc_a": pa.array([], pa.int64()), "doc_b": pa.array([], pa.int64()),
+             "jaccard_ppm": pa.array([], pa.int64())}
+        )
+    vocab: dict[bytes, int] = {}
+    for d in ids:
+        for g in sh[d]:
+            if g not in vocab:
+                vocab[g] = len(vocab)
+    nbytes = (len(vocab) + 7) // 8
+    bits = np.zeros((n, nbytes), dtype=np.uint8)
+    sizes = np.empty(n, dtype=np.int64)
+    for i, d in enumerate(ids):
+        idxs = np.fromiter((vocab[g] for g in sh[d]), dtype=np.int64, count=len(sh[d]))
+        np.bitwise_or.at(bits[i], idxs >> 3, np.left_shift(1, (idxs & 7)).astype(np.uint8))
+        sizes[i] = len(sh[d])
+    ids_np = np.array(ids, dtype=np.int64)
     oa, ob, oj = [], [], []
-    for i, x in enumerate(ids):
-        for y in ids[i + 1 :]:
-            union = len(sh[x] | sh[y])
-            j = (len(sh[x] & sh[y]) * 1_000_000 // union) if union else 0
-            if j >= min_ppm:
-                oa.append(x)
-                ob.append(y)
-                oj.append(j)
+    for i in range(n - 1):
+        inter = _POPCOUNT[np.bitwise_and(bits[i], bits[i + 1 :])].sum(axis=1)
+        union = sizes[i] + sizes[i + 1 :] - inter
+        union[union == 0] = 1
+        jac = inter * 1_000_000 // union
+        keep = np.flatnonzero(jac >= min_ppm)
+        if keep.size:
+            oa.extend([int(ids_np[i])] * keep.size)
+            ob.extend(ids_np[i + 1 + keep].tolist())
+            oj.extend(jac[keep].tolist())
     return pa.table(
         {
             "doc_a": pa.array(oa, pa.int64()),
