@@ -138,9 +138,7 @@ class IndexReader:
         rows = self.chunk_rows([term])
         if rows.num_rows == 0:
             return np.empty(0, np.uint64), np.empty(0, np.uint64)
-        ids = np.concatenate([delta_decode(b.as_py()) for b in rows.column("docs")])
-        tfs = np.concatenate([decode_tfs(b.as_py()) for b in rows.column("tfs")])
-        return ids, tfs
+        return _decode_chunk_rows(rows)
 
     def doc_set(self, pattern: str) -> np.ndarray:
         """Union of posting docIDs over vocabulary entries matching pattern."""
@@ -197,7 +195,26 @@ class IndexReader:
             dls = dm.column("dl").to_numpy().astype(np.float64)
             order = np.argsort(ids)
             self._dl_arrs = (ids[order], dls[order])
+            # dense O(1) lookup: ranks are dense per bucket, so position =
+            # bucket_offset[bucket] + rank
+            shift = np.uint64(self.meta.get("bucket_shift", 36))
+            buckets = (ids >> shift).astype(np.int64)
+            nb = int(buckets.max()) + 1 if ids.size else 1
+            counts = np.bincount(buckets, minlength=nb)
+            offs = np.concatenate(([0], np.cumsum(counts)[:-1]))
+            dense = np.empty(ids.size, np.float64)
+            mask = np.uint64((1 << int(shift)) - 1)
+            pos = offs[buckets] + (ids & mask).astype(np.int64)
+            dense[pos] = dls
+            self._dl_dense = (dense, offs, shift, mask)
         return self._dl_arrs
+
+    def _dls_for(self, ids: np.ndarray) -> np.ndarray:
+        """dl values for docIDs, O(1) per id (dense per-bucket layout)."""
+        self._dl_lookup()
+        dense, offs, shift, mask = self._dl_dense
+        buckets = (ids >> shift).astype(np.int64)
+        return dense[offs[buckets] + (ids & mask).astype(np.int64)]
 
     # -- BM25 ---------------------------------------------------------------
 
@@ -206,8 +223,7 @@ class IndexReader:
         ids, tfs = self.postings(term)
         if ids.size == 0:
             return ids, np.empty(0, np.float64)
-        dl_ids, dl_vals = self._dl_lookup()
-        dls = dl_vals[np.searchsorted(dl_ids, ids)]
+        dls = self._dls_for(ids)
         tf = tfs.astype(np.float64)
         denom = tf + self.k1 * (1.0 - self.b + self.b * dls / max(self.avgdl, 1e-9))
         return ids, self.idf(term) * tf * (self.k1 + 1.0) / denom
@@ -236,8 +252,14 @@ class IndexReader:
     def bm25_topk(self, terms: list[str], k: int = 10):
         """Brute-force top-k: (doc_ids, scores) by (score desc, doc_id asc)."""
         ids, scores = self.bm25_scores(terms)
-        if ids.size == 0:
-            return ids, scores
+        if ids.size == 0 or k <= 0:
+            return ids[:0], scores[:0]
+        if ids.size > 4 * k:
+            # partial selection: keep every candidate >= the kth score
+            # (ties included), then tie-break only the survivors
+            kth = np.partition(scores, ids.size - k)[ids.size - k]
+            keep = np.flatnonzero(scores >= kth)
+            ids, scores = ids[keep], scores[keep]
         order = np.lexsort((ids, -scores))[:k]
         return ids[order], scores[order]
 
@@ -267,7 +289,8 @@ class IndexReader:
         if not cursors:
             self.last_wand_stats = {"chunks_total": 0, "chunks_decoded": 0}
             return np.empty(0, np.uint64), np.empty(0, np.float64)
-        dl_ids, dl_vals = self._dl_lookup()
+        self._dl_lookup()
+        dls_for = self._dls_for
 
         top_ids = np.empty(0, np.uint64)
         top_sc = np.empty(0, np.float64)
@@ -301,7 +324,7 @@ class IndexReader:
             # score the window exactly (same accumulation order as brute)
             per_term = []
             for c in involved:
-                ids, sc = c.take_upto(window_end, dl_ids, dl_vals)
+                ids, sc = c.take_upto(window_end, dls_for)
                 if ids.size:
                     per_term.append((ids, sc))
             for c in live:
@@ -393,7 +416,7 @@ class _ChunkCursor:
             self._off = 0
             self.decoded += 1
 
-    def take_upto(self, window_end, dl_ids, dl_vals):
+    def take_upto(self, window_end, dls_for):
         """Consume postings with doc_id <= window_end; return (ids, scores)."""
         self._ensure()
         cut = int(np.searchsorted(self._ids, window_end, side="right"))
@@ -403,7 +426,7 @@ class _ChunkCursor:
         self.consumed = cut >= self._ids.size
         if ids.size == 0:
             return ids, np.empty(0, np.float64)
-        dls = dl_vals[np.searchsorted(dl_ids, ids)]
+        dls = dls_for(ids)
         tf = tfs.astype(np.float64)
         denom = tf + self.k1 * (1.0 - self.b + self.b * dls / max(self.avgdl, 1e-9))
         return ids, self.idf * tf * (self.k1 + 1.0) / denom
@@ -415,3 +438,40 @@ class _ChunkCursor:
         self.consumed = False
         if self.ci >= self.n_chunks:
             self.done = True
+
+
+def _decode_chunk_rows(rows: pa.Table):
+    """Decode many chunk rows at once.
+
+    Chunks are self-contained (the first delta is the absolute first
+    docID), so a single global cumsum over the concatenated deltas minus
+    the per-chunk running offset reconstructs every chunk in one pass —
+    no per-chunk Python loop. Falls back per-chunk when any buffer has
+    multi-byte varints.
+    """
+    docs_bufs = [b.as_py() for b in rows.column("docs")]
+    tfs_bufs = [b.as_py() for b in rows.column("tfs")]
+    cat = np.frombuffer(b"".join(docs_bufs), dtype=np.uint8)
+    if cat.size and not (cat & 0x80).any():
+        # every delta is one byte: byte stream == delta stream
+        lens = np.array([len(b) for b in docs_bufs], dtype=np.int64)
+        starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+        gcs = np.cumsum(cat, dtype=np.uint64)
+        ids = gcs - _chunk_offsets(starts, gcs, cat.size)
+    else:
+        ids = np.concatenate([delta_decode(b) for b in docs_bufs])
+    tcat = np.frombuffer(b"".join(tfs_bufs), dtype=np.uint8)
+    if tcat.size and not (tcat & 0x80).any():
+        tfs = tcat.astype(np.uint64)
+    else:
+        tfs = np.concatenate([decode_tfs(b) for b in tfs_bufs])
+    return ids, tfs
+
+
+def _chunk_offsets(starts: np.ndarray, gcs: np.ndarray, n: int) -> np.ndarray:
+    """Per-position subtraction: cumsum value just before each chunk start."""
+    out = np.zeros(n, dtype=np.uint64)
+    nz = starts[starts > 0]
+    out[nz] = gcs[nz - 1]
+    np.maximum.accumulate(out, out=out)
+    return out
