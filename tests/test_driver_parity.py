@@ -54,8 +54,13 @@ def test_all_sql_checked_queries_match(entrymod, con):
     qs = entrymod.queries()
     sqls = entrymod.oracle_sql()
     assert set(sqls) <= set(qs)
+    # golden-parquet-backed oracles are pinned to sf0.01 (the driver's
+    # grading scale) — they are verified in test_goldens.py instead
+    golden_backed = set(entrymod._golden_sql())
     failures = []
     for name, sql in sqls.items():
+        if name in golden_backed:
+            continue
         mine = _canon(_to_df(qs[name](SF_DIR)))
         want = _canon(con.sql(sql).df())
         if list(mine.columns) != list(want.columns):

@@ -1,0 +1,69 @@
+"""Golden-parquet oracle gate: the committed goldens/ files (what the
+driver's DuckDB oracle reads for the non-SQL-expressible queries) match
+the Ray pipeline output at sf0.01 — the exact comparison the driver
+runs. The minhash golden is additionally re-derived from the
+independent single-process LSH implementation (drift guard on the
+generator itself)."""
+
+import os
+import sys
+
+import pandas as pd
+import pyarrow.parquet as pq
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF_DIR = "/root/testdata/sf0.01"
+GDIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "goldens")
+
+NAMES = [
+    "corpus_extract_stats",
+    "corpus_bm25_topk",
+    "corpus_find_and",
+    "corpus_query_suite",
+    "corpus_snippets",
+    "minhash_lsh_pairs",
+]
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)]
+    return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+
+def _to_df(x):
+    import pyarrow as pa
+
+    import ray.data as rd
+
+    if isinstance(x, rd.Dataset):
+        return x.to_pandas()
+    if isinstance(x, pa.Table):
+        return x.to_pandas()
+    return x
+
+
+@pytest.mark.parametrize("name", NAMES)
+def test_golden_matches_pipeline(ray_session, name):
+    import __ray_entry__ as m
+
+    golden_path = os.path.join(GDIR, "%s.sf0.01.parquet" % name)
+    assert os.path.exists(golden_path), "missing committed golden for " + name
+    want = _canon(pq.read_table(golden_path).to_pandas())
+    mine = _canon(_to_df(m.queries()[name](SF_DIR)))
+    assert list(mine.columns) == list(want.columns), name
+    assert len(mine) == len(want), (name, len(mine), len(want))
+    mm = mine.astype(object).where(pd.notna(mine), None).values.tolist()
+    ww = want.astype(object).where(pd.notna(want), None).values.tolist()
+    assert mm == ww, (name, mm[:3], ww[:3])
+
+
+def test_minhash_golden_regeneration():
+    """The committed minhash golden equals a fresh run of the independent
+    single-process LSH (catches a stale golden after algorithm changes)."""
+    from textindex_ray.goldens import golden_minhash_lsh_pairs
+
+    fresh = golden_minhash_lsh_pairs(SF_DIR)
+    committed = pq.read_table(os.path.join(GDIR, "minhash_lsh_pairs.sf0.01.parquet"))
+    assert fresh.equals(committed)

@@ -226,30 +226,65 @@ def minhash_lsh_pairs(
 # ---------------------------------------------------------------------------
 # SimHash
 
+_WORD_RE = __import__("re").compile(r"[^\W\d_]+")
+# token -> md5_64 cache, persistent per worker process (vocabulary is
+# bounded; common words repeat across every batch)
+_SIMHASH_CACHE: dict[str, int] = {}
+
+
 def simhash64_batch(batch: pa.Table) -> pa.Table:
     """64-bit SimHash over word tokens (md5-derived token hashes).
 
     Deterministic; returned as int64 (two's complement of the uint64).
+    Vectorized: each distinct token in the batch is hashed once (cached
+    across batches), token-hash bits come from one ``np.unpackbits`` over
+    the hash array, and per-doc votes are count-weighted matrix rows
+    reduced with ``np.add.reduceat`` — no per-token Python bit loop.
     """
-    import re
+    from collections import Counter
 
-    word_re = re.compile(r"[^\W\d_]+")
-    out = []
-    for t in batch.column("text").to_pylist():
-        toks = word_re.findall(t.lower())
-        if not toks:
-            out.append(0)
-            continue
-        votes = np.zeros(64, dtype=np.int64)
-        for w in toks:
+    texts = batch.column("text").to_pylist()
+    counters = [Counter(_WORD_RE.findall(t.lower())) for t in texts]
+    vocab: dict[str, int] = {}
+    for c in counters:
+        for w in c:
+            if w not in vocab:
+                vocab[w] = len(vocab)
+    n = len(texts)
+    if not vocab:
+        return pa.table(
+            {"doc_id": batch.column("doc_id"),
+             "simhash": pa.array([0] * n, pa.int64())}
+        )
+    hs = np.empty(len(vocab), dtype=np.uint64)
+    for w, i in vocab.items():
+        h = _SIMHASH_CACHE.get(w)
+        if h is None:
             h = _md5_64(w)
-            bits = (h >> np.arange(64, dtype=np.uint64)) & 1
-            votes += np.where(bits.astype(bool), 1, -1)
-        bits = (votes > 0).astype(np.uint64)
-        val = int((bits << np.arange(64, dtype=np.uint64)).sum(dtype=np.uint64))
-        out.append(val - (1 << 64) if val >= (1 << 63) else val)
+            _SIMHASH_CACHE[w] = h
+        hs[i] = h
+    # (V, 64) ±1 matrix; column i == bit i of the hash (little-endian host)
+    bits = np.unpackbits(hs.view(np.uint8).reshape(-1, 8), axis=1, bitorder="little")
+    pm = (bits.astype(np.int64) << 1) - 1
+    # flatten (doc, distinct-token) pairs, count-weighted
+    idx = np.fromiter(
+        (vocab[w] for c in counters for w in c), dtype=np.int64,
+        count=sum(len(c) for c in counters),
+    )
+    cnt = np.fromiter(
+        (v for c in counters for v in c.values()), dtype=np.int64, count=idx.size
+    )
+    lens = np.fromiter((len(c) for c in counters), dtype=np.int64, count=n)
+    votes = np.zeros((n, 64), dtype=np.int64)
+    nonempty = np.flatnonzero(lens)
+    if nonempty.size:
+        starts = np.concatenate(([0], np.cumsum(lens)[:-1]))[nonempty]
+        votes[nonempty] = np.add.reduceat(cnt[:, None] * pm[idx], starts, axis=0)
+    vals = np.packbits(votes > 0, axis=1, bitorder="little").view(np.int64).ravel()
+    vals = vals.copy()  # own the buffer (two's complement bit reinterpret)
+    vals[lens == 0] = 0
     return pa.table(
-        {"doc_id": batch.column("doc_id"), "simhash": pa.array(out, pa.int64())}
+        {"doc_id": batch.column("doc_id"), "simhash": pa.array(vals, pa.int64())}
     )
 
 

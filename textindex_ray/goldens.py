@@ -1,0 +1,215 @@
+"""Golden-result generator for the non-SQL-expressible graded queries.
+
+The driver's correctness gate compares ``__ray_entry__.queries()`` output
+against ``oracle_sql()`` run in DuckDB. LSH banding and HTML-grammar
+extraction are not SQL-expressible, so their oracles are committed golden
+parquet files (``goldens/<name>.sf0.01.parquet``) that DuckDB reads with
+``read_parquet`` — produced HERE by the independent single-process oracle
+(textindex_ray.oracle.OracleIndex + plain-Python reimplementations), NOT
+by the Ray pipeline under test.
+
+Regenerate with ``python -m textindex_ray.goldens``; the pytest
+``test_goldens.py`` asserts the committed files still match a fresh
+regeneration AND the Ray pipeline output (drift guard on both sides).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+from itertools import combinations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+GOLDEN_SF = "0.01"
+CORPUS_ROWS = 1500  # __ray_entry__._SF_ROWS["0.01"]
+CORPUS_BUCKETS = 32  # __ray_entry__._corpus_reader build_index num_buckets
+
+
+def _corpus_oracle():
+    from textindex_ray.corpus import generate_corpus
+    from textindex_ray.oracle import OracleIndex
+
+    return OracleIndex(generate_corpus(CORPUS_ROWS), num_buckets=CORPUS_BUCKETS)
+
+
+# ---------------------------------------------------------------------------
+# corpus_* goldens (synthetic web corpus, single-process oracle)
+
+def golden_corpus_extract_stats(oracle) -> pa.Table:
+    ids = sorted(oracle.url_of)
+    urls = [oracle.url_of[d] for d in ids]
+    return pa.table(
+        {
+            "url": pa.array(urls, pa.string()),
+            "doc_id": pa.array(ids, pa.uint64()),
+            "dl": pa.array([oracle.dl[u] for u in urls], pa.uint32()),
+            "n_words": pa.array([oracle.n_words[u] for u in urls], pa.uint32()),
+            "doctype": pa.array([oracle.extracted[u][0] for u in urls], pa.string()),
+        }
+    )
+
+
+def golden_corpus_bm25_topk(oracle) -> pa.Table:
+    ids, scores = oracle.bm25_topk(["alpha", "beta", "gamma"], 10)
+    return pa.table(
+        {
+            "doc_id": pa.array(ids, pa.uint64()),
+            "score_t4": pa.array(np.floor(scores * 1e4).astype(np.int64), pa.int64()),
+        }
+    )
+
+
+def golden_corpus_find_and(oracle) -> pa.Table:
+    ids = oracle.find(["alph*", "beta"])
+    return pa.table({"doc_id": pa.array(ids, pa.uint64())})
+
+
+def golden_corpus_query_suite(oracle) -> pa.Table:
+    from textindex_ray.fixtures import golden_table
+
+    g = golden_table(oracle)
+    return pa.table(
+        {
+            "qid": g.column("qid"),
+            "n_results": pa.array(
+                [len(x) for x in g.column("doc_ids").to_pylist()], pa.int64()
+            ),
+        }
+    )
+
+
+def golden_corpus_snippets(oracle) -> pa.Table:
+    """Matched-lines counts for the first 5 'zebra' hits — independent
+    reimplementation of find_matched_lines semantics (proc3.rs:396-435):
+    split lines on \\n, tokens on single spaces, OR-match across terms."""
+    from textindex_ray.corpus import generate_corpus
+    from textindex_ray.kernel.classify import decode_lossy
+
+    corpus = generate_corpus(CORPUS_ROWS)
+    raw_of = dict(
+        zip(corpus.column("url").to_pylist(), corpus.column("html").to_pylist())
+    )
+    ids = oracle.find(["zebra"])[:5]
+    urls = [oracle.url_of[d] for d in ids]
+    n_lines = []
+    for u in urls:
+        txt = decode_lossy(raw_of[u])
+        n = sum(
+            1
+            for ln in txt.split("\n")
+            if any(tok == "zebra" for tok in ln.split(" "))
+        )
+        n_lines.append(n)
+    return pa.table(
+        {
+            "url": pa.array(urls, pa.string()),
+            "n_lines": pa.array(n_lines, pa.int64()),
+        }
+    )
+
+
+# ---------------------------------------------------------------------------
+# minhash_lsh_pairs golden (documents table, independent brute LSH)
+
+def _norm_shingles(text: str, k: int = 5) -> set[bytes]:
+    t = " ".join(text.lower().split())
+    if len(t) < k:
+        return {t.encode("utf-8")} if t else set()
+    return {t[i : i + k].encode("utf-8") for i in range(len(t) - k + 1)}
+
+
+def golden_minhash_lsh_pairs(
+    sf_dir: str,
+    *,
+    num_perm: int = 128,
+    num_bands: int = 32,
+    shingle_k: int = 5,
+    verify_threshold: float = 0.2,
+) -> pa.Table:
+    """Single-process LSH: same definitional math as the distributed
+    pipeline (seeded (a*x+b) mod 2^64 minhash, md5 band buckets, exact
+    shingle-Jaccard verify), executed as one plain loop — verifies the
+    Ray pipeline's banding shuffle / joins lose or invent no pairs."""
+    t = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    P = (1 << 61) - 1
+    rng = np.random.default_rng(42)
+    a = rng.integers(1, P, size=num_perm, dtype=np.uint64)
+    b = rng.integers(0, P, size=num_perm, dtype=np.uint64)
+    rows_per_band = num_perm // num_bands
+
+    shingles: dict[int, set[bytes]] = {}
+    buckets: dict[tuple[int, str], list[int]] = {}
+    for doc_id, text in zip(t.column("doc_id").to_pylist(), t.column("text").to_pylist()):
+        sh = _norm_shingles(text, shingle_k)
+        shingles[doc_id] = sh
+        if sh:
+            x = np.fromiter(
+                (
+                    int.from_bytes(hashlib.blake2b(s, digest_size=8).digest(), "big")
+                    for s in sh
+                ),
+                dtype=np.uint64,
+                count=len(sh),
+            )
+            sig = (x[None, :] * a[:, None] + b[:, None]).min(axis=1)
+        else:
+            sig = np.full(num_perm, np.iinfo(np.uint64).max, dtype=np.uint64)
+        for bi in range(num_bands):
+            chunk = sig[bi * rows_per_band : (bi + 1) * rows_per_band]
+            h = hashlib.md5(np.ascontiguousarray(chunk).tobytes()).hexdigest()[:16]
+            buckets.setdefault((bi, h), []).append(doc_id)
+
+    cands: set[tuple[int, int]] = set()
+    for ids in buckets.values():
+        for x, y in combinations(sorted(ids), 2):
+            cands.add((x, y))
+
+    oa, ob, oj = [], [], []
+    for x, y in sorted(cands):
+        sa, sb = shingles[x], shingles[y]
+        union = len(sa | sb)
+        j = (len(sa & sb) * 1_000_000 // union) if union else 0
+        if j >= verify_threshold * 1_000_000:
+            oa.append(x)
+            ob.append(y)
+            oj.append(j)
+    return pa.table(
+        {
+            "doc_a": pa.array(oa, pa.int64()),
+            "doc_b": pa.array(ob, pa.int64()),
+            "jaccard_ppm": pa.array(oj, pa.int64()),
+        }
+    )
+
+
+# ---------------------------------------------------------------------------
+
+def generate_all(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, pa.Table]:
+    oracle = _corpus_oracle()
+    return {
+        "corpus_extract_stats": golden_corpus_extract_stats(oracle),
+        "corpus_bm25_topk": golden_corpus_bm25_topk(oracle),
+        "corpus_find_and": golden_corpus_find_and(oracle),
+        "corpus_query_suite": golden_corpus_query_suite(oracle),
+        "corpus_snippets": golden_corpus_snippets(oracle),
+        "minhash_lsh_pairs": golden_minhash_lsh_pairs(sf_dir),
+    }
+
+
+def write_all(out_dir: str | None = None) -> None:
+    out_dir = out_dir or os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "goldens"
+    )
+    os.makedirs(out_dir, exist_ok=True)
+    for name, table in generate_all().items():
+        pq.write_table(table, os.path.join(out_dir, "%s.sf%s.parquet" % (name, GOLDEN_SF)))
+        print("wrote", name, table.num_rows, "rows")
+
+
+if __name__ == "__main__":
+    write_all()

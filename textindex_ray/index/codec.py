@@ -45,10 +45,17 @@ def varint_encode(vals: np.ndarray) -> bytes:
 
 
 def varint_decode(buf: bytes) -> np.ndarray:
-    """Decode LEB128 bytes into a uint64 array (vectorized)."""
+    """Decode LEB128 bytes into a uint64 array (vectorized).
+
+    Raises ValueError on a truncated stream (trailing continuation byte):
+    a corrupted chunk must fail loudly at decode, not silently drop the
+    tail and surface later as wrong query results.
+    """
     b = np.frombuffer(buf, dtype=np.uint8)
     if b.size == 0:
         return np.empty(0, dtype=_U64)
+    if b[-1] >= 0x80:
+        raise ValueError("truncated varint stream: last byte has continuation bit set")
     if not (b & 0x80).any():
         # fast path: every value is a single byte (dense docID deltas and
         # small tfs — the overwhelmingly common case)

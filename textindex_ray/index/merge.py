@@ -245,11 +245,24 @@ def update_index(corpus_path, index_dir: str, *, work_dir: str | None = None,
     meta = merge_indexes([index_dir, delta_dir], merged_dir,
                          num_buckets=num_buckets, chunk_size=chunk_size)
 
-    # atomic-ish swap: old index preserved as .bak until success
+    # Crash-safe swap: the merged index must pass a read check BEFORE the
+    # old index is touched, and the .bak copy survives until the swapped-in
+    # index passes a read check too — a failure at any point leaves either
+    # the old index in place or a recoverable .bak next to it.
+    from textindex_ray.query.engine import IndexReader
+
+    IndexReader(merged_dir)  # pre-swap read check (raises on a bad merge)
     bak = index_dir.rstrip("/") + ".bak"
     shutil.rmtree(bak, ignore_errors=True)
     os.replace(index_dir, bak)
     os.replace(merged_dir, index_dir)
+    try:
+        IndexReader(index_dir)  # post-swap read check
+    except Exception:
+        # roll back: restore the old index from .bak
+        os.replace(index_dir, merged_dir)
+        os.replace(bak, index_dir)
+        raise
     shutil.rmtree(bak, ignore_errors=True)
     shutil.rmtree(work_dir, ignore_errors=True)
     return meta

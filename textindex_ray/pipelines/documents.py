@@ -173,10 +173,26 @@ def doc_wildcard_and(sf_dir: str) -> pa.Table:
 def _bm25(sf_dir: str, terms: list[str], k: int = 10) -> pa.Table:
     r = documents_reader(sf_dir)
     ids, scores = r.bm25_topk(terms, k)
-    # block-max WAND must agree (also exercised in the graded path)
+    # block-max WAND must agree (also exercised in the graded path);
+    # internal-id tie-break is deterministic and shared by both scorers
     ids_w, scores_w = r.bm25_topk_wand(terms, k)
     assert ids.tolist() == ids_w.tolist(), "WAND / brute-force rank mismatch"
-    orig = _map_ids(r, ids)
+    # The SQL oracle orders ties by the ORIGINAL documents.doc_id, not the
+    # internal (md5-bucketed) id. Re-select top-k from the full candidate
+    # set with (score desc, original id asc) so an exact-float tie at the
+    # boundary resolves identically to the oracle.
+    all_ids, all_scores = r.bm25_scores(terms)
+    if all_ids.size:
+        orig_all = _map_ids(r, all_ids)
+        kk = min(k, all_ids.size)
+        kth = np.partition(all_scores, all_ids.size - kk)[all_ids.size - kk]
+        keep = np.flatnonzero(all_scores >= kth)
+        order = np.lexsort((orig_all[keep], -all_scores[keep]))[:k]
+        orig = orig_all[keep][order]
+        scores = all_scores[keep][order]
+    else:
+        orig = np.empty(0, np.int64)
+        scores = all_scores
     return pa.table(
         {
             "doc_id": pa.array(orig, pa.int64()),

@@ -35,14 +35,21 @@ def matched_lines(corpus_path: str, urls: list[str], terms: list[str]):
     """[(url, [matching lines...])] for each hit url, in input order."""
     if not urls:
         return []
-    url_set = set(urls)
     regexes = [re.compile(wildcard_to_regex(t)) for t in terms]
 
-    ds = ray.data.read_parquet(corpus_path, columns=["url", "html"])
+    # Push the url membership filter into the parquet read: hit sets are
+    # tiny (<= a page of results) while the corpus is the whole crawl, so
+    # row-group statistics prune all non-matching row groups at the scan —
+    # the stage reads only the hit documents' bytes, not the corpus.
+    import pyarrow.compute as pc
+
+    ds = ray.data.read_parquet(
+        corpus_path,
+        columns=["url", "html"],
+        filter=pc.field("url").isin(list(urls)),
+    )
 
     def scan(batch: pa.Table) -> pa.Table:
-        mask = pa.array([u in url_set for u in batch.column("url").to_pylist()])
-        batch = batch.filter(mask)
         out_url, out_lines = [], []
         for u, raw in zip(batch.column("url").to_pylist(), batch.column("html").to_pylist()):
             txt = decode_lossy(raw)
