@@ -4,10 +4,12 @@ Large-scale training-data pipeline components, each built Ray-Data-first:
 
 - exact_dedup: content-hash -> hash-partitioned groupby -> keep the
   minimum doc_id per group (deterministic "first").
-- minhash_lsh_pairs: shingle -> minhash signature (vectorized) -> LSH
-  band explode -> groupby(band_id, band_hash) -> candidate pairs ->
-  exact Jaccard verification. The only shuffle is the band groupby;
-  signatures are computed batch-parallel.
+- minhash_lsh_pairs: exact-dup collapse -> minhash signatures over
+  representatives (actor pool) -> LSH band explode -> band-bucket
+  groupby -> candidate pairs -> partitioned hash joins attach texts ->
+  exact Jaccard verify -> expansion joins back to member pairs. No
+  driver-side materialization; only candidate rows carry text through
+  a shuffle.
 - simhash64: 64-bit simhash per doc (token-hash bit voting).
 - ngram_jaccard_pairs: exact character-n-gram Jaccard over candidate
   pairs (used standalone at small scale / as the verifier for LSH).
@@ -20,7 +22,6 @@ runs and cluster sizes.
 from __future__ import annotations
 
 import hashlib
-from itertools import combinations
 
 import numpy as np
 import pyarrow as pa
@@ -144,6 +145,13 @@ def lsh_band_explode(num_bands: int, rows_per_band: int):
     return fn
 
 
+_EMPTY_PAIRS = pa.table(
+    {"doc_a": pa.array([], pa.int64()),
+     "doc_b": pa.array([], pa.int64()),
+     "jaccard_ppm": pa.array([], pa.int64())}
+)
+
+
 def minhash_lsh_pairs(
     ds: "ray.data.Dataset",
     *,
@@ -151,76 +159,198 @@ def minhash_lsh_pairs(
     num_bands: int = 32,
     shingle_k: int = 5,
     verify_threshold: float = 0.5,
+    num_partitions: int = 4,
 ) -> "ray.data.Dataset":
-    """Near-duplicate candidate pairs via MinHash-LSH, verified with exact
-    shingle Jaccard. Returns (doc_a, doc_b, jaccard_ppm), doc_a < doc_b.
+    """Near-duplicate pairs via MinHash-LSH, verified with exact shingle
+    Jaccard. Returns (doc_a, doc_b, jaccard_ppm), doc_a < doc_b —
+    identical output to all-bucket-pairs + verify (golden-tested), with
+    NO driver-side materialization anywhere:
 
-    Pipeline: map_batches(MinHasher actor) -> band explode ->
-    groupby(band_id, band_hash) -> per-bucket pairs -> dedup pairs ->
-    exact verify (needs the texts: a broadcast of the bucket docs' texts
-    would not scale, so verification re-shingles inside a groupby over
-    pair keys joined back to text — here, at candidate scale, pairs
-    carry both texts through the bucket group).
+    1. exact-dup collapse: groupby(text_hash) keeps one representative
+       per distinct text (min doc_id). Boilerplate-heavy web data — the
+       degenerate-LSH-bucket case — collapses here, before banding.
+    2. map_batches(MinHasher actor) over representatives only.
+    3. band explode (ids only) -> groupby(band_id, band_hash) ->
+       vectorized per-bucket pair emission -> pair dedup across bands.
+    4. candidate texts attached via partitioned hash joins back to the
+       representative table (only candidate rows shuffle; no broadcast),
+       then exact-Jaccard verify per batch.
+    5. verified representative pairs expand back to member pairs through
+       the membership table (two more hash joins); within-group member
+       pairs are exact duplicates (jaccard = 1e6 when the text has any
+       shingles, matching the brute path).
+
+    Remaining worst case: a bucket of b DISTINCT near-identical texts
+    still emits O(b^2) candidate pairs — that is the LSH candidate set
+    itself, not an artifact; emission is one vectorized block per
+    bucket.
     """
+    import pyarrow.compute as pc
+
     rows_per_band = num_perm // num_bands
-    sigs = ds.map_batches(
+    k = shingle_k
+    thr = int(verify_threshold * 1_000_000)
+
+    hashed = ds.select_columns(["doc_id", "text"]).map_batches(
+        add_text_hash, batch_format="pyarrow"
+    )
+    members = hashed.select_columns(["doc_id", "text_hash"])
+
+    def keep_min(g: pa.Table) -> pa.Table:
+        i = pc.index(g.column("doc_id"), pc.min(g.column("doc_id")))
+        return g.slice(int(i.as_py()), 1)
+
+    reps = (
+        hashed.groupby("text_hash")
+        .map_groups(keep_min, batch_format="pyarrow")
+    )
+
+    def add_flag(b: pa.Table) -> pa.Table:
+        ne = [len(" ".join(t.split())) > 0 for t in b.column("text").to_pylist()]
+        return b.append_column("has_shingles", pa.array(ne, pa.bool_()))
+
+    # reps is consumed by three branches (signatures, two text joins,
+    # membership join): materialize once so the text_hash shuffle is not
+    # re-executed per consumer (and the streaming DAG at low CPU counts
+    # is not starved by concurrent shuffles); the object store spills it
+    # if the distinct-text set is large.
+    reps = reps.map_batches(add_flag, batch_format="pyarrow").materialize()
+
+    sigs = reps.select_columns(["doc_id", "text"]).map_batches(
         MinHasher,
         fn_constructor_kwargs={"num_perm": num_perm, "shingle_k": shingle_k},
         batch_format="pyarrow",
         concurrency=(1, 8),
     )
-    # carry text through the band rows? No — explode only ids, then verify
-    # pairs against a broadcast text lookup. Broadcast is right while the
-    # candidate-relevant text set fits a worker (documents tables here);
-    # the cluster-scale path replaces this with a partitioned hash join of
-    # (doc_a, doc_b) pairs against the text table (ray_guide "both sides
-    # large"), verifying per bucket — the band groupby already co-locates
-    # candidates, so that join shuffles only candidate rows.
-    tt = ds.select_columns(["doc_id", "text"]).take_all()
-    texts = {r["doc_id"]: r["text"] for r in tt}
-    texts_ref = ray.put(texts)
-    k = shingle_k
-
-    bands = sigs.map_batches(lsh_band_explode(num_bands, rows_per_band), batch_format="pyarrow")
+    bands = sigs.map_batches(
+        lsh_band_explode(num_bands, rows_per_band), batch_format="pyarrow"
+    )
 
     def bucket_pairs(g: pa.Table) -> pa.Table:
-        ids = sorted(g.column("doc_id").to_pylist())
-        a, b = [], []
-        for x, y in combinations(ids, 2):
-            a.append(x)
-            b.append(y)
-        return pa.table({"doc_a": pa.array(a, pa.int64()), "doc_b": pa.array(b, pa.int64())})
+        ids = np.sort(g.column("doc_id").to_numpy())
+        if ids.size < 2:
+            return pa.table(
+                {"doc_a": pa.array([], pa.int64()), "doc_b": pa.array([], pa.int64())}
+            )
+        iu, ju = np.triu_indices(ids.size, k=1)
+        return pa.table(
+            {"doc_a": pa.array(ids[iu], pa.int64()),
+             "doc_b": pa.array(ids[ju], pa.int64())}
+        )
 
-    pairs = bands.groupby(["band_id", "band_hash"]).map_groups(bucket_pairs, batch_format="pyarrow")
+    from ray.data.aggregate import Count
+
+    # candidate pairs are consumed by the verify joins and can be empty
+    # (empty blocks lose their schema through a hash join): materialize —
+    # it is the small side by construction — and branch on the count
+    # (metadata-only on a materialized dataset)
+    pairs = (
+        bands.groupby(["band_id", "band_hash"])
+        .map_groups(bucket_pairs, batch_format="pyarrow")
+        .groupby(["doc_a", "doc_b"])
+        .aggregate(Count(alias_name="nb"))
+        .select_columns(["doc_a", "doc_b"])
+        .materialize()
+    )
+
+    # attach both representative texts with partitioned hash joins (the
+    # right key column is consumed by the join; only `text` is added)
+    rtext = reps.select_columns(["doc_id", "text"])
+    j1 = pairs.join(
+        rtext, join_type="inner", num_partitions=num_partitions,
+        on=("doc_a",), right_on=("doc_id",),
+    ).rename_columns({"text": "text_a"})
+    j2 = j1.join(
+        rtext, join_type="inner", num_partitions=num_partitions,
+        on=("doc_b",), right_on=("doc_id",),
+    ).rename_columns({"text": "text_b"})
 
     def verify(batch: pa.Table) -> pa.Table:
-        tx = ray.get(texts_ref)
-        seen = set()
+        cache: dict[int, set[bytes]] = {}
+
+        def sh(key, text):
+            s = cache.get(key)
+            if s is None:
+                s = _shingles(text, k)
+                cache[key] = s
+            return s
+
         oa, ob, oj = [], [], []
-        for x, y in zip(batch.column("doc_a").to_pylist(), batch.column("doc_b").to_pylist()):
-            if (x, y) in seen:
-                continue
-            seen.add((x, y))
-            sa, sb = _shingles(tx[x], k), _shingles(tx[y], k)
+        for x, y, ta, tb in zip(
+            batch.column("doc_a").to_pylist(),
+            batch.column("doc_b").to_pylist(),
+            batch.column("text_a").to_pylist(),
+            batch.column("text_b").to_pylist(),
+        ):
+            sa, sb = sh(x, ta), sh(y, tb)
             union = len(sa | sb)
             j = (len(sa & sb) * 1_000_000 // union) if union else 0
-            if j >= verify_threshold * 1_000_000:
+            if j >= thr:
                 oa.append(x)
                 ob.append(y)
                 oj.append(j)
         return pa.table(
-            {
-                "doc_a": pa.array(oa, pa.int64()),
-                "doc_b": pa.array(ob, pa.int64()),
-                "jaccard_ppm": pa.array(oj, pa.int64()),
-            }
+            {"doc_a": pa.array(oa, pa.int64()),
+             "doc_b": pa.array(ob, pa.int64()),
+             "jaccard_ppm": pa.array(oj, pa.int64())}
         )
 
-    # dedup candidate pairs across bands, then verify once per pair
-    uniq_pairs = pairs.groupby(["doc_a", "doc_b"]).map_groups(
-        lambda g: g.slice(0, 1), batch_format="pyarrow"
-    )
-    return uniq_pairs.map_batches(verify, batch_format="pyarrow")
+    # verified representative pairs feed two expansion joins: materialize
+    # (tiny: one row per verified near-dup pair of distinct texts)
+    if pairs.count() == 0:
+        rep_pairs = ray.data.from_arrow(_EMPTY_PAIRS)
+    else:
+        rep_pairs = j2.map_batches(verify, batch_format="pyarrow").materialize()
+
+    # ---- expand representative pairs back to member pairs -----------------
+    minfo = members.join(
+        reps.select_columns(["text_hash", "doc_id", "has_shingles"]),
+        join_type="inner", num_partitions=num_partitions,
+        on=("text_hash",), left_suffix="", right_suffix="_rep",
+    ).materialize()
+
+    def group_pairs(g: pa.Table) -> pa.Table:
+        if not bool(g.column("has_shingles")[0].as_py()):
+            return _EMPTY_PAIRS
+        ids = np.sort(g.column("doc_id").to_numpy())
+        if ids.size < 2:
+            return _EMPTY_PAIRS
+        iu, ju = np.triu_indices(ids.size, k=1)
+        return pa.table(
+            {"doc_a": pa.array(ids[iu], pa.int64()),
+             "doc_b": pa.array(ids[ju], pa.int64()),
+             "jaccard_ppm": pa.array(
+                 np.full(iu.size, 1_000_000, dtype=np.int64), pa.int64())}
+        )
+
+    within = minfo.groupby("text_hash").map_groups(group_pairs, batch_format="pyarrow")
+    if thr > 1_000_000:
+        within = within.filter(lambda r: False)
+
+    if rep_pairs.count() == 0:
+        return within.union(ray.data.from_arrow(_EMPTY_PAIRS))
+
+    mrep = minfo.select_columns(["doc_id", "doc_id_rep"])
+    e1 = rep_pairs.join(
+        mrep, join_type="inner", num_partitions=num_partitions,
+        on=("doc_a",), right_on=("doc_id_rep",),
+    ).drop_columns(["doc_a"]).rename_columns({"doc_id": "a_id"})
+    e2 = e1.join(
+        mrep, join_type="inner", num_partitions=num_partitions,
+        on=("doc_b",), right_on=("doc_id_rep",),
+    ).drop_columns(["doc_b"]).rename_columns({"doc_id": "b_id"})
+
+    def orient(batch: pa.Table) -> pa.Table:
+        a = batch.column("a_id").to_numpy()
+        b = batch.column("b_id").to_numpy()
+        return pa.table(
+            {"doc_a": pa.array(np.minimum(a, b), pa.int64()),
+             "doc_b": pa.array(np.maximum(a, b), pa.int64()),
+             "jaccard_ppm": batch.column("jaccard_ppm").cast(pa.int64())}
+        )
+
+    cross = e2.map_batches(orient, batch_format="pyarrow")
+    return within.union(cross)
 
 
 # ---------------------------------------------------------------------------
