@@ -169,7 +169,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return res.select(["query_id", "vec_id"])  # ids only: float-safe vs SQL
 
     def q_emb_dup(sf_dir):
-        res = similarity.cosine_dup_pairs(emb_ds(sf_dir), threshold_ppm=900_000)
+        # banded-LSH + per-bucket exact verify (the scale path); output
+        # identical to the brute all-pairs verifier (pytest-gated)
+        res = similarity.lsh_dup_pairs(emb_ds(sf_dir), threshold_ppm=900_000)
         return res.select(["vec_a", "vec_b"])
 
     def q_langid(sf_dir):

@@ -120,6 +120,44 @@ def test_minhash_empty_and_tiny_texts(ray_session):
     assert (res["jaccard_ppm"] == 1_000_000).all()
 
 
+def test_lsh_dup_pairs_equals_brute(ray_session):
+    """Banded-LSH + per-bucket exact verify returns the SAME pairs as the
+    brute all-pairs verifier on a corpus with planted near-duplicates."""
+    import ray.data
+    from textindex_ray.functions.similarity import cosine_dup_pairs, lsh_dup_pairs
+
+    rng = np.random.default_rng(7)
+    base = rng.standard_normal((200, 32))
+    rows = [
+        {"vec_id": i, "embedding": base[i].astype(np.float32).tolist()}
+        for i in range(200)
+    ]
+    # plant 20 near-dups: tiny perturbations of existing vectors
+    for j in range(20):
+        v = base[j] + 0.05 * rng.standard_normal(32)
+        rows.append({"vec_id": 200 + j, "embedding": v.astype(np.float32).tolist()})
+    ds = ray.data.from_items(rows)
+    lsh = lsh_dup_pairs(ds, threshold_ppm=900_000).to_pandas()
+    brute = cosine_dup_pairs(ds, threshold_ppm=900_000).to_pandas()
+    assert len(brute) >= 20  # the plants are above threshold
+    got = set(zip(lsh.vec_a, lsh.vec_b))
+    want = set(zip(brute.vec_a, brute.vec_b))
+    assert got == want
+    # ppm values agree with the brute computation
+    bm = {(a, b): p for a, b, p in zip(brute.vec_a, brute.vec_b, brute.cos_ppm)}
+    assert all(bm[(a, b)] == p for a, b, p in zip(lsh.vec_a, lsh.vec_b, lsh.cos_ppm))
+
+
+def test_lsh_dup_pairs_empty(emb_ds):
+    """Testdata embeddings have no near-dups (max cosine ~0.6): both
+    paths must return an EMPTY table with the correct schema."""
+    from textindex_ray.functions.similarity import lsh_dup_pairs
+
+    t = lsh_dup_pairs(emb_ds, threshold_ppm=900_000)
+    assert t.num_rows == 0
+    assert t.column_names == ["vec_a", "vec_b", "cos_ppm"]
+
+
 def test_knn_self_is_top1(emb_ds):
     import pyarrow.parquet as pq
 
