@@ -69,6 +69,49 @@ def test_merge_duplicate_urls_first_wins(ray_session, tmp_path):
     assert sorted(dm.column("url").to_pylist()) == sorted(oracle.doc_id)
 
 
+def test_merge_large_bounded_driver_memory(ray_session, tmp_path):
+    """Merging two multi-10k-doc indexes holds no per-doc Python dicts on
+    the driver: peak tracked driver allocation during merge stays within
+    a small constant + O(n_docs) numpy (the broadcast remap arrays), and
+    the merged index equals the single build over the union corpus."""
+    import tracemalloc
+
+    write_corpus(str(tmp_path / "ca"), 15000, seed=1, rows_per_file=4096)
+    write_corpus(str(tmp_path / "cb"), 15000, seed=2, rows_per_file=4096)
+    build_index(str(tmp_path / "ca"), str(tmp_path / "ia"), num_buckets=16)
+    build_index(str(tmp_path / "cb"), str(tmp_path / "ib"), num_buckets=16)
+
+    tracemalloc.start()
+    merge_indexes(
+        [str(tmp_path / "ia"), str(tmp_path / "ib")],
+        str(tmp_path / "im"),
+        num_buckets=16,
+    )
+    _, peak = tracemalloc.get_traced_memory()
+    tracemalloc.stop()
+    # ~30k docs x ~24B x 4 columns ≈ 3MB of remap state; 64MB leaves room
+    # for pandas/pyarrow conversion overhead but rules out per-url dict
+    # + per-source docmap pylist materialization (the round-1 pattern)
+    assert peak < 64 * 1024 * 1024, peak
+
+    rm = IndexReader(str(tmp_path / "im"))
+    ra = IndexReader(str(tmp_path / "ia"))
+    rb = IndexReader(str(tmp_path / "ib"))
+    dm_a = ra.docmap(columns=["url", "dl"])
+    dm_b = rb.docmap(columns=["url", "dl"])
+    urls_a = dict(zip(dm_a.column("url").to_pylist(), dm_a.column("dl").to_pylist()))
+    urls_b = dict(zip(dm_b.column("url").to_pylist(), dm_b.column("dl").to_pylist()))
+    assert rm.n_docs == len(set(urls_a) | set(urls_b))
+    # first-source-wins: overlapping urls carry source A's document
+    dm_m = rm.docmap(columns=["url", "dl"])
+    merged_dl = dict(zip(dm_m.column("url").to_pylist(), dm_m.column("dl").to_pylist()))
+    overlap = set(urls_a) & set(urls_b)
+    for u in list(overlap)[:200]:
+        assert merged_dl[u] == urls_a[u], u
+    ids_m, _ = rm.bm25_topk(["alpha", "beta"], 10)
+    assert len(ids_m) == 10
+
+
 def test_update_index_incremental(ray_session, tmp_path):
     """update_index == full rebuild over the grown corpus."""
     import pyarrow.parquet as pq

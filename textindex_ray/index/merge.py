@@ -23,7 +23,6 @@ from __future__ import annotations
 
 import os
 import shutil
-from collections import defaultdict
 
 import numpy as np
 import pyarrow as pa
@@ -52,7 +51,24 @@ def _read_docmap(index_dir: str) -> pa.Table:
 
 def merge_indexes(index_dirs: list[str], out_dir: str, *, num_buckets: int = 64,
                   chunk_size: int = 1024) -> dict:
-    """Merge K indexes into out_dir. Returns the merged meta dict."""
+    """Merge K indexes into out_dir. Returns the merged meta dict.
+
+    Distributed throughout — the driver never holds a per-url or per-doc
+    Python dict:
+
+    1. docmap merge: union of source docmaps (tagged with source rank)
+       -> groupby(url) first-source-wins -> bucket by md5(url) ->
+       groupby(bucket) assigns ranks and writes each merged docmap part
+       atomically inside the group task (the build's pattern).
+    2. remap: the group tasks return compact (src, old_id, new_id, dl)
+       rows; per-source SORTED numpy remap arrays (old -> new) and one
+       dense per-bucket dl array are built from them and broadcast via
+       ray.put — posting decode tasks do vectorized searchsorted + array
+       gathers, no per-posting Python lookups.
+    3. postings: per-source chunk decode -> remap (dropped-duplicate docs
+       filtered by membership miss) -> union -> (term, doc_id) sort ->
+       re-encode.
+    """
     import json
     import time
 
@@ -64,68 +80,113 @@ def merge_indexes(index_dirs: list[str], out_dir: str, *, num_buckets: int = 64,
         os.makedirs(_data(d), exist_ok=True)
 
     # ---- merged docmap: first-source-wins per url, re-bucketed ------------
-    seen: dict[str, tuple[int, int, int, int]] = {}  # url -> (src, old_id, dl, n_words)
-    doctypes: dict[str, str] = {}
+    srcs = []
     for si, d in enumerate(index_dirs):
-        dm = _read_docmap(d)
-        for url, old_id, dl, nw, dt in zip(
-            dm.column("url").to_pylist(),
-            dm.column("doc_id").to_pylist(),
-            dm.column("dl").to_pylist(),
-            dm.column("n_words").to_pylist(),
-            dm.column("doctype").to_pylist(),
-        ):
-            if url not in seen:
-                seen[url] = (si, old_id, dl, nw)
-                doctypes[url] = dt
-
-    urls = sorted(seen)
-    buckets = url_bucket(urls, num_buckets)
-    per_bucket = defaultdict(list)
-    for u, b in zip(urls, buckets):
-        per_bucket[int(b)].append(u)
-    new_id: dict[str, int] = {}
-    for b, us in sorted(per_bucket.items()):
-        for r, u in enumerate(sorted(us)):
-            new_id[u] = (b << BUCKET_SHIFT) | r
-
-    # per-source remap arrays: old ids (sorted) -> new id or -1 (dropped)
-    remaps = []
-    for si, d in enumerate(index_dirs):
-        dm = _read_docmap(d)
-        old = dm.column("doc_id").to_numpy()
-        us = dm.column("url").to_pylist()
-        new = np.array(
-            [new_id[u] if seen[u][0] == si else -1 for u in us], dtype=np.int64
+        dm = ray.data.read_parquet(
+            _data(os.path.join(d, "docmap")),
+            columns=["url", "doc_id", "dl", "n_words", "doctype"],
         )
-        order = np.argsort(old)
-        remaps.append((old[order].astype(np.uint64), new[order]))
 
-    # merged docmap parquet (per new bucket)
-    for b, us in sorted(per_bucket.items()):
-        us = sorted(us)
-        t = pa.table(
+        def tag(batch: pa.Table, si=si) -> pa.Table:
+            names = ["old_id" if c == "doc_id" else c for c in batch.column_names]
+            return batch.rename_columns(names).append_column(
+                "src", pa.array(np.full(batch.num_rows, si, np.int32))
+            )
+
+        srcs.append(dm.map_batches(tag, batch_format="pyarrow"))
+    alldm = srcs[0]
+    for s in srcs[1:]:
+        alldm = alldm.union(s)
+
+    def first_source(g: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        i = pc.index(g.column("src"), pc.min(g.column("src")))
+        return g.slice(int(i.as_py()), 1)
+
+    won = alldm.groupby("url").map_groups(first_source, batch_format="pyarrow")
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        b = url_bucket(batch.column("url").to_pylist(), num_buckets)
+        return batch.append_column("bucket", pa.array(b.astype(np.int64)))
+
+    won = won.map_batches(add_bucket, batch_format="pyarrow")
+
+    dmdir = _data(docmap_dir)
+
+    def assign_bucket(g: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        g = g.take(pc.sort_indices(g.column("url")))
+        n = g.num_rows
+        bucket = int(g.column("bucket")[0].as_py())
+        ids = (np.uint64(bucket) << np.uint64(BUCKET_SHIFT)) + np.arange(n, dtype=np.uint64)
+        docmap = pa.table(
             {
-                "url": pa.array(us, pa.string()),
-                "doc_id": pa.array([new_id[u] for u in us], pa.uint64()),
-                "segment_id": pa.array(np.full(len(us), b, dtype=np.uint32), pa.uint32()),
-                "local_doc_id": pa.array(np.arange(len(us), dtype=np.uint64), pa.uint64()),
-                "dl": pa.array([seen[u][2] for u in us], pa.uint32()),
-                "n_words": pa.array([seen[u][3] for u in us], pa.uint32()),
-                "doctype": pa.array([doctypes[u] for u in us], pa.string()),
+                "url": g.column("url"),
+                "doc_id": pa.array(ids, pa.uint64()),
+                "segment_id": pa.array(np.full(n, bucket, dtype=np.uint32), pa.uint32()),
+                "local_doc_id": pa.array(np.arange(n, dtype=np.uint64), pa.uint64()),
+                "dl": g.column("dl").cast(pa.uint32()),
+                "n_words": g.column("n_words").cast(pa.uint32()),
+                "doctype": g.column("doctype"),
             }
         )
-        pq.write_table(t, os.path.join(_data(docmap_dir), "docmap-%05d.parquet" % b))
+        tmp = os.path.join(dmdir, "docmap-%05d.parquet.tmp" % bucket)
+        pq.write_table(docmap, tmp)
+        os.replace(tmp, os.path.join(dmdir, "docmap-%05d.parquet" % bucket))
+        return pa.table(
+            {
+                "src": g.column("src"),
+                "old_id": g.column("old_id").cast(pa.uint64()),
+                "new_id": pa.array(ids, pa.uint64()),
+                "dl": g.column("dl").cast(pa.uint32()),
+            }
+        )
+
+    # compact remap relation: 4 fixed-width columns, no urls/doctypes
+    remap_df = (
+        won.groupby("bucket")
+        .map_groups(assign_bucket, batch_format="pyarrow")
+        .to_pandas()
+    )
     _commit(docmap_dir, {"phase": "merge-docmap", "sources": index_dirs})
 
-    n_docs = len(urls)
-    total_dl = sum(v[2] for v in seen.values())
+    n_docs = len(remap_df)
+    total_dl = int(remap_df["dl"].sum()) if n_docs else 0
     avgdl = total_dl / n_docs if n_docs else 0.0
-    dl_of = {new_id[u]: seen[u][2] for u in urls}
+
+    # per-source sorted remap arrays (winners only; a source's dropped
+    # duplicates simply miss the membership probe)
+    remaps = []
+    src_arr = remap_df["src"].to_numpy()
+    old_arr = remap_df["old_id"].to_numpy().astype(np.uint64)
+    new_arr = remap_df["new_id"].to_numpy().astype(np.int64)
+    for si in range(len(index_dirs)):
+        m = src_arr == si
+        old, new = old_arr[m], new_arr[m]
+        order = np.argsort(old)
+        remaps.append((old[order], new[order]))
+
+    # dense per-bucket dl lookup (the reader's layout): position =
+    # bucket_offset[bucket] + local rank
+    shift = np.uint64(BUCKET_SHIFT)
+    mask = np.uint64((1 << BUCKET_SHIFT) - 1)
+    nid = remap_df["new_id"].to_numpy().astype(np.uint64)
+    dl_all = remap_df["dl"].to_numpy().astype(np.uint32)
+    bkt = (nid >> shift).astype(np.int64)
+    nb = int(bkt.max()) + 1 if n_docs else 1
+    counts = np.bincount(bkt, minlength=nb)
+    offs = np.concatenate(([0], np.cumsum(counts)[:-1]))
+    dense_dl = np.zeros(n_docs, dtype=np.uint32)
+    if n_docs:
+        dense_dl[offs[bkt] + (nid & mask).astype(np.int64)] = dl_all
+    dl_ref = ray.put((dense_dl, offs))
 
     # ---- postings: decode + remap per source, union, re-sort, re-encode ---
     def make_decode_remap(old_ids: np.ndarray, new_ids: np.ndarray):
         def fn(batch: pa.Table) -> pa.Table:
+            dense, offsets = ray.get(dl_ref)
             terms_out, ids_out, tfs_out = [], [], []
             for term, docs_b, tfs_b in zip(
                 batch.column("term").to_pylist(),
@@ -135,11 +196,12 @@ def merge_indexes(index_dirs: list[str], out_dir: str, *, num_buckets: int = 64,
                 ids = delta_decode(docs_b)
                 tfs = decode_tfs(tfs_b)
                 pos = np.searchsorted(old_ids, ids)
-                mapped = new_ids[pos]
-                keep = mapped >= 0
+                pos = np.minimum(pos, max(old_ids.size - 1, 0))
+                keep = old_ids.size > 0
+                keep = (old_ids[pos] == ids) if keep else np.zeros(ids.size, bool)
                 if keep.any():
                     terms_out.extend([term] * int(keep.sum()))
-                    ids_out.append(mapped[keep].astype(np.uint64))
+                    ids_out.append(new_ids[pos[keep]].astype(np.uint64))
                     tfs_out.append(tfs[keep])
             if not ids_out:
                 return pa.table(
@@ -149,7 +211,8 @@ def merge_indexes(index_dirs: list[str], out_dir: str, *, num_buckets: int = 64,
                      "dl": pa.array([], pa.uint32())}
                 )
             ids_all = np.concatenate(ids_out)
-            dls = np.array([dl_of[int(i)] for i in ids_all], dtype=np.uint32)
+            b = (ids_all >> shift).astype(np.int64)
+            dls = dense[offsets[b] + (ids_all & mask).astype(np.int64)]
             return pa.table(
                 {
                     "term": pa.array(terms_out, pa.string()),
