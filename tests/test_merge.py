@@ -112,6 +112,49 @@ def test_merge_large_bounded_driver_memory(ray_session, tmp_path):
     assert len(ids_m) == 10
 
 
+def test_bloom_filter_properties():
+    """No false negatives ever; FP rate near nominal."""
+    from textindex_ray.index.bloom import UrlBloom
+
+    member = ["https://site-%d.example/p/%d" % (i % 97, i) for i in range(50_000)]
+    fresh = ["https://other-%d.example/q/%d" % (i % 89, i) for i in range(50_000)]
+    bl = UrlBloom.sized_for(len(member), fp_rate=0.01)
+    for i in range(0, len(member), 8192):
+        bl.add_batch(member[i : i + 8192])
+    assert bl.contains_batch(member).all()  # zero false negatives
+    fp = bl.contains_batch(fresh).mean()
+    assert fp < 0.03, fp  # 1% nominal, 3x headroom
+
+
+def test_update_index_bloom_path(ray_session, tmp_path):
+    """update_index via the Bloom prefilter + left_anti join produces the
+    same index as the exact-set path (semantics are exact by design)."""
+    import pyarrow.parquet as pq
+
+    full = generate_corpus(200)
+    first, grown = full.slice(0, 120), full
+    for name, t in (("c1", first), ("c2", grown)):
+        d = tmp_path / name
+        d.mkdir()
+        pq.write_table(t, str(d / "part.parquet"))
+
+    idx_b = str(tmp_path / "idx_bloom")
+    build_index(str(tmp_path / "c1"), idx_b, num_buckets=8)
+    update_index(str(tmp_path / "c2"), idx_b, num_buckets=8, membership="bloom")
+
+    ref = str(tmp_path / "idx_ref")
+    build_index(str(tmp_path / "c2"), ref, num_buckets=8)
+
+    ri, rr = IndexReader(idx_b), IndexReader(ref)
+    assert ri.n_docs == rr.n_docs
+    assert ri._dict.column("term").to_pylist() == rr._dict.column("term").to_pylist()
+    assert ri._dict.column("df").to_pylist() == rr._dict.column("df").to_pylist()
+    a, sa = ri.bm25_topk(["alpha", "beta"], 10)
+    b, sb = rr.bm25_topk(["alpha", "beta"], 10)
+    assert a.tolist() == b.tolist()
+    np.testing.assert_allclose(sa, sb, rtol=0, atol=0)
+
+
 def test_update_index_incremental(ray_session, tmp_path):
     """update_index == full rebuild over the grown corpus."""
     import pyarrow.parquet as pq

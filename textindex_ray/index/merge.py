@@ -269,30 +269,93 @@ def merge_indexes(index_dirs: list[str], out_dir: str, *, num_buckets: int = 64,
 
 
 def update_index(corpus_path, index_dir: str, *, work_dir: str | None = None,
-                 num_buckets: int = 64, chunk_size: int = 1024) -> dict:
+                 num_buckets: int = 64, chunk_size: int = 1024,
+                 membership: str = "auto", exact_limit: int = 1_000_000,
+                 fp_rate: float = 0.01, num_partitions: int = 4) -> dict:
     """Incremental indexing: index only not-yet-committed urls, then merge.
 
-    The committed url set is broadcast to the filter stage (exact set
-    here; a Bloom filter at 10^12-doc scale). Returns the merged meta;
-    the merged index replaces index_dir atomically (build aside + swap).
+    membership picks how the committed-url anti-join runs:
+      - "exact": broadcast exact set (small committed sets)
+      - "bloom": broadcast Bloom bitmap prefilter (~10 bits/url at 1% FP);
+        "definitely new" rows pass immediately, "maybe committed" rows
+        (committed urls + FP-rate of the new ones) are resolved EXACTLY
+        with a partitioned left_anti join — same result, only the
+        maybe-set shuffles
+      - "auto": exact when meta n_docs <= exact_limit, else bloom
+    Returns the merged meta; the merged index replaces index_dir
+    atomically (build aside + read-checked swap).
     """
+    import json
+
     work_dir = work_dir or (index_dir.rstrip("/") + ".work")
     delta_dir = os.path.join(work_dir, "delta")
     merged_dir = os.path.join(work_dir, "merged")
     shutil.rmtree(work_dir, ignore_errors=True)
     os.makedirs(delta_dir, exist_ok=True)
 
-    committed = set(_read_docmap(index_dir).column("url").to_pylist())
-    ref = ray.put(committed)
+    with open(os.path.join(index_dir, "meta.json")) as f:
+        n_committed = int(json.load(f).get("n_docs", 0))
+    if membership == "auto":
+        membership = "exact" if n_committed <= exact_limit else "bloom"
 
     ds = ray.data.read_parquet(corpus_path, columns=["url", "html"])
 
-    def anti_join(batch: pa.Table) -> pa.Table:
-        done = ray.get(ref)
-        mask = pa.array([u not in done for u in batch.column("url").to_pylist()])
-        return batch.filter(mask)
+    if membership == "exact":
+        committed = set(_read_docmap(index_dir).column("url").to_pylist())
+        ref = ray.put(committed)
 
-    new_corpus = ds.map_batches(anti_join, batch_format="pyarrow")
+        def anti_join(batch: pa.Table) -> pa.Table:
+            done = ray.get(ref)
+            mask = pa.array([u not in done for u in batch.column("url").to_pylist()])
+            return batch.filter(mask)
+
+        new_corpus = ds.map_batches(anti_join, batch_format="pyarrow")
+    else:
+        from textindex_ray.index.bloom import UrlBloom
+
+        cds = ray.data.read_parquet(
+            _data(os.path.join(index_dir, "docmap")), columns=["url"]
+        )
+        bloom = UrlBloom.sized_for(n_committed, fp_rate)
+
+        def partial_bloom(batch: pa.Table) -> pa.Table:
+            b = UrlBloom(bloom.m, bloom.k)
+            b.add_batch(batch.column("url").to_pylist())
+            return pa.table({"words": pa.array([b.words.tobytes()], pa.large_binary())})
+
+        # per-block partial bitmaps, OR-reduced streaming on the driver
+        # (one m-bit bitmap resident at a time)
+        for bt in cds.map_batches(
+            partial_bloom, batch_format="pyarrow"
+        ).iter_batches(batch_format="pyarrow"):
+            for wb in bt.column("words"):
+                bloom.words |= np.frombuffer(wb.as_py(), dtype=np.uint64)
+        bloom_ref = ray.put((bloom.m, bloom.k, bloom.words))
+
+        def flag(batch: pa.Table) -> pa.Table:
+            m, kk, words = ray.get(bloom_ref)
+            bl = UrlBloom(m, kk, words)
+            maybe = bl.contains_batch(batch.column("url").to_pylist())
+            return batch.append_column("maybe", pa.array(maybe))
+
+        import pyarrow.compute as pc
+
+        flagged = ds.map_batches(flag, batch_format="pyarrow").materialize()
+
+        def take_new(batch: pa.Table) -> pa.Table:
+            mask = pc.invert(batch.column("maybe").combine_chunks())
+            return batch.filter(mask).drop_columns(["maybe"])
+
+        def take_maybe(batch: pa.Table) -> pa.Table:
+            return batch.filter(
+                batch.column("maybe").combine_chunks()
+            ).drop_columns(["maybe"])
+
+        definitely_new = flagged.map_batches(take_new, batch_format="pyarrow")
+        survivors = flagged.map_batches(take_maybe, batch_format="pyarrow").join(
+            cds, join_type="left_anti", num_partitions=num_partitions, on=("url",)
+        )
+        new_corpus = definitely_new.union(survivors)
     staged = os.path.join(work_dir, "corpus-delta")
     os.makedirs(staged, exist_ok=True)
     new_corpus.write_parquet(staged)
