@@ -4,6 +4,7 @@
     python jobs/query.py --index /data/index bm25 alpha beta --k 10 [--wand]
     python jobs/query.py --index /data/index files '*example*'
     python jobs/query.py --index /data/index lines --corpus /data/corpus alpha
+    python jobs/query.py --index /data/index delete '*stale*'
 """
 
 from __future__ import annotations
@@ -16,13 +17,23 @@ import sys
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--index", required=True)
-    ap.add_argument("mode", choices=["find", "bm25", "files", "lines", "stats"])
+    ap.add_argument("mode", choices=["find", "bm25", "files", "lines", "stats", "delete"])
     ap.add_argument("terms", nargs="*")
     ap.add_argument("--k", type=int, default=10)
     ap.add_argument("--page", type=int, default=0, help="page of 20 results (reference paging, main.rs:207)")
     ap.add_argument("--wand", action="store_true")
     ap.add_argument("--corpus", help="corpus path for `lines` snippets")
     args = ap.parse_intermixed_args(argv)
+
+    if args.mode == "delete":
+        # reference `delete <glob>` (main.rs:278-284; its remove_file was a
+        # todo, index2.rs:462-464): tombstone matching docs, masked at
+        # query time, compacted on the next merge/update
+        from textindex_ray.index.delete import delete_docs
+
+        n = delete_docs(args.index, args.terms[0] if args.terms else "")
+        print(json.dumps({"deleted": n}))
+        return 0
 
     from textindex_ray.query.engine import IndexReader
 

@@ -80,14 +80,24 @@ def merge_indexes(index_dirs: list[str], out_dir: str, *, num_buckets: int = 64,
         os.makedirs(_data(d), exist_ok=True)
 
     # ---- merged docmap: first-source-wins per url, re-bucketed ------------
+    # compaction: each source's tombstoned docs (delete.py) are dropped
+    # here; their postings vanish via the remap membership miss below
+    from textindex_ray.index.delete import load_tombstones
+
     srcs = []
     for si, d in enumerate(index_dirs):
         dm = ray.data.read_parquet(
             _data(os.path.join(d, "docmap")),
             columns=["url", "doc_id", "dl", "n_words", "doctype"],
         )
+        tomb_ref = ray.put(load_tombstones(d))
 
-        def tag(batch: pa.Table, si=si) -> pa.Table:
+        def tag(batch: pa.Table, si=si, tomb_ref=tomb_ref) -> pa.Table:
+            tomb = ray.get(tomb_ref)
+            if tomb.size and batch.num_rows:
+                ids = batch.column("doc_id").to_numpy().astype(np.uint64)
+                pos = np.minimum(np.searchsorted(tomb, ids), tomb.size - 1)
+                batch = batch.filter(pa.array(tomb[pos] != ids))
             names = ["old_id" if c == "doc_id" else c for c in batch.column_names]
             return batch.rename_columns(names).append_column(
                 "src", pa.array(np.full(batch.num_rows, si, np.int32))
@@ -300,8 +310,22 @@ def update_index(corpus_path, index_dir: str, *, work_dir: str | None = None,
 
     ds = ray.data.read_parquet(corpus_path, columns=["url", "html"])
 
+    # committed = LIVE urls only: a deleted (tombstoned) url re-appearing
+    # in the corpus is re-indexed (delete.py contract)
+    from textindex_ray.index.delete import load_tombstones
+
+    tomb = load_tombstones(index_dir)
+
+    def _drop_tombstoned(batch: pa.Table) -> pa.Table:
+        if tomb.size and batch.num_rows:
+            ids = batch.column("doc_id").to_numpy().astype(np.uint64)
+            pos = np.minimum(np.searchsorted(tomb, ids), tomb.size - 1)
+            batch = batch.filter(pa.array(tomb[pos] != ids))
+        return batch.select(["url"])
+
     if membership == "exact":
-        committed = set(_read_docmap(index_dir).column("url").to_pylist())
+        dm = _read_docmap(index_dir).select(["url", "doc_id"])
+        committed = set(_drop_tombstoned(dm).column("url").to_pylist())
         ref = ray.put(committed)
 
         def anti_join(batch: pa.Table) -> pa.Table:
@@ -314,8 +338,8 @@ def update_index(corpus_path, index_dir: str, *, work_dir: str | None = None,
         from textindex_ray.index.bloom import UrlBloom
 
         cds = ray.data.read_parquet(
-            _data(os.path.join(index_dir, "docmap")), columns=["url"]
-        )
+            _data(os.path.join(index_dir, "docmap")), columns=["url", "doc_id"]
+        ).map_batches(_drop_tombstoned, batch_format="pyarrow")
         bloom = UrlBloom.sized_for(n_committed, fp_rate)
 
         def partial_bloom(batch: pa.Table) -> pa.Table:

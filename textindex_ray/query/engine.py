@@ -80,6 +80,12 @@ class IndexReader:
         self._dict = dt
         self._terms = dt.column("term").to_pylist()
         self._df = dict(zip(self._terms, dt.column("df").to_pylist()))
+        # deleted docs (delete.py tombstones): masked out of every query
+        # path; stats stay pre-delete until compaction (the tombstone
+        # contract — see index/delete.py)
+        from textindex_ray.index.delete import load_tombstones
+
+        self._tomb = load_tombstones(index_path)
         idx_data = os.path.join(index_path, "index", "data")
         self._chunks = pads.dataset(idx_data)
         if preload is None:
@@ -133,12 +139,23 @@ class IndexReader:
         t = self._chunks.to_table(filter=pc.field("term").isin(terms))
         return t.take(pc.sort_indices(t, [("term", "ascending"), ("first_doc", "ascending")]))
 
+    def _alive_mask(self, ids: np.ndarray):
+        """Bool mask of non-tombstoned ids, or None when nothing is deleted."""
+        if self._tomb.size == 0 or ids.size == 0:
+            return None
+        pos = np.searchsorted(self._tomb, ids)
+        pos = np.minimum(pos, self._tomb.size - 1)
+        return self._tomb[pos] != ids
+
     def postings(self, term: str):
-        """Decoded (doc_ids, tfs) for one exact term, docID-ascending."""
+        """Decoded (doc_ids, tfs) for one exact term, docID-ascending,
+        tombstoned docs masked."""
         rows = self.chunk_rows([term])
         if rows.num_rows == 0:
             return np.empty(0, np.uint64), np.empty(0, np.uint64)
-        return _decode_chunk_rows(rows)
+        ids, tfs = _decode_chunk_rows(rows)
+        m = self._alive_mask(ids)
+        return (ids, tfs) if m is None else (ids[m], tfs[m])
 
     def doc_set(self, pattern: str) -> np.ndarray:
         """Union of posting docIDs over vocabulary entries matching pattern."""
@@ -149,6 +166,9 @@ class IndexReader:
         if rows.num_rows == 0:
             return np.empty(0, np.uint64)
         ids = np.concatenate([delta_decode(b.as_py()) for b in rows.column("docs")])
+        m = self._alive_mask(ids)
+        if m is not None:
+            ids = ids[m]
         return np.unique(ids)
 
     # -- boolean find (J2) --------------------------------------------------
@@ -170,8 +190,13 @@ class IndexReader:
         return pq.read_table(os.path.join(self.path, "docmap", "data"), columns=columns)
 
     def find_files(self, glob: str) -> list[str]:
-        """Wildcard match over indexed urls (index2.rs:447-456)."""
-        urls = self.docmap(columns=["url"]).column("url").to_pylist()
+        """Wildcard match over indexed (live) urls (index2.rs:447-456)."""
+        dm = self.docmap(columns=["doc_id", "url"])
+        urls = dm.column("url").to_pylist()
+        if self._tomb.size:
+            m = self._alive_mask(dm.column("doc_id").to_numpy().astype(np.uint64))
+            if m is not None:
+                urls = [u for u, a in zip(urls, m) if a]
         rx = re.compile(wildcard_to_regex(glob))
         return [u for u in urls if rx.match(u)]
 
@@ -324,7 +349,7 @@ class IndexReader:
             # score the window exactly (same accumulation order as brute)
             per_term = []
             for c in involved:
-                ids, sc = c.take_upto(window_end, dls_for)
+                ids, sc = c.take_upto(window_end, dls_for, self._alive_mask)
                 if ids.size:
                     per_term.append((ids, sc))
             for c in live:
@@ -416,14 +441,20 @@ class _ChunkCursor:
             self._off = 0
             self.decoded += 1
 
-    def take_upto(self, window_end, dls_for):
-        """Consume postings with doc_id <= window_end; return (ids, scores)."""
+    def take_upto(self, window_end, dls_for, alive_mask=None):
+        """Consume postings with doc_id <= window_end; return (ids, scores).
+        alive_mask (tombstone filter) only removes postings, so the
+        chunk upper bounds used for pruning remain valid."""
         self._ensure()
         cut = int(np.searchsorted(self._ids, window_end, side="right"))
         ids = self._ids[self._off : cut]
         tfs = self._tfs[self._off : cut]
         self._off = cut
         self.consumed = cut >= self._ids.size
+        if alive_mask is not None and ids.size:
+            m = alive_mask(ids)
+            if m is not None:
+                ids, tfs = ids[m], tfs[m]
         if ids.size == 0:
             return ids, np.empty(0, np.float64)
         dls = dls_for(ids)
