@@ -106,6 +106,29 @@ def corpus_query_suite(sf_dir: str) -> pa.Table:
     )
 
 
+def corpus_query_suite_sharded(sf_dir: str) -> pa.Table:
+    """The same reference suite through the term-range-SHARDED evaluator
+    (query/batch_eval.py::evaluate_queries_sharded) — must equal the
+    full-index path exactly (same golden oracle)."""
+    import ray.data
+
+    from textindex_ray.fixtures import queries_table
+    from textindex_ray.query.batch_eval import evaluate_queries_sharded
+
+    r = _corpus_reader(sf_dir)
+    qds = ray.data.from_arrow(queries_table())
+    res = evaluate_queries_sharded(r.path, qds, n_shards=4)
+    t = res.to_pandas()
+    t["n_results"] = t["doc_ids"].map(len)
+    t = t.sort_values("qid")
+    return pa.table(
+        {
+            "qid": pa.array(t["qid"].tolist(), pa.int32()),
+            "n_results": pa.array(t["n_results"].tolist(), pa.int64()),
+        }
+    )
+
+
 def corpus_snippets(sf_dir: str) -> pa.Table:
     """O12 matched-lines over the first few boolean hits."""
     from textindex_ray.query.snippets import matched_lines
@@ -246,6 +269,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_bm25_topk": corpus_bm25,
         "corpus_find_and": corpus_find,
         "corpus_query_suite": corpus_query_suite,
+        "corpus_query_suite_sharded": corpus_query_suite_sharded,
         "corpus_snippets": corpus_snippets,
     }
 
@@ -497,15 +521,17 @@ def _golden_sql() -> dict[str, str]:
     other scales fall back to rows-only grading."""
     gdir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "goldens")
     out = {}
-    for name in (
-        "minhash_lsh_pairs",
-        "corpus_extract_stats",
-        "corpus_bm25_topk",
-        "corpus_find_and",
-        "corpus_query_suite",
-        "corpus_snippets",
+    for name, fname in (
+        ("minhash_lsh_pairs", "minhash_lsh_pairs"),
+        ("corpus_extract_stats", "corpus_extract_stats"),
+        ("corpus_bm25_topk", "corpus_bm25_topk"),
+        ("corpus_find_and", "corpus_find_and"),
+        ("corpus_query_suite", "corpus_query_suite"),
+        # the sharded evaluator must reproduce the same suite results
+        ("corpus_query_suite_sharded", "corpus_query_suite"),
+        ("corpus_snippets", "corpus_snippets"),
     ):
-        p = os.path.join(gdir, "%s.sf0.01.parquet" % name)
+        p = os.path.join(gdir, "%s.sf0.01.parquet" % fname)
         if os.path.exists(p):
             out[name] = "SELECT * FROM read_parquet('%s')" % p
     return out

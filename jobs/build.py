@@ -28,6 +28,9 @@ def main(argv=None) -> int:
     ap.add_argument("--no-checkpoint", action="store_true")
     ap.add_argument("--no-resume", action="store_true")
     ap.add_argument("--incremental", action="store_true")
+    ap.add_argument("--files", action="store_true",
+                    help="corpus is a loose-file directory tree (reference "
+                         "walk source) instead of a Parquet table")
     args = ap.parse_args(argv)
 
     import ray
@@ -53,6 +56,7 @@ def main(argv=None) -> int:
             num_buckets=args.num_buckets, chunk_size=args.chunk_size,
             batch_size=args.batch_size,
             checkpoint=not args.no_checkpoint, resume=not args.no_resume,
+            input_format="files" if args.files else "parquet",
         )
     print(json.dumps(meta))
     ray.shutdown()

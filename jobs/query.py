@@ -38,6 +38,42 @@ def main(argv=None) -> int:
     from textindex_ray.query.engine import IndexReader
 
     r = IndexReader(args.index)
+    if args.mode == "stats" and args.terms:
+        # reference `stats debug` / `stats <blocknr>` analog
+        # (main.rs:331-349): per-phase file inventory, or one term's
+        # chunk rows (the block-level introspection unit here)
+        import os as _os
+
+        if args.terms[0] == "debug":
+            inv = {}
+            for ph in ("tokenized", "docmap", "index", "dict"):
+                d = _os.path.join(args.index, ph, "data")
+                if _os.path.isdir(d):
+                    files = []
+                    for dirpath, _, names in _os.walk(d):
+                        files += [_os.path.join(dirpath, n) for n in names
+                                  if n.endswith(".parquet")]
+                    inv[ph] = {"files": len(files),
+                               "bytes": sum(_os.path.getsize(f) for f in files)}
+            print(json.dumps({"inventory": inv, "meta": r.meta}))
+        else:
+            rows = r.chunk_rows([args.terms[0]])
+            print(json.dumps({
+                "term": args.terms[0],
+                "chunks": [
+                    {"first_doc": int(f), "last_doc": int(l), "n": int(n),
+                     "max_tf": int(mt), "min_dl": int(md), "cf": int(cf)}
+                    for f, l, n, mt, md, cf in zip(
+                        rows.column("first_doc").to_pylist(),
+                        rows.column("last_doc").to_pylist(),
+                        rows.column("n").to_pylist(),
+                        rows.column("max_tf").to_pylist(),
+                        rows.column("min_dl").to_pylist(),
+                        rows.column("cf").to_pylist(),
+                    )
+                ],
+            }))
+        return 0
     if args.mode == "stats":
         # reference `stats base` parity (main.rs:326-328) + the 256-class
         # frequency histogram analog (bag_stats, index2.rs:100/507/526)

@@ -18,12 +18,13 @@ SF_DIR = "/root/testdata/sf0.01"
 GDIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "goldens")
 
 NAMES = [
-    "corpus_extract_stats",
-    "corpus_bm25_topk",
-    "corpus_find_and",
-    "corpus_query_suite",
-    "corpus_snippets",
-    "minhash_lsh_pairs",
+    ("corpus_extract_stats", "corpus_extract_stats"),
+    ("corpus_bm25_topk", "corpus_bm25_topk"),
+    ("corpus_find_and", "corpus_find_and"),
+    ("corpus_query_suite", "corpus_query_suite"),
+    ("corpus_query_suite_sharded", "corpus_query_suite"),
+    ("corpus_snippets", "corpus_snippets"),
+    ("minhash_lsh_pairs", "minhash_lsh_pairs"),
 ]
 
 
@@ -44,11 +45,11 @@ def _to_df(x):
     return x
 
 
-@pytest.mark.parametrize("name", NAMES)
-def test_golden_matches_pipeline(ray_session, name):
+@pytest.mark.parametrize("name,fname", NAMES)
+def test_golden_matches_pipeline(ray_session, name, fname):
     import __ray_entry__ as m
 
-    golden_path = os.path.join(GDIR, "%s.sf0.01.parquet" % name)
+    golden_path = os.path.join(GDIR, "%s.sf0.01.parquet" % fname)
     assert os.path.exists(golden_path), "missing committed golden for " + name
     want = _canon(pq.read_table(golden_path).to_pandas())
     mine = _canon(_to_df(m.queries()[name](SF_DIR)))

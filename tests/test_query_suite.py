@@ -43,3 +43,30 @@ def test_suite_rank_identical(suite):
             np.testing.assert_allclose(
                 res[qid]["scores"], golden[qid]["scores"], rtol=0, atol=0
             )
+
+
+def test_suite_sharded_identical(suite):
+    """Term-range-sharded evaluation == full-index evaluation, rank AND
+    float64 score identical (the reduce replays sorted-term-order
+    accumulation), for several shard counts."""
+    import ray.data
+
+    from textindex_ray.query.batch_eval import evaluate_queries_sharded
+
+    index_path, oracle = suite
+    qds = ray.data.from_arrow(queries_table())
+    base = {r["qid"]: r for r in evaluate_queries(index_path, qds).iter_rows()}
+    for n_shards in (1, 3, 8):
+        got = {
+            r["qid"]: r
+            for r in evaluate_queries_sharded(
+                index_path, qds, n_shards=n_shards
+            ).iter_rows()
+        }
+        assert set(got) == set(base), n_shards
+        for qid in base:
+            assert got[qid]["doc_ids"] == base[qid]["doc_ids"], (n_shards, qid)
+            np.testing.assert_allclose(
+                got[qid]["scores"], base[qid]["scores"], rtol=0, atol=0,
+                err_msg=str((n_shards, qid)),
+            )

@@ -63,7 +63,15 @@ def knn_brute(
         out_q, out_v, out_c = [], [], []
         for j in range(sims.shape[1]):
             s = sims[:, j]
-            top = np.argsort(-s, kind="stable")[: k]
+            if s.size > 4 * k:
+                # tie-inclusive partial selection (no per-batch full sort):
+                # keep every candidate >= the kth score so an exact-float
+                # boundary tie still reaches the final (vec_id-ordered)
+                # reduce; ordering is the driver-side reduce's job
+                kth = np.partition(s, s.size - k)[s.size - k]
+                top = np.flatnonzero(s >= kth)
+            else:
+                top = np.argsort(-s, kind="stable")[:k]
             out_q.extend([qids[j]] * len(top))
             out_v.extend(vec_ids[top].tolist())
             out_c.extend(s[top].tolist())

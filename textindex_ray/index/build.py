@@ -116,10 +116,11 @@ def make_assign_and_explode(docmap_dir: str):
         # block arrival order (reference have_file keeps first-seen in
         # walk order, threads.rs:292-297; a distributed build has no
         # walk order, so content-digest-min is the canonical choice)
-        urls_np = group.column("url").to_pylist()
-        if len(urls_np) != len(set(urls_np)):
+        url_col = group.column("url").combine_chunks()
+        if pc.count_distinct(url_col).as_py() != group.num_rows:
             import hashlib
 
+            urls_np = url_col.to_pylist()
             best: dict[str, tuple[str, int]] = {}
             terms_l = group.column("terms").to_pylist()
             tfs_l = group.column("tfs").to_pylist()
@@ -439,6 +440,7 @@ def build_index(
     resume: bool = True,
     shuffle: str = "bucket",
     heavy_df: int = 100_000,
+    input_format: str = "parquet",
 ) -> dict:
     """Run the full build. Returns the meta dict (N, avgdl, timings).
 
@@ -446,6 +448,10 @@ def build_index(
     the resume boundary (re-runs skip extraction); checkpoint=False fuses
     extract straight into the postings shuffle (single streaming
     pipeline, index-granular resume only).
+
+    input_format: "parquet" (the corpus table) or "files" (a loose-file
+    directory tree, the reference's walk source — read_binary_files with
+    the O1 name filter applied at the read, sources/files.py).
     """
     import pyarrow.dataset as pads
 
@@ -465,15 +471,23 @@ def build_index(
         _check_params(index_dir, params)
 
     if not (have_tok or have_idx):
+        if input_format == "files":
+            if not any(files for _, _, files in os.walk(corpus_path)):
+                return _write_empty_index(out_dir, num_buckets, chunk_size)
         # metadata-only row count (no Ray job)
-        if pads.dataset(corpus_path).count_rows() == 0:
+        elif pads.dataset(corpus_path).count_rows() == 0:
             return _write_empty_index(out_dir, num_buckets, chunk_size)
 
     if concurrency is None:
         concurrency = default_concurrency()
 
     def extract_pipeline():
-        ds = ray.data.read_parquet(corpus_path, columns=["url", "html"])
+        if input_format == "files":
+            from textindex_ray.sources.files import read_file_corpus
+
+            ds = read_file_corpus(corpus_path)
+        else:
+            ds = ray.data.read_parquet(corpus_path, columns=["url", "html"])
         # classification is fused into the actor (ExtractTokenize
         # classifies when no doctype column is present)
         return ds.map_batches(

@@ -57,13 +57,18 @@ _PRELOAD_LIMIT = 512 * 1024 * 1024  # in-memory chunk table below this size
 
 
 class IndexReader:
-    def __init__(self, index_path: str, preload: bool | None = None):
+    def __init__(self, index_path: str, preload: bool | None = None,
+                 term_range: tuple[str, str] | None = None):
         """preload=None (auto): hold the whole chunk table in memory when
         the index is small (fast repeated queries); large indexes use
         parquet predicate pushdown per term instead (row groups are
         (term, doc)-sorted, so pruning applies). At cluster scale the
-        reader is sharded across serving actors, one term-range each."""
+        reader is sharded across serving actors, one term-range each:
+        term_range=(lo, hi) restricts the dictionary and chunk table to
+        lo <= term < hi (hi=None means open-ended) — see
+        query/batch_eval.py::evaluate_queries_sharded."""
         self.path = index_path
+        self.term_range = term_range
         with open(os.path.join(index_path, "meta.json")) as f:
             self.meta = json.load(f)
         self.k1 = float(self.meta["k1"])
@@ -77,6 +82,12 @@ class IndexReader:
             dt = pa.table({"term": pa.array([], pa.string()),
                            "df": pa.array([], pa.uint64()),
                            "cf": pa.array([], pa.uint64())})
+        if term_range is not None and dt.num_rows:
+            lo, hi = term_range
+            m = pc.greater_equal(dt.column("term"), lo)
+            if hi is not None:
+                m = pc.and_(m, pc.less(dt.column("term"), hi))
+            dt = dt.filter(m)
         self._dict = dt
         self._terms = dt.column("term").to_pylist()
         self._df = dict(zip(self._terms, dt.column("df").to_pylist()))
@@ -97,7 +108,13 @@ class IndexReader:
             preload = size < _PRELOAD_LIMIT
         self._mem = None
         if preload:
-            t = self._chunks.to_table()
+            flt = None
+            if term_range is not None:
+                lo, hi = term_range
+                flt = pc.field("term") >= lo
+                if hi is not None:
+                    flt = flt & (pc.field("term") < hi)
+            t = self._chunks.to_table(filter=flt)
             t = t.take(pc.sort_indices(t, [("term", "ascending"), ("first_doc", "ascending")]))
             self._mem = t
             self._mem_terms = np.array(t.column("term").to_pylist())
