@@ -148,6 +148,33 @@ def test_lsh_dup_pairs_equals_brute(ray_session):
     assert all(bm[(a, b)] == p for a, b, p in zip(lsh.vec_a, lsh.vec_b, lsh.cos_ppm))
 
 
+def test_knn_lsh_recall(emb_ds):
+    """ANN top-k via banded LSH candidate pruning: recall@10 >= 0.95 vs
+    brute on the testdata embeddings (expected ~0.99 at the defaults)."""
+    import pyarrow.parquet as pq
+
+    from textindex_ray.functions.similarity import knn_brute, knn_lsh
+
+    t = pq.read_table(
+        "/root/testdata/sf0.001/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    qm = np.array(t.column("embedding").to_pylist()[:8], dtype=np.float64)
+    qids = t.column("vec_id").to_pylist()[:8]
+    brute = knn_brute(emb_ds, qm, qids, k=10).to_pandas()
+    ann = knn_lsh(emb_ds, qm, qids, k=10).to_pandas()
+    want = set(zip(brute.query_id, brute.vec_id))
+    got = set(zip(ann.query_id, ann.vec_id))
+    recall = len(want & got) / len(want)
+    assert recall >= 0.95, recall
+    # found neighbors carry the brute ppm values up to the floor-of-ulp
+    # boundary (matrix-matrix vs matrix-vector BLAS differ in the last
+    # ulp; e.g. a self-match floors to 999999 vs 1000000)
+    bm = {(q, v): p for q, v, p in zip(brute.query_id, brute.vec_id, brute.cos_ppm)}
+    for q, v, p in zip(ann.query_id, ann.vec_id, ann.cos_ppm):
+        if (q, v) in bm:
+            assert abs(bm[(q, v)] - p) <= 1, (q, v)
+
+
 def test_lsh_dup_pairs_empty(emb_ds):
     """Testdata embeddings have no near-dups (max cosine ~0.6): both
     paths must return an EMPTY table with the correct schema."""
@@ -216,6 +243,48 @@ def test_multimodal_plumbing(ray_session):
         out2.sort_values("media_id").reset_index(drop=True)
     )
     assert frame_sample_plan(10, 3) == [0, 3, 6, 9]
+
+
+def test_multimodal_audio_video(ray_session):
+    import ray.data
+
+    from textindex_ray.functions.multimodal import AudioFeatures, VideoFrameSample
+
+    ds = ray.data.from_items(
+        [{"media_id": i, "payload": b"clip-%d" % i} for i in range(6)]
+        + [{"media_id": 99, "payload": b""}]  # corrupt/empty payload
+    )
+    out = ds.map_batches(
+        AudioFeatures, batch_format="pyarrow", batch_size=4, concurrency=2
+    ).to_pandas().sort_values("media_id").reset_index(drop=True)
+    assert len(out) == 7
+    good = out[out["media_id"] != 99]
+    assert good["decode_ok"].all()
+    assert (good["n_samples"] == 16_000).all()
+    assert good["feature"].map(len).eq(16).all()
+    # the corrupt payload is flagged, not fatal
+    bad = out[out["media_id"] == 99].iloc[0]
+    assert not bad["decode_ok"] and bad["n_samples"] == 0
+
+    vds = ray.data.from_items(
+        [{"media_id": i, "payload": b"video-%d" % i, "n_frames": 25} for i in range(3)]
+    )
+    frames = vds.map_batches(
+        VideoFrameSample, fn_constructor_kwargs={"every": 10},
+        batch_format="pyarrow", batch_size=2, concurrency=2,
+    ).to_pandas()
+    # 25 frames sampled every 10 -> indexes 0,10,20 per video
+    assert len(frames) == 9
+    assert sorted(frames[frames["media_id"] == 0]["frame_idx"]) == [0, 10, 20]
+    assert frames["frame"].map(len).eq(32).all()
+    # deterministic frame bytes
+    f2 = vds.map_batches(
+        VideoFrameSample, fn_constructor_kwargs={"every": 10},
+        batch_format="pyarrow", batch_size=2, concurrency=2,
+    ).to_pandas()
+    a = frames.sort_values(["media_id", "frame_idx"]).reset_index(drop=True)
+    b = f2.sort_values(["media_id", "frame_idx"]).reset_index(drop=True)
+    assert a.equals(b)
 
 
 def test_batch_query_eval(ray_session, tmp_path):

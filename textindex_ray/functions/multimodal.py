@@ -71,3 +71,98 @@ def frame_sample_plan(n_frames: int, every: int) -> list[int]:
     """Deterministic frame-sampling plan for video payloads (the real
     sampler would seek these frame indexes)."""
     return list(range(0, n_frames, max(1, every)))
+
+
+def _decode_audio_stub(payload: bytes, sample_rate: int) -> np.ndarray:
+    """STUB decode: deterministic fake 1-second mono PCM derived from the
+    payload (replace with soundfile/librosa in production)."""
+    if not payload:
+        raise NotImplementedError("empty payload: real decoder required")
+    h = hashlib.blake2b(payload, digest_size=64).digest()
+    base = np.frombuffer(h, dtype=np.uint8).astype(np.float32) / 127.5 - 1.0
+    reps = (sample_rate + base.size - 1) // base.size
+    return np.tile(base, reps)[:sample_rate]
+
+
+class AudioFeatures:
+    """Actor-pool stage: (id, payload:binary) -> (id, n_samples,
+    rms_milli:int32, zcr_ppm:int64, feature:list<float>).
+
+    Integer-scaled aggregate features (milli-RMS, zero-crossing-rate ppm)
+    keep the output hashable/deterministic; decode failures land in an
+    ``decode_ok`` column instead of killing the task — at 10^12 payloads
+    some WILL be corrupt, and a poisoned batch must not fail the stage.
+    """
+
+    def __init__(self, sample_rate: int = 16_000, feature_dim: int = 16):
+        self.sample_rate = sample_rate
+        self.feature_dim = feature_dim
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column(batch.column_names[0])
+        ns, rms, zcr, feats, ok = [], [], [], [], []
+        for p in batch.column("payload").to_pylist():
+            try:
+                pcm = _decode_audio_stub(p or b"", self.sample_rate)
+                ns.append(pcm.size)
+                rms.append(int(np.sqrt(np.mean(pcm**2)) * 1000))
+                zcr.append(int((np.diff(np.signbit(pcm)) != 0).mean() * 1_000_000))
+                # fixed-bin coarse "spectrum": mean |amplitude| per segment
+                segs = np.array_split(np.abs(pcm), self.feature_dim)
+                feats.append([float(s.mean()) for s in segs])
+                ok.append(True)
+            except NotImplementedError:
+                ns.append(0)
+                rms.append(0)
+                zcr.append(0)
+                feats.append([0.0] * self.feature_dim)
+                ok.append(False)
+        return pa.table(
+            {
+                batch.column_names[0]: ids,
+                "n_samples": pa.array(ns, pa.int32()),
+                "rms_milli": pa.array(rms, pa.int32()),
+                "zcr_ppm": pa.array(zcr, pa.int64()),
+                "feature": pa.array(feats, pa.list_(pa.float32())),
+                "decode_ok": pa.array(ok, pa.bool_()),
+            }
+        )
+
+
+class VideoFrameSample:
+    """Actor-pool flat-map stage: (id, payload:binary, n_frames:int32) ->
+    one row PER SAMPLED FRAME (id, frame_idx, frame:binary).
+
+    The fan-out (rows multiply by ~n_frames/every) is why this stage
+    needs a SMALL batch_size upstream and why frame payloads go straight
+    back into Arrow binary cells (object-store-spillable) rather than
+    Python lists. The stub "frame" is a deterministic slice-hash of the
+    payload; a real implementation seeks the planned indexes with
+    PyAV/ffmpeg in __init__-held state.
+    """
+
+    def __init__(self, every: int = 10):
+        self.every = every
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out_id, out_idx, out_frame = [], [], []
+        id_col = batch.column_names[0]
+        for i, (p, nf) in enumerate(
+            zip(batch.column("payload").to_pylist(),
+                batch.column("n_frames").to_pylist())
+        ):
+            rid = batch.column(id_col)[i].as_py()
+            for fi in frame_sample_plan(int(nf or 0), self.every):
+                out_id.append(rid)
+                out_idx.append(fi)
+                out_frame.append(
+                    hashlib.blake2b((p or b"") + fi.to_bytes(4, "big"),
+                                    digest_size=32).digest()
+                )
+        return pa.table(
+            {
+                id_col: pa.array(out_id),
+                "frame_idx": pa.array(out_idx, pa.int32()),
+                "frame": pa.array(out_frame, pa.binary()),
+            }
+        )

@@ -229,6 +229,86 @@ def lsh_dup_pairs(
     )
 
 
+def knn_lsh(
+    ds: "ray.data.Dataset",
+    queries: np.ndarray,
+    query_ids: list[int],
+    *,
+    k: int = 10,
+    num_bands: int = 32,
+    planes_per_band: int = 4,
+    seed: int = 42,
+) -> pa.Table:
+    """Approximate cosine top-k via banded RP-LSH candidate pruning.
+
+    Each batch computes banded sign signatures for its vectors and
+    scores ONLY the vectors that share >= 1 band bucket with a query
+    (the broadcast query matrix carries its own signatures); per-batch
+    partial top-k rows reduce exactly like knn_brute. Same output
+    schema as knn_brute; approximate — a neighbor colliding in no band
+    is missed. At the defaults (r=4, B=32) a cosine-0.3 neighbor is
+    found with p > 0.98 and a cosine-0.5 neighbor with p > 0.999
+    (recall-tested vs brute). Raise num_bands for higher recall; raise
+    planes_per_band to prune harder on huge corpora.
+    """
+    total = num_bands * planes_per_band
+    qn = queries.astype(np.float64)
+    qn = qn / np.linalg.norm(qn, axis=1, keepdims=True)
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((total, qn.shape[1]))
+    weights = 1 << np.arange(planes_per_band, dtype=np.int64)
+
+    def band_codes(m: np.ndarray) -> np.ndarray:
+        signs = (m @ planes.T) > 0
+        codes = np.empty((len(m), num_bands), dtype=np.int64)
+        for b in range(num_bands):
+            chunk = signs[:, b * planes_per_band : (b + 1) * planes_per_band]
+            codes[:, b] = chunk.astype(np.int64) @ weights
+        return codes
+
+    q_codes = band_codes(qn)  # (nq, B)
+    state_ref = ray.put((qn, q_codes))
+    qids = list(query_ids)
+
+    def score(batch: pa.Table) -> pa.Table:
+        q, qc = ray.get(state_ref)
+        m = _to_matrix(batch)
+        norms = np.linalg.norm(m, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        mn = m / norms
+        codes = band_codes(m)  # (n, B)
+        vec_ids = batch.column("vec_id").to_numpy()
+        out_q, out_v, out_c = [], [], []
+        for j in range(q.shape[0]):
+            cand = np.flatnonzero((codes == qc[j][None, :]).any(axis=1))
+            if cand.size == 0:
+                continue
+            s = mn[cand] @ q[j]
+            if s.size > 4 * k:
+                kth = np.partition(s, s.size - k)[s.size - k]
+                top = np.flatnonzero(s >= kth)
+            else:
+                top = np.argsort(-s, kind="stable")[:k]
+            out_q.extend([qids[j]] * len(top))
+            out_v.extend(vec_ids[cand[top]].tolist())
+            out_c.extend(s[top].tolist())
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                "vec_id": pa.array(out_v, pa.int64()),
+                "cos": pa.array(out_c, pa.float64()),
+            }
+        )
+
+    partials = ds.map_batches(score, batch_format="pyarrow")
+    t = partials.to_pandas()
+    t = t.sort_values(["query_id", "cos", "vec_id"], ascending=[True, False, True])
+    t = t.groupby("query_id", sort=True).head(k).reset_index(drop=True)
+    t["cos_ppm"] = np.floor(t["cos"].to_numpy() * 1_000_000).astype(np.int64)
+    t = t[["query_id", "vec_id", "cos_ppm"]]
+    return pa.Table.from_pandas(t, preserve_index=False)
+
+
 def rp_lsh_buckets(ds: "ray.data.Dataset", *, n_planes: int = 16, seed: int = 42):
     """Random-hyperplane LSH: (vec_id, bucket) — the ANN scale path.
 
