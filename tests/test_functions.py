@@ -344,6 +344,46 @@ def test_matched_lines_o12(ray_session, tmp_path):
     assert out["u://c"] == ["alpha yes"]  # case-sensitive like WildMatch
 
 
+def test_snippet_scan_prunes_row_groups(ray_session, tmp_path):
+    """matched_lines pushes an OR-of-url-equalities filter into the
+    parquet read: on a url-clustered corpus layout, row-group min/max
+    statistics must exclude most of the corpus for a small hit set."""
+    import pyarrow.compute as pc
+    import pyarrow.dataset as pads
+    import pyarrow.parquet as pq
+
+    from textindex_ray.corpus import generate_corpus
+    from textindex_ray.query.snippets import matched_lines
+
+    corpus = str(tmp_path / "c")
+    import os
+
+    os.makedirs(corpus)
+    t = generate_corpus(600)
+    t = t.take(pc.sort_indices(t.column("url")))  # url-clustered layout
+    for i in range(0, t.num_rows, 64):
+        pq.write_table(t.slice(i, 64), os.path.join(corpus, "c-%03d.parquet" % i))
+
+    d = pads.dataset(corpus)
+    frags = list(d.get_fragments())
+    first_urls = frags[0].to_table(columns=["url"]).column("url").to_pylist()[:3]
+
+    flt = None
+    for u in first_urls:
+        e = pc.field("url") == u
+        flt = e if flt is None else (flt | e)
+    total_rg, kept_rg = 0, 0
+    for frag in frags:
+        frag.ensure_complete_metadata()
+        total_rg += frag.num_row_groups
+        kept_rg += len(list(frag.split_by_row_group(flt)))
+    assert total_rg >= 5
+    assert kept_rg < total_rg, (kept_rg, total_rg)  # real pruning happened
+
+    out = matched_lines(corpus, first_urls, ["zebra"])
+    assert [u for u, _ in out] == first_urls
+
+
 def test_large_binary_docs_small_batches(ray_session, tmp_path):
     """Memory-aware config: multi-MB documents flow through the pipeline
     with a small batch_size (the media-payload pattern, SCALE.md)."""

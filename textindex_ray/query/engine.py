@@ -416,6 +416,7 @@ class _ChunkCursor:
         ) * (1.0 + 1e-12)
         self.docs_bufs = rows.column("docs").to_pylist()
         self.tfs_bufs = rows.column("tfs").to_pylist()
+        self.n_postings = rows.column("n").to_numpy()
         self.n_chunks = rows.num_rows
         self.ci = 0
         self._ids = None
@@ -455,6 +456,11 @@ class _ChunkCursor:
         if self._ids is None:
             self._ids = delta_decode(self.docs_bufs[self.ci])
             self._tfs = decode_tfs(self.tfs_bufs[self.ci])
+            if self._ids.size != self.n_postings[self.ci]:
+                raise ValueError(
+                    "corrupt chunk: decoded %d postings, stored n=%d"
+                    % (self._ids.size, self.n_postings[self.ci])
+                )
             self._off = 0
             self.decoded += 1
 
@@ -508,6 +514,12 @@ def _decode_chunk_rows(rows: pa.Table):
         ids = gcs - _chunk_offsets(starts, gcs, cat.size)
     else:
         ids = np.concatenate([delta_decode(b) for b in docs_bufs])
+    want = int(rows.column("n").to_numpy().sum())
+    if ids.size != want:
+        raise ValueError(
+            "corrupt chunk(s): decoded %d postings, stored n sum=%d"
+            % (ids.size, want)
+        )
     tcat = np.frombuffer(b"".join(tfs_bufs), dtype=np.uint8)
     if tcat.size and not (tcat & 0x80).any():
         tfs = tcat.astype(np.uint64)

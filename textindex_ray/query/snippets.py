@@ -41,13 +41,17 @@ def matched_lines(corpus_path: str, urls: list[str], terms: list[str]):
     # tiny (<= a page of results) while the corpus is the whole crawl, so
     # row-group statistics prune all non-matching row groups at the scan —
     # the stage reads only the hit documents' bytes, not the corpus.
+    # NOTE: an OR-of-equalities, not isin() — pyarrow 16 evaluates min/max
+    # statistics for comparison expressions but not for is_in, so isin
+    # would filter correctly yet read every row group. Pruning requires a
+    # url-clustered corpus layout (sorted or bucket-partitioned writes).
     import pyarrow.compute as pc
 
-    ds = ray.data.read_parquet(
-        corpus_path,
-        columns=["url", "html"],
-        filter=pc.field("url").isin(list(urls)),
-    )
+    flt = None
+    for u in urls:
+        e = pc.field("url") == u
+        flt = e if flt is None else (flt | e)
+    ds = ray.data.read_parquet(corpus_path, columns=["url", "html"], filter=flt)
 
     def scan(batch: pa.Table) -> pa.Table:
         out_url, out_lines = [], []
