@@ -175,6 +175,37 @@ def test_knn_lsh_recall(emb_ds):
             assert abs(bm[(q, v)] - p) <= 1, (q, v)
 
 
+def test_knn_ivf(emb_ds):
+    """IVF (distributed spherical k-means + nprobe cells): exact at
+    nprobe == k_clusters, recall >= 0.8 at nprobe=2 of 8 on testdata."""
+    import pyarrow.parquet as pq
+
+    from textindex_ray.functions.similarity import kmeans_fit, knn_brute, knn_ivf
+
+    cents = kmeans_fit(emb_ds, 8, n_iter=4)
+    assert cents.shape == (8, 64)
+    np.testing.assert_allclose(np.linalg.norm(cents, axis=1), 1.0, rtol=1e-9)
+    # deterministic refit
+    cents2 = kmeans_fit(emb_ds, 8, n_iter=4)
+    np.testing.assert_array_equal(cents, cents2)
+
+    t = pq.read_table(
+        "/root/testdata/sf0.001/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    qm = np.array(t.column("embedding").to_pylist()[:6], dtype=np.float64)
+    qids = t.column("vec_id").to_pylist()[:6]
+    brute = knn_brute(emb_ds, qm, qids, k=10).to_pandas()
+    want = set(zip(brute.query_id, brute.vec_id))
+
+    exact = knn_ivf(emb_ds, cents, qm, qids, k=10, nprobe=8).to_pandas()
+    assert set(zip(exact.query_id, exact.vec_id)) == want  # full probe == brute
+
+    ann = knn_ivf(emb_ds, cents, qm, qids, k=10, nprobe=2).to_pandas()
+    got = set(zip(ann.query_id, ann.vec_id))
+    recall = len(want & got) / len(want)
+    assert recall >= 0.8, recall
+
+
 def test_lsh_dup_pairs_empty(emb_ds):
     """Testdata embeddings have no near-dups (max cosine ~0.6): both
     paths must return an EMPTY table with the correct schema."""

@@ -309,6 +309,120 @@ def knn_lsh(
     return pa.Table.from_pandas(t, preserve_index=False)
 
 
+def kmeans_fit(
+    ds: "ray.data.Dataset", k: int, *, n_iter: int = 5
+) -> np.ndarray:
+    """Distributed spherical k-means (the IVF coarse quantizer).
+
+    Deterministic: initial centroids are the k lowest-vec_id vectors;
+    each Lloyd iteration is one map_batches pass emitting per-batch
+    (sum, count) partials, reduced on the driver after sorting by each
+    partial's first vec_id (fixed float addition order). The driver only
+    ever holds k x dim floats.
+    """
+    first = ds.select_columns(["vec_id", "embedding"]).sort("vec_id").limit(k)
+    init = first.to_pandas()
+    cents = np.array(init["embedding"].tolist(), dtype=np.float64)
+    cents /= np.maximum(np.linalg.norm(cents, axis=1, keepdims=True), 1e-12)
+
+    for _ in range(n_iter):
+        c_ref = ray.put(cents)
+
+        def partial(batch: pa.Table) -> pa.Table:
+            c = ray.get(c_ref)
+            m = _to_matrix(batch)
+            norms = np.linalg.norm(m, axis=1, keepdims=True)
+            norms[norms == 0] = 1.0
+            mn = m / norms
+            assign = np.argmax(mn @ c.T, axis=1)
+            sums = np.zeros((c.shape[0], m.shape[1]))
+            np.add.at(sums, assign, mn)
+            counts = np.bincount(assign, minlength=c.shape[0])
+            fid = int(batch.column("vec_id")[0].as_py())
+            return pa.table(
+                {
+                    "fid": pa.array([fid], pa.int64()),
+                    "sums": pa.array([sums.ravel().tolist()], pa.list_(pa.float64())),
+                    "counts": pa.array([counts.tolist()], pa.list_(pa.int64())),
+                }
+            )
+
+        parts = ds.select_columns(["vec_id", "embedding"]).map_batches(
+            partial, batch_format="pyarrow"
+        ).to_pandas().sort_values("fid")
+        sums = np.zeros_like(cents)
+        counts = np.zeros(cents.shape[0], dtype=np.int64)
+        for srow, crow in zip(parts["sums"], parts["counts"]):
+            sums += np.array(srow).reshape(cents.shape)
+            counts += np.array(crow)
+        nz = counts > 0
+        new = cents.copy()
+        new[nz] = sums[nz] / counts[nz, None]
+        new /= np.maximum(np.linalg.norm(new, axis=1, keepdims=True), 1e-12)
+        cents = new
+    return cents
+
+
+def knn_ivf(
+    ds: "ray.data.Dataset",
+    centroids: np.ndarray,
+    queries: np.ndarray,
+    query_ids: list[int],
+    *,
+    k: int = 10,
+    nprobe: int = 2,
+) -> pa.Table:
+    """IVF approximate cosine top-k: each query probes its ``nprobe``
+    nearest centroids' cells; each batch assigns its vectors to cells on
+    the fly (one k x dim matmul) and scores only vectors in a probed
+    cell. nprobe == len(centroids) degenerates to exact brute force.
+    Same output schema/reduce as knn_brute."""
+    qn = queries.astype(np.float64)
+    qn = qn / np.linalg.norm(qn, axis=1, keepdims=True)
+    probes = np.argsort(-(qn @ centroids.T), axis=1)[:, : max(1, nprobe)]
+    state_ref = ray.put((qn, centroids, probes))
+    qids = list(query_ids)
+
+    def score(batch: pa.Table) -> pa.Table:
+        q, c, pr = ray.get(state_ref)
+        m = _to_matrix(batch)
+        norms = np.linalg.norm(m, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        mn = m / norms
+        assign = np.argmax(mn @ c.T, axis=1)
+        vec_ids = batch.column("vec_id").to_numpy()
+        out_q, out_v, out_c = [], [], []
+        for j in range(q.shape[0]):
+            cand = np.flatnonzero(np.isin(assign, pr[j]))
+            if cand.size == 0:
+                continue
+            s = mn[cand] @ q[j]
+            if s.size > 4 * k:
+                kth = np.partition(s, s.size - k)[s.size - k]
+                top = np.flatnonzero(s >= kth)
+            else:
+                top = np.argsort(-s, kind="stable")[:k]
+            out_q.extend([qids[j]] * len(top))
+            out_v.extend(vec_ids[cand[top]].tolist())
+            out_c.extend(s[top].tolist())
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                "vec_id": pa.array(out_v, pa.int64()),
+                "cos": pa.array(out_c, pa.float64()),
+            }
+        )
+
+    partials = ds.map_batches(score, batch_format="pyarrow")
+    t = partials.to_pandas()
+    t = t.sort_values(["query_id", "cos", "vec_id"], ascending=[True, False, True])
+    t = t.groupby("query_id", sort=True).head(k).reset_index(drop=True)
+    t["cos_ppm"] = np.floor(t["cos"].to_numpy() * 1_000_000).astype(np.int64)
+    return pa.Table.from_pandas(
+        t[["query_id", "vec_id", "cos_ppm"]], preserve_index=False
+    )
+
+
 def rp_lsh_buckets(ds: "ray.data.Dataset", *, n_planes: int = 16, seed: int = 42):
     """Random-hyperplane LSH: (vec_id, bucket) — the ANN scale path.
 
