@@ -495,43 +495,42 @@ class _ChunkCursor:
 
 
 def _decode_chunk_rows(rows: pa.Table):
-    """Decode many chunk rows at once.
+    """Decode many chunk rows in ONE vectorized pass.
 
-    Chunks are self-contained (the first delta is the absolute first
-    docID), so a single global cumsum over the concatenated deltas minus
-    the per-chunk running offset reconstructs every chunk in one pass —
-    no per-chunk Python loop. Falls back per-chunk when any buffer has
-    multi-byte varints.
+    Each chunk is a complete varint stream (its first delta is the
+    absolute first docID), so the concatenation of all chunk buffers is
+    itself a valid varint stream: one vectorized ``varint_decode`` over
+    the whole thing yields every delta. Chunk boundaries in VALUE space
+    come from the stored per-chunk posting count ``n``; a global cumsum
+    minus each chunk's preceding cumsum value reconstructs all absolute
+    docIDs with no per-chunk Python loop (the first delta of each chunk
+    being absolute means the subtraction cancels the previous chunks'
+    contribution exactly).
     """
+    from textindex_ray.index.codec import varint_decode
+
     docs_bufs = [b.as_py() for b in rows.column("docs")]
     tfs_bufs = [b.as_py() for b in rows.column("tfs")]
-    cat = np.frombuffer(b"".join(docs_bufs), dtype=np.uint8)
-    if cat.size and not (cat & 0x80).any():
-        # every delta is one byte: byte stream == delta stream
-        lens = np.array([len(b) for b in docs_bufs], dtype=np.int64)
-        starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
-        gcs = np.cumsum(cat, dtype=np.uint64)
-        ids = gcs - _chunk_offsets(starts, gcs, cat.size)
-    else:
-        ids = np.concatenate([delta_decode(b) for b in docs_bufs])
-    want = int(rows.column("n").to_numpy().sum())
-    if ids.size != want:
+    n_col = rows.column("n").to_numpy().astype(np.int64)
+    want = int(n_col.sum())
+
+    deltas = varint_decode(b"".join(docs_bufs))
+    if deltas.size != want:
         raise ValueError(
             "corrupt chunk(s): decoded %d postings, stored n sum=%d"
-            % (ids.size, want)
+            % (deltas.size, want)
         )
-    tcat = np.frombuffer(b"".join(tfs_bufs), dtype=np.uint8)
-    if tcat.size and not (tcat & 0x80).any():
-        tfs = tcat.astype(np.uint64)
-    else:
-        tfs = np.concatenate([decode_tfs(b) for b in tfs_bufs])
+    gcs = np.cumsum(deltas, dtype=np.uint64)
+    vstarts = np.concatenate(([0], np.cumsum(n_col)[:-1]))
+    # cumsum value just before each chunk start (0 for the first chunk)
+    prev = np.zeros(len(n_col), dtype=np.uint64)
+    nz = vstarts > 0
+    prev[nz] = gcs[vstarts[nz] - 1]
+    ids = gcs - np.repeat(prev, n_col)
+
+    tfs = varint_decode(b"".join(tfs_bufs))
+    if tfs.size != want:
+        raise ValueError(
+            "corrupt chunk(s): decoded %d tfs, stored n sum=%d" % (tfs.size, want)
+        )
     return ids, tfs
-
-
-def _chunk_offsets(starts: np.ndarray, gcs: np.ndarray, n: int) -> np.ndarray:
-    """Per-position subtraction: cumsum value just before each chunk start."""
-    out = np.zeros(n, dtype=np.uint64)
-    nz = starts[starts > 0]
-    out[nz] = gcs[nz - 1]
-    np.maximum.accumulate(out, out=out)
-    return out
