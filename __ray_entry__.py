@@ -220,6 +220,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ev = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"))
         return tumbling_window_stats(ev)
 
+    def q_events_sliding(sf_dir):
+        import ray.data
+        from textindex_ray.functions.events import sliding_window_stats
+
+        ev = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"))
+        return sliding_window_stats(ev, size_windows=2)
+
+    def q_heavy_terms(sf_dir):
+        from textindex_ray.functions.textstats import heavy_terms
+
+        return heavy_terms(docs_ds(sf_dir), min_ppm=5_000)
+
     def q_events_sessions(sf_dir):
         import ray.data
         from textindex_ray.functions.events import sessionize
@@ -244,6 +256,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_postings": D.doc_postings,
         "doc_term_and": D.doc_term_and,
         "doc_wildcard_and": D.doc_wildcard_and,
+        "doc_phrase": D.doc_phrase,
         "doc_bm25_hash_join": D.doc_bm25_hash_join,
         "doc_bm25_scan_filter_sort": D.doc_bm25_scan_filter_sort,
         "doc_bm25_customer": D.doc_bm25_customer,
@@ -260,9 +273,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_score": q_quality,
         "token_count": q_token_count,
         "doc_fingerprint": q_fingerprint,
+        "heavy_terms": q_heavy_terms,
         "embedding_lsh_buckets": q_lsh_buckets,
         # stream-shaped (events log)
         "events_window_stats": q_events_window,
+        "events_sliding_window": q_events_sliding,
         "events_sessions": q_events_sessions,
         # synthetic web-corpus pipeline (rows-only; pytest-verified vs oracle)
         "corpus_extract_stats": corpus_extract_stats,
@@ -452,6 +467,28 @@ SELECT event_type,
        count(*)::BIGINT AS n_events,
        sum(CAST(floor(value * 10000) AS BIGINT))::BIGINT AS sum_value_t4
 FROM events GROUP BY event_type, (epoch_us(ts) // 3600000000)"""
+
+    sql["doc_phrase"] = r"""
+SELECT doc_id FROM documents
+WHERE regexp_matches(lower(text), '\bhash\s+join\b')"""
+
+    sql["events_sliding_window"] = """
+WITH w AS (
+  SELECT event_type,
+         (epoch_us(ts) // 3600000000 + s.i)::BIGINT AS "window",
+         CAST(floor(value * 10000) AS BIGINT) AS v4
+  FROM events CROSS JOIN (VALUES (0), (1)) AS s(i)
+)
+SELECT event_type, "window", count(*)::BIGINT AS n_events,
+       sum(v4)::BIGINT AS sum_value_t4
+FROM w GROUP BY event_type, "window" """
+
+    sql["heavy_terms"] = f"""
+WITH {_TOKS},
+tot AS (SELECT count(*)::BIGINT AS c FROM toks)
+SELECT term, count(*)::BIGINT AS cf
+FROM toks GROUP BY term
+HAVING count(*) * 1000000 >= (SELECT c FROM tot) * 5000"""
 
     sql["events_sessions"] = """
 WITH ordered AS (

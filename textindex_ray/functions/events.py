@@ -57,6 +57,50 @@ def tumbling_window_stats(ds: "ray.data.Dataset", *, window_us: int = _HOUR_US):
     return out.map_batches(finish, batch_format="pyarrow")
 
 
+def sliding_window_stats(
+    ds: "ray.data.Dataset", *, size_windows: int = 2, window_us: int = _HOUR_US
+):
+    """Sliding event-time windows (size = size_windows hops, hop =
+    window_us): each event lands in ``size_windows`` consecutive windows
+    via a vectorized flat-map, then the same order-free integer hash
+    aggregate as the tumbling path. Returns
+    (event_type, window, n_events, sum_value_t4) where ``window`` is the
+    window's LAST hop index (window w covers hops [w-size+1, w])."""
+    from ray.data.aggregate import Count, Sum
+
+    def explode(batch: pa.Table) -> pa.Table:
+        batch = add_window(batch, window_us=window_us)
+        n = batch.num_rows
+        win = batch.column("window").to_numpy()
+        idx = np.repeat(np.arange(n), size_windows)
+        shift = np.tile(np.arange(size_windows, dtype=np.int64), n)
+        return pa.table(
+            {
+                "event_type": batch.column("event_type").take(pa.array(idx)),
+                "window": pa.array(np.repeat(win, size_windows) + shift, pa.int64()),
+                "value_t4": batch.column("value_t4").take(pa.array(idx)),
+            }
+        )
+
+    out = (
+        ds.map_batches(explode, batch_format="pyarrow")
+        .groupby(["event_type", "window"])
+        .aggregate(Count(alias_name="n_events"), Sum("value_t4", alias_name="_sv"))
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_type": b.column("event_type"),
+                "window": b.column("window").cast(pa.int64()),
+                "n_events": b.column("n_events").cast(pa.int64()),
+                "sum_value_t4": b.column("_sv").cast(pa.int64()),
+            }
+        )
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
 def sessionize(ds: "ray.data.Dataset", *, gap_us: int = 1_800_000_000):
     """Per-user sessions: consecutive events within gap_us belong to one
     session. Returns (user_id, session_id, n_events, start_ts, end_ts).

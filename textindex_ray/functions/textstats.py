@@ -118,3 +118,111 @@ def fingerprint_batch(batch: pa.Table) -> pa.Table:
     return pa.table(
         {"doc_id": batch.column("doc_id"), "fingerprint": pa.array(fps, pa.string())}
     )
+
+
+# ---------------------------------------------------------------------------
+# heavy hitters: bounded-memory sketch + exact recount (two passes)
+
+def _mg_add(counters: dict, term: str, weight: int, k: int) -> None:
+    """Weighted Misra-Gries add: at most k counters survive."""
+    if term in counters:
+        counters[term] += weight
+    elif len(counters) < k:
+        counters[term] = weight
+    else:
+        # decrement all by the smallest amount that frees a slot
+        dec = min(weight, min(counters.values()))
+        dead = []
+        for t in counters:
+            counters[t] -= dec
+            if counters[t] <= 0:
+                dead.append(t)
+        for t in dead:
+            del counters[t]
+        if weight > dec:
+            counters[term] = weight - dec
+
+
+def heavy_terms(ds: "ray.data.Dataset", *, min_ppm: int = 5_000):
+    """EXACT corpus-wide heavy hitters (terms with cf/total >= min_ppm)
+    computed with bounded memory in two passes:
+
+    1. sketch: per-batch Misra-Gries summaries of k = ceil(1e6/min_ppm)+1
+       counters each (one row per batch), merged on the driver with the
+       weighted-MG combine — the classic guarantee (estimation error
+       <= total/k < total*min_ppm/1e6) makes the merged counter set a
+       SUPERSET of every true heavy hitter, at most k candidates.
+    2. recount: candidates broadcast; one vectorized pass counts their
+       exact cf and the total token count; the final integer-ppm filter
+       matches the SQL GROUP BY ... HAVING oracle exactly.
+
+    Returns a pa.Table (term, cf) — exact values, never approximations;
+    the sketch only bounds the candidate set. Tokens = the same
+    regex-word definition as the other textstats ops (SQL `\\pL+`).
+    """
+    from collections import Counter
+
+    import ray
+
+    k = 1_000_000 // max(1, min_ppm) + 2
+
+    def sketch(batch: pa.Table) -> pa.Table:
+        counters: dict[str, int] = {}
+        for t in batch.column("text").to_pylist():
+            for w, c in Counter(_tokens(t)).items():
+                _mg_add(counters, w, c, k)
+        return pa.table(
+            {
+                "terms": pa.array([list(counters.keys())], pa.list_(pa.string())),
+                "counts": pa.array([list(counters.values())], pa.list_(pa.int64())),
+            }
+        )
+
+    merged: dict[str, int] = {}
+    for bt in ds.map_batches(sketch, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow"
+    ):
+        for ts, cs in zip(bt.column("terms").to_pylist(), bt.column("counts").to_pylist()):
+            for t, c in zip(ts, cs):
+                _mg_add(merged, t, int(c), k)
+    cand = sorted(merged)
+    if not cand:
+        return pa.table({"term": pa.array([], pa.string()),
+                         "cf": pa.array([], pa.int64())})
+    cand_ref = ray.put(frozenset(cand))
+
+    def recount(batch: pa.Table) -> pa.Table:
+        cs = ray.get(cand_ref)
+        counts = Counter()
+        total = 0
+        for t in batch.column("text").to_pylist():
+            toks = _tokens(t)
+            total += len(toks)
+            for w in toks:
+                if w in cs:
+                    counts[w] += 1
+        terms = sorted(counts)
+        return pa.table(
+            {
+                "term": pa.array(terms + ["\x00total"], pa.string()),
+                "cf": pa.array([counts[t] for t in terms] + [total], pa.int64()),
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    agg = (
+        ds.map_batches(recount, batch_format="pyarrow")
+        .groupby("term")
+        .aggregate(Sum("cf", alias_name="cf"))
+        .to_pandas()
+    )
+    total = int(agg.loc[agg["term"] == "\x00total", "cf"].iloc[0])
+    agg = agg[agg["term"] != "\x00total"]
+    keep = agg[agg["cf"].to_numpy() * 1_000_000 >= total * min_ppm].sort_values("term")
+    return pa.table(
+        {
+            "term": pa.array(keep["term"].tolist(), pa.string()),
+            "cf": pa.array(keep["cf"].to_numpy().astype("int64"), pa.int64()),
+        }
+    )

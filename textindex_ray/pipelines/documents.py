@@ -202,6 +202,46 @@ def _bm25(sf_dir: str, terms: list[str], k: int = 10) -> pa.Table:
     )
 
 
+PHRASE = ("hash", "join")
+
+
+def doc_phrase(sf_dir: str) -> pa.Table:
+    """Index-accelerated phrase filter: docs where 'hash join' occurs as
+    adjacent words.
+
+    The inverted index prunes to the AND-candidate set (docs containing
+    both terms); only candidate rows are scanned, and a regex verifies
+    adjacency (``\\bhash\\s+join\\b`` on the lowercased text — the same
+    regex the DuckDB oracle runs over the whole table). A regex match
+    implies both tokens exist, so phrase hits ⊆ AND candidates and the
+    pruned scan is exact."""
+    import re
+
+    r = documents_reader(sf_dir)
+    internal = r.find(list(PHRASE))
+    cand = sorted(int(x) for x in _map_ids(r, internal))
+    if not cand:
+        return pa.table({"doc_id": pa.array([], pa.int64())})
+    rx = re.compile(r"\b%s\s+%s\b" % PHRASE)
+
+    def verify(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        texts = batch.column("text").to_pylist()
+        keep = [rx.search(t.lower()) is not None for t in texts]
+        return pa.table(
+            {"doc_id": pa.array(
+                [i for i, k in zip(ids, keep) if k], pa.int64())}
+        )
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text"],
+        filter=pc.field("doc_id").isin(cand),  # candidate-pruned scan
+    )
+    out = ds.map_batches(verify, batch_format="pyarrow").to_pandas().sort_values("doc_id")
+    return pa.table({"doc_id": pa.array(out["doc_id"].to_numpy(), pa.int64())})
+
+
 def doc_bm25_hash_join(sf_dir: str) -> pa.Table:
     return _bm25(sf_dir, BM25_QUERIES["q_hash_join"])
 
