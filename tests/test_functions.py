@@ -232,6 +232,45 @@ def test_knn_self_is_top1(emb_ds):
         assert sub.iloc[0]["vec_id"] == q  # self-similarity tops the list
 
 
+def test_heavy_terms_sketch_guarantee(ray_session):
+    """Misra-Gries two-pass heavy hitters: exact results on a skewed
+    synthetic corpus, with the per-batch sketch bounded at k counters."""
+    from collections import Counter
+
+    import ray.data
+    from textindex_ray.functions.textstats import _mg_add, heavy_terms
+
+    # adversarial-ish distribution: 3 heavy terms + long uniform tail
+    rows = []
+    rng = np.random.default_rng(3)
+    for i in range(400):
+        toks = ["heavyone"] * 8 + ["heavytwo"] * 5 + ["heavythree"] * 3
+        # letter-only tail tokens (the word tokenizer drops digits)
+        toks += [
+            "tail" + "".join(chr(97 + d) for d in rng.integers(0, 26, size=4))
+            for _ in range(40)
+        ]
+        rng.shuffle(toks)
+        rows.append({"doc_id": i, "text": " ".join(toks)})
+    ds = ray.data.from_items(rows)
+    got = heavy_terms(ds, min_ppm=50_000).to_pandas()  # threshold 5%
+
+    exact = Counter()
+    for r in rows:
+        exact.update(r["text"].split())
+    total = sum(exact.values())
+    want = {t: c for t, c in exact.items() if c * 1_000_000 >= total * 50_000}
+    assert dict(zip(got["term"], got["cf"])) == want
+    assert set(want) == {"heavyone", "heavytwo", "heavythree"}
+
+    # the sketch structure itself never exceeds k counters
+    counters = {}
+    for t, c in exact.items():
+        _mg_add(counters, t, c, 21)
+    assert len(counters) <= 21
+    assert {"heavyone", "heavytwo", "heavythree"} <= set(counters)
+
+
 def test_textstats_batches(docs_ds):
     from textindex_ray.functions.textstats import (
         fingerprint_batch,
