@@ -153,6 +153,19 @@ def main() -> None:
     docs.map_batches(quality_batch, batch_format="pyarrow").count()
     queries["quality"] = round(time.time() - t0, 3)
 
+    from textindex_ray.functions.textstats import heavy_terms
+
+    t0 = time.time()
+    heavy_terms(docs, min_ppm=5_000)
+    queries["heavy_terms"] = round(time.time() - t0, 3)
+
+    from textindex_ray.functions.events import sliding_window_stats
+
+    ev = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"))
+    t0 = time.time()
+    sliding_window_stats(ev).count()
+    queries["events_sliding"] = round(time.time() - t0, 3)
+
     import numpy as np
     import pyarrow.parquet as pq2
 

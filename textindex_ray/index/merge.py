@@ -36,6 +36,7 @@ from textindex_ray.index.build import (
     _commit,
     _data,
     _empty_chunks,
+    _fresh,
     build_index,
     K1,
     B,
@@ -77,7 +78,9 @@ def merge_indexes(index_dirs: list[str], out_dir: str, *, num_buckets: int = 64,
     index_dir = os.path.join(out_dir, "index")
     dict_dir = os.path.join(out_dir, "dict")
     for d in (docmap_dir, index_dir, dict_dir):
-        os.makedirs(_data(d), exist_ok=True)
+        # reset: stale parts from a previous (crashed/different-source)
+        # merge into the same out_dir must never mix with this run's
+        _fresh(d)
 
     # ---- merged docmap: first-source-wins per url, re-bucketed ------------
     # compaction: each source's tombstoned docs (delete.py) are dropped
