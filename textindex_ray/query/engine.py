@@ -77,17 +77,21 @@ class IndexReader:
         self.avgdl = float(self.meta["avgdl"])
         dict_dir = os.path.join(index_path, "dict", "data")
         try:
-            dt = pq.read_table(dict_dir)
+            if term_range is None:
+                dt = pq.read_table(dict_dir)
+            else:
+                # predicate pushdown: a term-range shard loads only its
+                # dictionary slice (the dict is term-sorted on disk, so
+                # row groups outside the range prune at the scan)
+                lo, hi = term_range
+                flt = pc.field("term") >= lo
+                if hi is not None:
+                    flt = flt & (pc.field("term") < hi)
+                dt = pads.dataset(dict_dir).to_table(filter=flt)
         except (FileNotFoundError, pa.ArrowInvalid):
             dt = pa.table({"term": pa.array([], pa.string()),
                            "df": pa.array([], pa.uint64()),
                            "cf": pa.array([], pa.uint64())})
-        if term_range is not None and dt.num_rows:
-            lo, hi = term_range
-            m = pc.greater_equal(dt.column("term"), lo)
-            if hi is not None:
-                m = pc.and_(m, pc.less(dt.column("term"), hi))
-            dt = dt.filter(m)
         self._dict = dt
         self._terms = dt.column("term").to_pylist()
         self._df = dict(zip(self._terms, dt.column("df").to_pylist()))
