@@ -341,6 +341,7 @@ class IndexReader:
         top_ids = np.empty(0, np.uint64)
         top_sc = np.empty(0, np.float64)
         threshold = -np.inf
+        streak = 0  # consecutive scored (non-pruned) windows
 
         while True:
             live = [c for c in cursors if not c.done]
@@ -366,13 +367,28 @@ class IndexReader:
                         c.next_chunk()
                     else:
                         c.skip_upto(window_end)
+                streak = 0
                 continue
+            if streak >= 4:
+                # adaptive batching: pruning has not fired recently (e.g.
+                # uniform-idf corpora where it never can), so score a
+                # multi-chunk window to amortize the per-window Python
+                # overhead. Purely a batching change: every posting is
+                # still scored exactly once with the same kernel, so
+                # results stay rank- and score-identical; skipping the ub
+                # check for the extension is conservative (never prunes
+                # wrongly), and any successful prune resets the streak.
+                window_end = min(
+                    c.last[min(c.ci + 8, c.n_chunks - 1)] for c in live
+                )
+                involved = [c for c in live if c.next_doc <= window_end]
             # score the window exactly (same accumulation order as brute)
             per_term = []
             for c in involved:
                 ids, sc = c.take_upto(window_end, dls_for, self._alive_mask)
                 if ids.size:
                     per_term.append((ids, sc))
+            streak += 1
             for c in live:
                 if not c.done and c.consumed:
                     c.next_chunk()
@@ -470,14 +486,70 @@ class _ChunkCursor:
 
     def take_upto(self, window_end, dls_for, alive_mask=None):
         """Consume postings with doc_id <= window_end; return (ids, scores).
-        alive_mask (tombstone filter) only removes postings, so the
-        chunk upper bounds used for pruning remain valid."""
-        self._ensure()
-        cut = int(np.searchsorted(self._ids, window_end, side="right"))
-        ids = self._ids[self._off : cut]
-        tfs = self._tfs[self._off : cut]
-        self._off = cut
-        self.consumed = cut >= self._ids.size
+        Covers as many chunks as the window spans (multi-chunk windows
+        come from the adaptive batching in bm25_topk_wand): after
+        draining a partially-decoded current chunk, every FULLY covered
+        chunk is decoded in one concatenated varint pass (the per-chunk
+        decode call overhead is what makes naive WAND slower than brute
+        force when no pruning fires). alive_mask (tombstone filter)
+        only removes postings, so chunk upper bounds stay valid."""
+        ids_parts, tfs_parts = [], []
+        proceed = True
+        if self._ids is not None:
+            # drain the current partially-decoded chunk
+            cut = int(np.searchsorted(self._ids, window_end, side="right"))
+            ids_parts.append(self._ids[self._off : cut])
+            tfs_parts.append(self._tfs[self._off : cut])
+            self._off = cut
+            self.consumed = cut >= self._ids.size
+            if self.consumed and self.ci + 1 < self.n_chunks and self.first[
+                self.ci + 1
+            ] <= window_end:
+                self.next_chunk()
+            else:
+                proceed = False
+        if proceed and self._ids is None and not self.done:
+            # bulk: contiguous chunks fully inside the window, one decode
+            j = self.ci + int(
+                np.searchsorted(self.last[self.ci :], window_end, side="right")
+            )
+            if j > self.ci:
+                from textindex_ray.index.codec import varint_decode
+
+                n_arr = self.n_postings[self.ci : j].astype(np.int64)
+                want = int(n_arr.sum())
+                deltas = varint_decode(b"".join(self.docs_bufs[self.ci : j]))
+                bulk_tfs = varint_decode(b"".join(self.tfs_bufs[self.ci : j]))
+                if deltas.size != want or bulk_tfs.size != want:
+                    raise ValueError(
+                        "corrupt chunk(s): decoded %d/%d postings, stored n sum=%d"
+                        % (deltas.size, bulk_tfs.size, want)
+                    )
+                gcs = np.cumsum(deltas, dtype=np.uint64)
+                vstarts = np.concatenate(([0], np.cumsum(n_arr)[:-1]))
+                prev = np.zeros(len(n_arr), dtype=np.uint64)
+                nz = vstarts > 0
+                prev[nz] = gcs[vstarts[nz] - 1]
+                ids_parts.append(gcs - np.repeat(prev, n_arr))
+                tfs_parts.append(bulk_tfs)
+                self.decoded += j - self.ci
+                self.ci = j - 1
+                self.next_chunk()  # lands on chunk j (or done)
+            # trailing partial chunk intersecting the window
+            if not self.done and self.first[self.ci] <= window_end:
+                self._ensure()
+                cut = int(np.searchsorted(self._ids, window_end, side="right"))
+                ids_parts.append(self._ids[self._off : cut])
+                tfs_parts.append(self._tfs[self._off : cut])
+                self._off = cut
+                self.consumed = cut >= self._ids.size
+            else:
+                self.consumed = False
+        if len(ids_parts) == 1:
+            ids, tfs = ids_parts[0], tfs_parts[0]
+        else:
+            ids = np.concatenate(ids_parts)
+            tfs = np.concatenate(tfs_parts)
         if alive_mask is not None and ids.size:
             m = alive_mask(ids)
             if m is not None:
