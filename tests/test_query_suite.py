@@ -45,6 +45,49 @@ def test_suite_rank_identical(suite):
             )
 
 
+def test_suite_sharded_with_tombstones(suite, tmp_path):
+    """Sharded evaluation respects tombstones identically to the
+    full-index path (the mask applies inside every shard's reader)."""
+    import shutil
+
+    import ray.data
+
+    from textindex_ray.index.delete import delete_docs
+    from textindex_ray.query.batch_eval import (
+        evaluate_queries,
+        evaluate_queries_sharded,
+    )
+    from textindex_ray.query.engine import IndexReader
+
+    index_path, _ = suite
+    idx = str(tmp_path / "idx_tomb")
+    shutil.copytree(index_path, idx)
+    r = IndexReader(idx)
+    victims = r.urls_for(r.find(["alpha"])[:3])
+    for u in victims:
+        assert delete_docs(idx, u) == 1
+
+    qds = ray.data.from_arrow(queries_table())
+    base = {r2["qid"]: r2 for r2 in evaluate_queries(idx, qds).iter_rows()}
+    shard = {
+        r2["qid"]: r2
+        for r2 in evaluate_queries_sharded(idx, qds, n_shards=3).iter_rows()
+    }
+    assert base.keys() == shard.keys()
+    deleted_internal = set()
+    r2 = IndexReader(index_path)
+    dm = r2.docmap(columns=["doc_id", "url"])
+    for d, u in zip(dm.column("doc_id").to_pylist(), dm.column("url").to_pylist()):
+        if u in victims:
+            deleted_internal.add(int(d))
+    for qid in base:
+        assert shard[qid]["doc_ids"] == base[qid]["doc_ids"], qid
+        np.testing.assert_allclose(
+            shard[qid]["scores"], base[qid]["scores"], rtol=0, atol=0
+        )
+        assert not (set(base[qid]["doc_ids"]) & deleted_internal), qid
+
+
 def test_suite_sharded_identical(suite):
     """Term-range-sharded evaluation == full-index evaluation, rank AND
     float64 score identical (the reduce replays sorted-term-order
