@@ -186,7 +186,7 @@ class IndexReader:
         rows = self.chunk_rows(terms)
         if rows.num_rows == 0:
             return np.empty(0, np.uint64)
-        ids = np.concatenate([delta_decode(b.as_py()) for b in rows.column("docs")])
+        ids, _ = _decode_chunk_rows(rows)  # one vectorized varint pass
         m = self._alive_mask(ids)
         if m is not None:
             ids = ids[m]
