@@ -99,17 +99,19 @@ def test_suite_sharded_identical(suite):
     index_path, oracle = suite
     qds = ray.data.from_arrow(queries_table())
     base = {r["qid"]: r for r in evaluate_queries(index_path, qds).iter_rows()}
-    for n_shards in (1, 3, 8):
+    # segment_size=7 forces every term's postings through the multi-row
+    # partial path (the bounded-cell contract for huge-df terms)
+    for n_shards, seg in ((1, 65536), (3, 65536), (8, 65536), (3, 7)):
         got = {
             r["qid"]: r
             for r in evaluate_queries_sharded(
-                index_path, qds, n_shards=n_shards
+                index_path, qds, n_shards=n_shards, segment_size=seg
             ).iter_rows()
         }
-        assert set(got) == set(base), n_shards
+        assert set(got) == set(base), (n_shards, seg)
         for qid in base:
-            assert got[qid]["doc_ids"] == base[qid]["doc_ids"], (n_shards, qid)
+            assert got[qid]["doc_ids"] == base[qid]["doc_ids"], (n_shards, seg, qid)
             np.testing.assert_allclose(
                 got[qid]["scores"], base[qid]["scores"], rtol=0, atol=0,
-                err_msg=str((n_shards, qid)),
+                err_msg=str((n_shards, seg, qid)),
             )

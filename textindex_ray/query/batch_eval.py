@@ -119,7 +119,8 @@ def _empty_partials() -> pa.Table:
 
 
 def evaluate_queries_sharded(
-    index_path: str, queries: "ray.data.Dataset", *, n_shards: int = 4
+    index_path: str, queries: "ray.data.Dataset", *, n_shards: int = 4,
+    segment_size: int = 65536,
 ) -> "ray.data.Dataset":
     """Term-range-sharded evaluation, rank- and score-identical to
     evaluate_queries.
@@ -162,6 +163,12 @@ def evaluate_queries_sharded(
             rows["doc_ids"].append([int(i) for i in ids])
             rows["scores"].append([float(s) for s in scores])
 
+        # bound each partial row's payload: a huge-df term's postings
+        # split into SEG-sized rows instead of one giant list cell (the
+        # reduce re-orders by (term, first doc), and each doc appears
+        # exactly once per term, so chunking is float-identical)
+        SEG = segment_size
+
         ks = g.column("k").to_pylist() if "k" in g.column_names else [10] * g.num_rows
         for qid, kind, terms, k in zip(
             g.column("qid").to_pylist(), g.column("kind").to_pylist(),
@@ -174,13 +181,15 @@ def evaluate_queries_sharded(
             if kind in ("term_and", "wildcard_and"):
                 for pidx, pat in enumerate(terms):
                     ids = reader.doc_set(pat)
-                    if ids.size:
-                        emit(qid, kind, k, len(terms), pidx, "", ids, [])
+                    for s in range(0, ids.size, SEG):
+                        emit(qid, kind, k, len(terms), pidx, "",
+                             ids[s : s + SEG], [])
             elif kind == "bm25_topk":
                 for t in sorted(set(terms)):
                     ids, sc = reader._term_scores(t)
-                    if ids.size:
-                        emit(qid, kind, k, 0, -1, t, ids, sc)
+                    for s in range(0, ids.size, SEG):
+                        emit(qid, kind, k, 0, -1, t,
+                             ids[s : s + SEG], sc[s : s + SEG])
             elif kind == "file_glob" and shard == 0:
                 urls = reader.find_files(terms[0] if terms else "*")
                 emit(qid, kind, k, 0, -1, "", [], [float(len(urls))])
@@ -212,9 +221,14 @@ def evaluate_queries_sharded(
             out_ids, out_sc = [int(i) for i in ids], [0.0] * int(ids.size)
         elif kind == "bm25_topk":
             # replay the exact term-at-a-time accumulation: order rows by
-            # term (shards own contiguous sorted ranges, so this is the
-            # global sorted-unique-term order)
-            order = sorted(range(g.num_rows), key=lambda i: g.column("term")[i].as_py())
+            # (term, first doc of the row) — shards own contiguous sorted
+            # term ranges and segments of one term are docID-ordered, so
+            # this reconstructs the global sorted-unique-term order
+            def row_key(i):
+                ids_i = g.column("doc_ids")[i].as_py()
+                return (g.column("term")[i].as_py(), ids_i[0] if ids_i else 0)
+
+            order = sorted(range(g.num_rows), key=row_key)
             per_term = [
                 (np.array(g.column("doc_ids")[i].as_py(), dtype=np.uint64),
                  np.array(g.column("scores")[i].as_py(), dtype=np.float64))
