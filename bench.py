@@ -2,8 +2,14 @@
 
 Prints ONE JSON line:
   {"metric": "index_build_sec", "value": <headline sec>, "unit": "sec",
-   "queries": {...per-section sec...}, "sf": ..., "num_cpus": N,
-   "docs": N, "docs_per_sec": N}
+   "queries": {...per-section min-of-N sec...}, "reps": {...all reps...},
+   "sf": ..., "num_cpus": N, "docs": N, "docs_per_sec": N}
+
+Every timed section runs GRAFT_BENCH_REPS times (default 2) with a warm
+pool/page cache and the MIN is published: this VM sees external
+host-steal episodes (CLAUDE.md) that uniformly inflate wall-clock; the
+min over reps is the steady-state number the engine actually delivers.
+All reps are emitted under "reps" so a contended run is visible.
 
 --scaling: runs the same bench in two fresh processes (num_cpus=8 and
 num_cpus=32) on the same input and reports both throughputs plus the
@@ -28,12 +34,59 @@ def sf_of(sf_dir: str) -> str:
     return base[2:] if base.startswith("sf") else "0.1"
 
 
+def _timed(fn, reps: int) -> list[float]:
+    vals = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        fn()
+        vals.append(round(time.perf_counter() - t0, 3))
+    return vals
+
+
+def _write_skewed_corpus(
+    cdir: str, n: int, rows_per_file: int = 16384, rare_every: int = 10000
+) -> None:
+    """Deterministic skewed-idf corpus (test_determinism.py fixture shape):
+    every doc repeats a handful of ubiquitous terms; 1/rare_every docs
+    carry the rare term — the high-idf-contrast case where block-max WAND
+    prunes. rare_every must be >> chunk_size: a window (chunk-granular)
+    containing ANY rare posting has an upper bound above the top-k
+    threshold and must be scored, so pruning only fires on the
+    rare-term-free windows between occurrences."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    os.makedirs(cdir, exist_ok=True)
+    fi = 0
+    for start in range(0, n, rows_per_file):
+        stop = min(start + rows_per_file, n)
+        texts = []
+        for i in range(start, stop):
+            t = "common filler words everywhere always " * 3
+            if i % rare_every == 0:
+                t += " raregem"
+            if i % 4 == 0:
+                t += " oftenish" * (1 + i % 3)
+            texts.append(t.encode())
+        pq.write_table(
+            pa.table(
+                {
+                    "url": pa.array(["u://%08d" % i for i in range(start, stop)]),
+                    "html": pa.array(texts, pa.binary()),
+                }
+            ),
+            os.path.join(cdir, "skew-%05d.parquet" % fi),
+        )
+        fi += 1
+
+
 def main() -> None:
     sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
     num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
     sf = sf_of(sf_dir)
     n_docs = int(os.environ.get("GRAFT_BENCH_DOCS", SF_DOCS.get(sf, 50000)))
     build_only = os.environ.get("GRAFT_BENCH_BUILD_ONLY") == "1"
+    reps = max(1, int(os.environ.get("GRAFT_BENCH_REPS", "2")))
 
     import ray
 
@@ -54,6 +107,7 @@ def main() -> None:
     from textindex_ray.query.engine import IndexReader
 
     queries: dict[str, float] = {}
+    all_reps: dict[str, list[float]] = {}
 
     # corpus generation is setup, not benchmarked; cached across runs
     corpus_dir = "/tmp/ti_bench/corpus-sf%s-%d-v2" % (sf, n_docs)
@@ -87,26 +141,31 @@ def main() -> None:
 
     # ---- headline: full index build (tokenize -> ids -> sort -> encode) ----
     out_dir = "/tmp/ti_bench/idx-sf%s-%d-cpus%d" % (sf, n_docs, num_cpus)
-    shutil.rmtree(out_dir, ignore_errors=True)
-    t0 = time.time()
     conc_frac = os.environ.get("GRAFT_BENCH_CONC_FRAC")
     conc = max(2, int(num_cpus * float(conc_frac))) if conc_frac else None
-    meta = build_index(
-        corpus_dir,
-        out_dir,
-        num_buckets=64,
-        batch_size=1024,
-        concurrency=conc,
-        resume=False,
-    )
-    build_sec = time.time() - t0
-    queries["index_build"] = round(build_sec, 3)
+    build_secs = []
+    meta = None
+    for _ in range(reps):
+        shutil.rmtree(out_dir, ignore_errors=True)
+        t0 = time.perf_counter()
+        meta = build_index(
+            corpus_dir,
+            out_dir,
+            num_buckets=64,
+            batch_size=1024,
+            concurrency=conc,
+            resume=False,
+        )
+        build_secs.append(round(time.perf_counter() - t0, 3))
+    build_sec = min(build_secs)
+    queries["index_build"] = build_sec
+    all_reps["index_build"] = build_secs
 
     if build_only:
         print(json.dumps({
-            "metric": "index_build_sec", "value": round(build_sec, 3),
-            "unit": "sec", "queries": queries, "sf": sf, "num_cpus": num_cpus,
-            "docs": int(meta["n_docs"]),
+            "metric": "index_build_sec", "value": build_sec,
+            "unit": "sec", "queries": queries, "reps": all_reps, "sf": sf,
+            "num_cpus": num_cpus, "docs": int(meta["n_docs"]),
             "docs_per_sec": round(meta["n_docs"] / build_sec, 1),
         }))
         ray.shutdown()
@@ -119,52 +178,65 @@ def main() -> None:
         ["lorem", "ipsum"], ["alph*", "bet?"], ["zebra", "sphinx", "quartz"],
         ["haus", "baum", "wald"], ["maison", "arbre"],
     ]
-    t0 = time.time()
-    for q in qset:
-        reader.find(q)
-    queries["boolean_find"] = round(time.time() - t0, 3)
+    bm25_qset = [
+        [t for t in q if "*" not in t and "?" not in t] or ["alpha"] for q in qset
+    ]
 
-    t0 = time.time()
-    for q in qset:
-        reader.bm25_topk([t for t in q if "*" not in t and "?" not in t] or ["alpha"], 10)
-    queries["bm25_brute"] = round(time.time() - t0, 3)
+    def run_find():
+        for q in qset:
+            reader.find(q)
 
-    t0 = time.time()
-    for q in qset:
-        reader.bm25_topk_wand([t for t in q if "*" not in t and "?" not in t] or ["alpha"], 10)
-    queries["bm25_wand"] = round(time.time() - t0, 3)
+    def run_brute():
+        for q in bm25_qset:
+            reader.bm25_topk(q, 10)
+
+    def run_wand():
+        for q in bm25_qset:
+            reader.bm25_topk_wand(q, 10)
+
+    for name, fn in (
+        ("boolean_find", run_find), ("bm25_brute", run_brute), ("bm25_wand", run_wand)
+    ):
+        all_reps[name] = _timed(fn, reps)
+        queries[name] = min(all_reps[name])
+
+    # ---- skewed-idf BM25: the case where block-max pruning fires ----------
+    # (the uniform synthetic vocab above is WAND's theoretical worst case —
+    # no chunk can be skipped; this line tracks the pruning win and catches
+    # pruning regressions). Corpus + index cached across runs, keyed by the
+    # code tag so codec changes rebuild.
+    from textindex_ray.pipelines.documents import _code_tag
+
+    n_skew = int(os.environ.get("GRAFT_BENCH_SKEW_DOCS", "500000"))
+    skew_corpus = "/tmp/ti_bench/skew-corpus-%d" % n_skew
+    if not os.path.exists(os.path.join(skew_corpus, "skew-00000.parquet")):
+        _write_skewed_corpus(skew_corpus, n_skew)
+    skew_idx = "/tmp/ti_bench/skew-idx-%d-%s" % (n_skew, _code_tag())
+    if not os.path.exists(os.path.join(skew_idx, "meta.json")):
+        shutil.rmtree(skew_idx, ignore_errors=True)
+        build_index(skew_corpus, skew_idx, num_buckets=64, batch_size=1024,
+                    concurrency=conc, resume=False)
+    sreader = IndexReader(skew_idx)
+    skew_q = ["raregem", "common"]
+    ids_b, sc_b = sreader.bm25_topk(skew_q, 10)
+    ids_w, sc_w = sreader.bm25_topk_wand(skew_q, 10)
+    assert ids_b.tolist() == ids_w.tolist(), "WAND != brute on skewed corpus"
+
+    all_reps["bm25_brute_skewed"] = _timed(lambda: sreader.bm25_topk(skew_q, 10), reps)
+    queries["bm25_brute_skewed"] = min(all_reps["bm25_brute_skewed"])
+    all_reps["bm25_wand_skewed"] = _timed(
+        lambda: sreader.bm25_topk_wand(skew_q, 10), reps
+    )
+    queries["bm25_wand_skewed"] = min(all_reps["bm25_wand_skewed"])
 
     # ---- documents-table ops (dedup + knn + textstats) --------------------
-    import ray.data
-
     docs = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"))
     from textindex_ray.functions.dedup import exact_dedup_groups, simhash64_batch
-    from textindex_ray.functions.textstats import quality_batch
-
-    t0 = time.time()
-    exact_dedup_groups(docs).count()
-    queries["exact_dedup"] = round(time.time() - t0, 3)
-
-    t0 = time.time()
-    docs.map_batches(simhash64_batch, batch_format="pyarrow").count()
-    queries["simhash"] = round(time.time() - t0, 3)
-
-    t0 = time.time()
-    docs.map_batches(quality_batch, batch_format="pyarrow").count()
-    queries["quality"] = round(time.time() - t0, 3)
-
-    from textindex_ray.functions.textstats import heavy_terms
-
-    t0 = time.time()
-    heavy_terms(docs, min_ppm=5_000)
-    queries["heavy_terms"] = round(time.time() - t0, 3)
+    from textindex_ray.functions.textstats import heavy_terms, quality_batch
 
     from textindex_ray.functions.events import sliding_window_stats
 
     ev = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"))
-    t0 = time.time()
-    sliding_window_stats(ev).count()
-    queries["events_sliding"] = round(time.time() - t0, 3)
 
     import numpy as np
     import pyarrow.parquet as pq2
@@ -174,15 +246,27 @@ def main() -> None:
     qm = np.array(t.column("embedding").to_pylist()[:5], dtype=np.float64)
     from textindex_ray.functions.similarity import knn_brute
 
-    t0 = time.time()
-    knn_brute(ray.data.read_parquet(emb_path), qm, list(range(5)), k=10)
-    queries["knn_brute"] = round(time.time() - t0, 3)
+    sections = (
+        ("exact_dedup", lambda: exact_dedup_groups(docs).count()),
+        ("simhash", lambda: docs.map_batches(
+            simhash64_batch, batch_format="pyarrow").count()),
+        ("quality", lambda: docs.map_batches(
+            quality_batch, batch_format="pyarrow").count()),
+        ("heavy_terms", lambda: heavy_terms(docs, min_ppm=5_000)),
+        ("events_sliding", lambda: sliding_window_stats(ev).count()),
+        ("knn_brute", lambda: knn_brute(
+            ray.data.read_parquet(emb_path), qm, list(range(5)), k=10)),
+    )
+    for name, fn in sections:
+        all_reps[name] = _timed(fn, reps)
+        queries[name] = min(all_reps[name])
 
     result = {
         "metric": "index_build_sec",
-        "value": round(build_sec, 3),
+        "value": build_sec,
         "unit": "sec",
         "queries": queries,
+        "reps": all_reps,
         "sf": sf,
         "num_cpus": num_cpus,
         "docs": int(meta["n_docs"]),
@@ -213,6 +297,7 @@ def scaling() -> None:
         # high-CPU leg disproportionately
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
                    GRAFT_BENCH_DOCS=str(docs), GRAFT_BENCH_BUILD_ONLY="1",
+                   GRAFT_BENCH_REPS=os.environ.get("GRAFT_BENCH_REPS", "1"),
                    GRAFT_BENCH_CONC_FRAC=os.environ.get("GRAFT_BENCH_CONC_FRAC", "0.75"))
         best = None
         for _ in range(reps):
