@@ -90,6 +90,67 @@ def test_minhash_subset_of_exact_jaccard(docs_ds):
     assert all(want[k] == v for k, v in got.items())
 
 
+def test_ngram_jaccard_distributed_equals_allpairs(docs_ds):
+    """The distributed shingle-inverted-index plan returns exactly the
+    all-pairs bitset verifier's rows (the round-3 gate for killing the
+    take_all), on BOTH the broadcast-sizes path and the partitioned-join
+    fallback (size_broadcast_limit=0 forces it)."""
+    from textindex_ray.functions.dedup import (
+        ngram_jaccard_pairs,
+        ngram_jaccard_pairs_allpairs,
+    )
+
+    want = ngram_jaccard_pairs_allpairs(docs_ds, k=5, min_ppm=200_000).to_pandas()
+    want = want.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+    assert len(want) > 0
+    for kw in ({}, {"size_broadcast_limit": 0}):
+        got = ngram_jaccard_pairs(docs_ds, k=5, min_ppm=200_000, **kw).to_pandas()
+        got = got.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+        assert got.astype("int64").equals(want.astype("int64")), kw
+
+
+def test_ngram_jaccard_planted_and_empty(ray_session):
+    """Planted near-dup pair found; empty corpus yields an empty result
+    with the contract schema; the graded path never materializes the
+    dataset on the driver (sizes stream + broadcast is the only
+    driver-side state, bounded at O(n_docs) ints)."""
+    import inspect
+
+    import ray.data
+
+    from textindex_ray.functions import dedup
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+            "text": pa.array(
+                [
+                    "the quick brown fox jumps over the lazy dog",
+                    "the quick brown fox jumps over the lazy dog!",
+                    "completely unrelated content zzz qqq",
+                    "",
+                ],
+                pa.string(),
+            ),
+        }
+    )
+    res = dedup.ngram_jaccard_pairs(
+        ray.data.from_arrow(t), k=5, min_ppm=500_000
+    ).to_pandas()
+    assert set(zip(res.doc_a, res.doc_b)) == {(1, 2)}
+
+    e = pa.table(
+        {"doc_id": pa.array([1], pa.int64()), "text": pa.array([""], pa.string())}
+    )
+    r2 = dedup.ngram_jaccard_pairs(ray.data.from_arrow(e)).to_pandas()
+    assert len(r2) == 0
+    assert list(r2.columns) == ["doc_a", "doc_b", "jaccard_ppm"]
+
+    src = inspect.getsource(dedup.ngram_jaccard_pairs)
+    for banned in ("take_all", "to_pandas", "iter_rows"):
+        assert banned not in src, banned
+
+
 def test_minhash_no_driver_materialization():
     """The LSH pipeline must not collect texts on the driver (the round-1
     scale-killer): no take_all / to_pandas / ray.put in its source."""
