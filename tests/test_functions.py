@@ -267,6 +267,53 @@ def test_knn_ivf(emb_ds):
     assert recall >= 0.8, recall
 
 
+def test_ivf_persisted_layout(emb_ds, tmp_path):
+    """Persisted IVF (ivf_build cell=K hive layout): full-probe search
+    over the layout equals brute exactly; a small probe READS fewer
+    files than the full table (IO pruning, not just FLOP pruning)."""
+    import pyarrow.parquet as pq
+
+    from textindex_ray.functions.similarity import (
+        ivf_build,
+        ivf_probed_dataset,
+        kmeans_fit,
+        knn_brute,
+        knn_ivf_persisted,
+    )
+
+    cents = kmeans_fit(emb_ds, 8, n_iter=4)
+    idx = str(tmp_path / "ivf")
+    meta = ivf_build(emb_ds, cents, idx)
+    assert meta == {"n_cells": 8, "dim": 64}
+
+    t = pq.read_table(
+        "/root/testdata/sf0.001/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    qm = np.array(t.column("embedding").to_pylist()[:6], dtype=np.float64)
+    qids = t.column("vec_id").to_pylist()[:6]
+
+    brute = knn_brute(emb_ds, qm, qids, k=10).to_pandas()
+    full = knn_ivf_persisted(idx, qm, qids, k=10, nprobe=8).to_pandas()
+    # full probe == brute by neighbor set; ppm within the floor-of-ulp
+    # boundary (matrix-matrix vs matrix-vector BLAS, see test_knn_lsh)
+    assert set(zip(full.query_id, full.vec_id)) == set(zip(brute.query_id, brute.vec_id))
+    bm = {(q, v): p for q, v, p in zip(brute.query_id, brute.vec_id, brute.cos_ppm)}
+    for q, v, p in zip(full.query_id, full.vec_id, full.cos_ppm):
+        assert abs(bm[(q, v)] - p) <= 1, (q, v)
+
+    ann = knn_ivf_persisted(idx, qm, qids, k=10, nprobe=2).to_pandas()
+    want = set(zip(brute.query_id, brute.vec_id))
+    got = set(zip(ann.query_id, ann.vec_id))
+    assert len(want & got) / len(want) >= 0.8
+
+    # IO pruning: one probed cell touches a strict subset of the files
+    all_files = ivf_probed_dataset(idx, np.arange(8)).input_files()
+    one = ivf_probed_dataset(idx, np.array([0])).input_files()
+    assert len(one) >= 1
+    assert len(one) < len(all_files)
+    assert set(one) <= set(all_files)
+
+
 def test_lsh_dup_pairs_empty(emb_ds):
     """Testdata embeddings have no near-dups (max cosine ~0.6): both
     paths must return an EMPTY table with the correct schema."""

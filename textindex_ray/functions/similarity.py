@@ -20,6 +20,8 @@ of float32 inputs in index order. See __ray_entry__.oracle_sql notes.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pyarrow as pa
 
@@ -34,6 +36,44 @@ def _to_matrix(batch: pa.Table, col: str = "embedding") -> np.ndarray:
     flat = arr.flatten().to_numpy().astype(np.float64)
     n = len(arr)
     return flat.reshape(n, -1)
+
+
+def _partial_topk(s: np.ndarray, k: int) -> np.ndarray:
+    """Tie-inclusive per-batch candidate selection: every candidate whose
+    score ties the kth-best survives to the deterministic final reduce —
+    UNCONDITIONALLY (a stable argsort truncation in the k < n <= 4k
+    regime would drop boundary ties by batch position, making results
+    depend on block layout)."""
+    if s.size > k:
+        kth = np.partition(s, s.size - k)[s.size - k]
+        return np.flatnonzero(s >= kth)
+    return np.arange(s.size)
+
+
+def _topk_reduce(partials: "ray.data.Dataset", k: int) -> pa.Table:
+    """Final reduce: tiny table (<= ties+k rows per query per block);
+    ranked by the RAW cosine (floored ppm would mis-rank near-tied
+    boundary candidates vs the SQL oracle), ppm emitted only as the
+    display value."""
+    t = partials.to_pandas()
+    t = t.sort_values(["query_id", "cos", "vec_id"], ascending=[True, False, True])
+    t = t.groupby("query_id", sort=True).head(k).reset_index(drop=True)
+    t["cos_ppm"] = np.floor(t["cos"].to_numpy() * 1_000_000).astype(np.int64)
+    return pa.Table.from_pandas(
+        t[["query_id", "vec_id", "cos_ppm"]], preserve_index=False
+    )
+
+
+def _pair_cos_ppm(mn: np.ndarray, iu: np.ndarray, ju: np.ndarray) -> np.ndarray:
+    """Per-pair cosine as floor ppm via a SHAPE-INDEPENDENT kernel: a
+    row-wise einsum dot over the two gathered (contiguous) operands runs
+    the same fixed-length reduction regardless of how many pairs or how
+    the rows were partitioned into buckets — so lsh_dup_pairs and the
+    brute verifier produce bit-identical ppm for every pair (a bucket
+    mn @ mn.T dgemm can differ from the full-matrix dgemm in the last
+    ulp, flipping floor() at ppm boundaries)."""
+    cos = np.einsum("ij,ij->i", mn[iu], mn[ju])
+    return np.floor(cos * 1_000_000).astype(np.int64)
 
 
 def knn_brute(
@@ -63,15 +103,7 @@ def knn_brute(
         out_q, out_v, out_c = [], [], []
         for j in range(sims.shape[1]):
             s = sims[:, j]
-            if s.size > 4 * k:
-                # tie-inclusive partial selection (no per-batch full sort):
-                # keep every candidate >= the kth score so an exact-float
-                # boundary tie still reaches the final (vec_id-ordered)
-                # reduce; ordering is the driver-side reduce's job
-                kth = np.partition(s, s.size - k)[s.size - k]
-                top = np.flatnonzero(s >= kth)
-            else:
-                top = np.argsort(-s, kind="stable")[:k]
+            top = _partial_topk(s, k)
             out_q.extend([qids[j]] * len(top))
             out_v.extend(vec_ids[top].tolist())
             out_c.extend(s[top].tolist())
@@ -84,15 +116,7 @@ def knn_brute(
         )
 
     partials = ds.map_batches(score, batch_format="pyarrow")
-    # final reduce: tiny table (k rows per query per block); ranked by the
-    # RAW cosine (floored ppm would mis-rank near-tied boundary candidates
-    # vs the SQL oracle), ppm emitted only as the display value
-    t = partials.to_pandas()
-    t = t.sort_values(["query_id", "cos", "vec_id"], ascending=[True, False, True])
-    t = t.groupby("query_id", sort=True).head(k).reset_index(drop=True)
-    t["cos_ppm"] = np.floor(t["cos"].to_numpy() * 1_000_000).astype(np.int64)
-    t = t[["query_id", "vec_id", "cos_ppm"]]
-    return pa.Table.from_pandas(t, preserve_index=False)
+    return _topk_reduce(partials, k)
 
 
 def cosine_dup_pairs(
@@ -111,9 +135,8 @@ def cosine_dup_pairs(
     norms = np.linalg.norm(m, axis=1, keepdims=True)
     norms[norms == 0] = 1.0
     mn = m / norms
-    sims = mn @ mn.T
     iu, ju = np.triu_indices(len(ids), k=1)
-    ppm = np.floor(sims[iu, ju] * 1_000_000).astype(np.int64)
+    ppm = _pair_cos_ppm(mn, iu, ju)
     keep = ppm >= threshold_ppm
     return pa.table(
         {
@@ -191,9 +214,8 @@ def lsh_dup_pairs(
         norms = np.linalg.norm(m, axis=1, keepdims=True)
         norms[norms == 0] = 1.0
         mn = m / norms
-        sims = mn @ mn.T
         iu, ju = np.triu_indices(len(ids), k=1)
-        ppm = np.floor(sims[iu, ju] * 1_000_000).astype(np.int64)
+        ppm = _pair_cos_ppm(mn, iu, ju)
         keep = ppm >= threshold_ppm
         if not keep.any():
             return empty
@@ -284,11 +306,7 @@ def knn_lsh(
             if cand.size == 0:
                 continue
             s = mn[cand] @ q[j]
-            if s.size > 4 * k:
-                kth = np.partition(s, s.size - k)[s.size - k]
-                top = np.flatnonzero(s >= kth)
-            else:
-                top = np.argsort(-s, kind="stable")[:k]
+            top = _partial_topk(s, k)
             out_q.extend([qids[j]] * len(top))
             out_v.extend(vec_ids[cand[top]].tolist())
             out_c.extend(s[top].tolist())
@@ -301,12 +319,7 @@ def knn_lsh(
         )
 
     partials = ds.map_batches(score, batch_format="pyarrow")
-    t = partials.to_pandas()
-    t = t.sort_values(["query_id", "cos", "vec_id"], ascending=[True, False, True])
-    t = t.groupby("query_id", sort=True).head(k).reset_index(drop=True)
-    t["cos_ppm"] = np.floor(t["cos"].to_numpy() * 1_000_000).astype(np.int64)
-    t = t[["query_id", "vec_id", "cos_ppm"]]
-    return pa.Table.from_pandas(t, preserve_index=False)
+    return _topk_reduce(partials, k)
 
 
 def kmeans_fit(
@@ -397,11 +410,7 @@ def knn_ivf(
             if cand.size == 0:
                 continue
             s = mn[cand] @ q[j]
-            if s.size > 4 * k:
-                kth = np.partition(s, s.size - k)[s.size - k]
-                top = np.flatnonzero(s >= kth)
-            else:
-                top = np.argsort(-s, kind="stable")[:k]
+            top = _partial_topk(s, k)
             out_q.extend([qids[j]] * len(top))
             out_v.extend(vec_ids[cand[top]].tolist())
             out_c.extend(s[top].tolist())
@@ -414,13 +423,142 @@ def knn_ivf(
         )
 
     partials = ds.map_batches(score, batch_format="pyarrow")
-    t = partials.to_pandas()
-    t = t.sort_values(["query_id", "cos", "vec_id"], ascending=[True, False, True])
-    t = t.groupby("query_id", sort=True).head(k).reset_index(drop=True)
-    t["cos_ppm"] = np.floor(t["cos"].to_numpy() * 1_000_000).astype(np.int64)
-    return pa.Table.from_pandas(
-        t[["query_id", "vec_id", "cos_ppm"]], preserve_index=False
+    return _topk_reduce(partials, k)
+
+
+# ---------------------------------------------------------------------------
+# persisted IVF: cell-partitioned layout so search prunes the READ, not
+# just the FLOPs (knn_ivf above re-scans the whole table per query set —
+# fine for one-off queries, wrong as the serving path at 100 TB)
+
+def ivf_build(
+    ds: "ray.data.Dataset", centroids: np.ndarray, out_dir: str
+) -> dict:
+    """Write a cell-partitioned (hive ``cell=K``) copy of the embedding
+    table plus the centroid matrix. One streaming assignment pass; the
+    layout is what :func:`knn_ivf_persisted` prunes against — a probe of
+    p cells reads only those p directories, O(p/k_cells) of the bytes.
+
+    Returns the meta dict (n_cells, dim). Idempotent overwrite semantics
+    are the caller's concern (pass a fresh out_dir)."""
+    import json
+
+    import pyarrow.parquet as pq
+
+    cn = centroids.astype(np.float64)
+    cn = cn / np.maximum(np.linalg.norm(cn, axis=1, keepdims=True), 1e-12)
+    c_ref = ray.put(cn)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        c = ray.get(c_ref)
+        m = _to_matrix(batch)
+        norms = np.linalg.norm(m, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        cell = np.argmax((m / norms) @ c.T, axis=1).astype(np.int64)
+        # cell twice: as the hive partition key (hoisted into the path by
+        # write_parquet) AND as an in-file column (cell_id) so the scorer
+        # sees each row's cell without re-deriving it from the path
+        batch = batch.append_column("cell", pa.array(cell, pa.int64()))
+        return batch.append_column("cell_id", pa.array(cell, pa.int64()))
+
+    os.makedirs(out_dir, exist_ok=True)
+    (
+        ds.select_columns(["vec_id", "embedding"])
+        .map_batches(assign, batch_format="pyarrow")
+        .write_parquet(os.path.join(out_dir, "cells"), partition_cols=["cell"])
     )
+    pq.write_table(
+        pa.table(
+            {"cell": pa.array(np.arange(len(cn)), pa.int64()),
+             "centroid": pa.array([r.tolist() for r in cn], pa.list_(pa.float64()))}
+        ),
+        os.path.join(out_dir, "centroids.parquet"),
+    )
+    meta = {"n_cells": int(len(cn)), "dim": int(cn.shape[1])}
+    with open(os.path.join(out_dir, "meta.json"), "w") as f:
+        json.dump(meta, f)
+    return meta
+
+
+def ivf_probed_dataset(index_dir: str, cells: np.ndarray) -> "ray.data.Dataset":
+    """Dataset over ONLY the probed cells' directories (path-level
+    pruning at the read — ds.input_files() is the IO-pruning evidence).
+    Empty cells (no vectors assigned) have no directory and are
+    skipped."""
+    files = []
+    for c in np.unique(cells):
+        d = os.path.join(index_dir, "cells", "cell=%d" % int(c))
+        if os.path.isdir(d):
+            files.extend(
+                os.path.join(d, f) for f in sorted(os.listdir(d))
+                if f.endswith(".parquet")
+            )
+    if not files:
+        return ray.data.from_arrow(
+            pa.table({"vec_id": pa.array([], pa.int64()),
+                      "embedding": pa.array([], pa.list_(pa.float64())),
+                      "cell_id": pa.array([], pa.int64())})
+        )
+    return ray.data.read_parquet(files)
+
+
+def ivf_centroids(index_dir: str) -> np.ndarray:
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(os.path.join(index_dir, "centroids.parquet"))
+    order = np.argsort(t.column("cell").to_numpy())
+    return np.array(t.column("centroid").to_pylist(), dtype=np.float64)[order]
+
+
+def knn_ivf_persisted(
+    index_dir: str,
+    queries: np.ndarray,
+    query_ids: list[int],
+    *,
+    k: int = 10,
+    nprobe: int = 2,
+) -> pa.Table:
+    """IVF approximate cosine top-k over a persisted cell layout: reads
+    ONLY the union of the queries' ``nprobe`` nearest cells (IO pruning),
+    then scores each batch against the queries that probed its cell.
+    nprobe == n_cells degenerates to exact brute force over a full read.
+    Same output schema/reduce as knn_brute."""
+    cn = ivf_centroids(index_dir)
+    qn = queries.astype(np.float64)
+    qn = qn / np.linalg.norm(qn, axis=1, keepdims=True)
+    probes = np.argsort(-(qn @ cn.T), axis=1)[:, : max(1, nprobe)]
+    state_ref = ray.put((qn, probes))
+    qids = list(query_ids)
+
+    def score(batch: pa.Table) -> pa.Table:
+        q, pr = ray.get(state_ref)
+        m = _to_matrix(batch)
+        norms = np.linalg.norm(m, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        mn = m / norms
+        cell = batch.column("cell_id").to_numpy().astype(np.int64)
+        vec_ids = batch.column("vec_id").to_numpy()
+        out_q, out_v, out_c = [], [], []
+        for j in range(q.shape[0]):
+            cand = np.flatnonzero(np.isin(cell, pr[j]))
+            if cand.size == 0:
+                continue
+            s = mn[cand] @ q[j]
+            top = _partial_topk(s, k)
+            out_q.extend([qids[j]] * len(top))
+            out_v.extend(vec_ids[cand[top]].tolist())
+            out_c.extend(s[top].tolist())
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                "vec_id": pa.array(out_v, pa.int64()),
+                "cos": pa.array(out_c, pa.float64()),
+            }
+        )
+
+    ds = ivf_probed_dataset(index_dir, probes)
+    partials = ds.map_batches(score, batch_format="pyarrow")
+    return _topk_reduce(partials, k)
 
 
 def rp_lsh_buckets(ds: "ray.data.Dataset", *, n_planes: int = 16, seed: int = 42):
