@@ -237,17 +237,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
         from textindex_ray.functions.events import sessionize
 
         ev = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"))
-        res = sessionize(ev)
-        import pyarrow as pa2
 
-        t = res.to_pandas()
-        return pa2.table(
-            {
-                "user_id": pa2.array(t["user_id"].tolist(), pa2.int64()),
-                "session_id": pa2.array(t["session_id"].tolist(), pa2.int64()),
-                "n_events": pa2.array(t["n_events"].tolist(), pa2.int64()),
-            }
-        )
+        def shape(b: pa.Table) -> pa.Table:
+            # grading projection, streamed (the sessions table is
+            # O(users) — never collect it to shape it)
+            return pa.table(
+                {
+                    "user_id": b.column("user_id").cast(pa.int64()),
+                    "session_id": b.column("session_id").cast(pa.int64()),
+                    "n_events": b.column("n_events").cast(pa.int64()),
+                }
+            )
+
+        return sessionize(ev).map_batches(shape, batch_format="pyarrow")
 
     return {
         # inverted-index engine over the documents table (SQL-checked)

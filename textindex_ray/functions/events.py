@@ -5,13 +5,13 @@ input is treated as a partitioned log: windows are computed by grouping
 on (key, floor(ts/size)) — a plain hash aggregate, exactly expressible
 in SQL for the oracle. Sessionization uses groupby(key).map_groups over
 ts-sorted groups (ordering assumption: per-key sort inside the group,
-stated here; cross-key order is irrelevant).
+stated here; cross-key order is irrelevant). Every stage is
+Arrow-native — no pandas conversion anywhere.
 """
 
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 
 import ray.data
@@ -105,20 +105,34 @@ def sessionize(ds: "ray.data.Dataset", *, gap_us: int = 1_800_000_000):
     """Per-user sessions: consecutive events within gap_us belong to one
     session. Returns (user_id, session_id, n_events, start_ts, end_ts).
     Ordering assumption: events are sorted by ts within each user group
-    (enforced inside the group fn)."""
+    (enforced inside the group fn).
 
-    def per_user(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("ts").reset_index(drop=True)
-        ts = g["ts"].astype("int64")
-        new_session = (ts.diff().fillna(gap_us + 1) > gap_us).cumsum()
-        out = (
-            g.assign(session=new_session)
-            .groupby("session")
-            .agg(n_events=("event_id", "count"), start_ts=("ts", "min"), end_ts=("ts", "max"))
-            .reset_index()
+    Arrow-native group fn: stable ts argsort + diff + cumsum boundaries
+    in numpy over the zero-copy group (ties at the same ts land in the
+    same session regardless of order, so the stable sort matches the
+    SQL (ts, event_id) window ordering exactly)."""
+
+    def per_user(g: pa.Table) -> pa.Table:
+        ts = g.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        order = np.argsort(ts, kind="stable")
+        st = ts[order]
+        new = np.empty(st.size, dtype=bool)
+        new[0] = True
+        np.greater(np.diff(st), gap_us, out=new[1:])
+        starts = np.flatnonzero(new)
+        ends = np.concatenate((starts[1:], [st.size])) - 1
+        uid = g.column("user_id")[0]
+        ts_col = g.column("ts")
+        if isinstance(ts_col, pa.ChunkedArray):
+            ts_col = ts_col.combine_chunks()
+        return pa.table(
+            {
+                "user_id": pa.array([uid.as_py()] * starts.size, g.column("user_id").type),
+                "session_id": pa.array(np.arange(starts.size), pa.int64()),
+                "n_events": pa.array(np.diff(np.concatenate((starts, [st.size]))), pa.int64()),
+                "start_ts": ts_col.take(pa.array(order[starts])),
+                "end_ts": ts_col.take(pa.array(order[ends])),
+            }
         )
-        out["user_id"] = g["user_id"].iloc[0]
-        out["session_id"] = out["session"] - 1
-        return out[["user_id", "session_id", "n_events", "start_ts", "end_ts"]]
 
-    return ds.groupby("user_id").map_groups(per_user, batch_format="pandas")
+    return ds.groupby("user_id").map_groups(per_user, batch_format="pyarrow")

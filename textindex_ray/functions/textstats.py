@@ -75,6 +75,21 @@ def token_count_batch(batch: pa.Table) -> pa.Table:
 
 _ALL_STOP_MARKERS = frozenset(w for s in LANG_MARKERS.values() for w in s)
 
+# ASCII fast path for the punct counter: one bytes.translate C call
+# deletes every alnum/space byte, leaving exactly the punct count.
+# (Semantics identical to the per-char `not (c.isalnum() or c.isspace())`
+# for ASCII input; non-ASCII strings fall back to the per-char form,
+# which is Unicode-aware like str.isalnum.)
+_ASCII_KEEP = bytes(
+    i for i in range(128) if chr(i).isalnum() or chr(i).isspace()
+)
+
+
+def _punct_count(t: str) -> int:
+    if t.isascii():
+        return len(t.encode("ascii").translate(None, delete=_ASCII_KEEP))
+    return sum(1 for c in t if not (c.isalnum() or c.isspace()))
+
 
 def quality_batch(batch: pa.Table) -> pa.Table:
     """Quality heuristics: length, token stats, stopword/punct ratios.
@@ -92,8 +107,7 @@ def quality_batch(batch: pa.Table) -> pa.Table:
         n_tokens.append(nt)
         ns = sum(1 for w in toks if w in _ALL_STOP_MARKERS)
         stop_ppm.append(ns * 1_000_000 // nt if nt else 0)
-        np_ = sum(1 for c in t if not (c.isalnum() or c.isspace()))
-        punct_ppm.append(np_ * 1_000_000 // len(t) if t else 0)
+        punct_ppm.append(_punct_count(t) * 1_000_000 // len(t) if t else 0)
         wlen_ppm.append(sum(len(w) for w in toks) * 1_000_000 // nt if nt else 0)
     return pa.table(
         {
