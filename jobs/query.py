@@ -95,7 +95,7 @@ def main(argv=None) -> int:
                             phases[ph] = round(rec["sec"], 2)
         print(json.dumps({
             "n_docs": r.n_docs, "avgdl": round(r.avgdl, 4),
-            "vocab": len(r._terms), "total_dl": int(r.meta.get("total_dl", 0)),
+            "vocab": r.n_terms, "total_dl": int(r.meta.get("total_dl", 0)),
             "cf_histogram_16": bins, "phase_sec": phases,
         }))
         return 0

@@ -119,7 +119,7 @@ def run(index_path: str, corpus: str | None, stream) -> int:
                 qmain(["--index", index_path, "stats", args[0]])
             else:
                 print(json.dumps({
-                    "n_docs": r.n_docs, "vocab": len(r._terms),
+                    "n_docs": r.n_docs, "vocab": r.n_terms,
                     "avgdl": round(r.avgdl, 4),
                 }))
         else:

@@ -201,3 +201,67 @@ def test_resume_param_mismatch_rejected(ray_session, tmp_path):
     build_index(c, out, num_buckets=4)
     with pytest.raises(ValueError, match="resume mismatch"):
         build_index(c, out, num_buckets=16)
+
+
+def test_reader_open_memory_bounded(tmp_path):
+    """Opening a 10^6-term dictionary must not build Python-side term
+    structures (the round-2 flag: a term list + df dict is tens of GB at
+    10^8 terms). The dict stays Arrow; the only Python-heap allocation
+    is the int64 df array (~8 MB here). Also exercises binary-search
+    lookups and the prefix-pruned vectorized wildcard scan."""
+    import json
+    import tracemalloc
+
+    n = 1_000_000
+    idx = tmp_path / "idx"
+    (idx / "dict" / "data").mkdir(parents=True)
+    (idx / "index" / "data").mkdir(parents=True)
+    terms = ["t%07d" % i for i in range(n)]  # lexicographically sorted
+    pq.write_table(
+        pa.table(
+            {
+                "term": pa.array(terms, pa.string()),
+                "df": pa.array(np.arange(1, n + 1) % 97 + 1, pa.uint64()),
+                "cf": pa.array(np.arange(1, n + 1) % 97 + 2, pa.uint64()),
+            }
+        ),
+        str(idx / "dict" / "data" / "dict.parquet"),
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "term": pa.array([], pa.string()),
+                "first_doc": pa.array([], pa.uint64()),
+                "last_doc": pa.array([], pa.uint64()),
+                "max_tf": pa.array([], pa.uint64()),
+                "min_dl": pa.array([], pa.uint64()),
+                "n": pa.array([], pa.uint64()),
+                "docs": pa.array([], pa.binary()),
+                "tfs": pa.array([], pa.binary()),
+            }
+        ),
+        str(idx / "index" / "data" / "empty.parquet"),
+    )
+    with open(idx / "meta.json", "w") as f:
+        json.dump(
+            {"n_docs": 10, "total_dl": 100, "avgdl": 10.0, "k1": 1.2,
+             "b": 0.75, "num_buckets": 4}, f
+        )
+
+    tracemalloc.start()
+    base = tracemalloc.get_traced_memory()[0]
+    r = IndexReader(str(idx), preload=False)
+    grew = tracemalloc.get_traced_memory()[0] - base
+    tracemalloc.stop()
+    assert grew < 40 * 1024 * 1024, grew
+
+    assert r.n_terms == n
+    assert r.df("t0000042") == 43 % 97 + 1
+    assert r.df("zzz-absent") == 0
+    got = r.resolve_terms("t000004*")
+    assert got == ["t%07d" % i for i in range(40, 50)]
+    assert r.resolve_terms("t0000042") == ["t0000042"]
+    assert r.resolve_terms("zz*") == []
+    # wildcard with no literal prefix: full vectorized scan
+    assert len(r.resolve_terms("*9999999")) == 0
+    assert r.resolve_terms("*999999") == ["t0999999"]

@@ -92,9 +92,25 @@ class IndexReader:
             dt = pa.table({"term": pa.array([], pa.string()),
                            "df": pa.array([], pa.uint64()),
                            "cf": pa.array([], pa.uint64())})
+        # the dictionary stays an ARROW table: one contiguous string
+        # column + an int64 df array, searched by binary search /
+        # vectorized regex — never a Python list + dict (10^8 terms as
+        # Python strings is tens of GB on the opening process; the Arrow
+        # form is the on-disk size). The dict is written term-sorted
+        # (build K1 / merge sort("term")); verify cheaply and re-sort if
+        # an external tool rewrote it unsorted.
+        tc = dt.column("term").combine_chunks()
+        if len(tc) > 1:
+            import pyarrow.compute as _pc
+
+            if not _pc.all(
+                _pc.less_equal(tc.slice(0, len(tc) - 1), tc.slice(1))
+            ).as_py():
+                dt = dt.take(_pc.sort_indices(dt.column("term")))
+                tc = dt.column("term").combine_chunks()
         self._dict = dt
-        self._terms = dt.column("term").to_pylist()
-        self._df = dict(zip(self._terms, dt.column("df").to_pylist()))
+        self._term_col = tc
+        self._df_np = dt.column("df").to_numpy(zero_copy_only=False).astype(np.int64)
         # deleted docs (delete.py tombstones): masked out of every query
         # path; stats stay pre-delete until compaction (the tombstone
         # contract — see index/delete.py)
@@ -125,15 +141,65 @@ class IndexReader:
 
     # -- vocabulary ---------------------------------------------------------
 
+    @property
+    def n_terms(self) -> int:
+        return len(self._term_col)
+
+    @property
+    def _terms(self) -> list[str]:
+        """Debug/stat convenience: the vocabulary as a Python list.
+        Materializes on access — hot paths use the Arrow column."""
+        return self._term_col.to_pylist()
+
+    def _bisect(self, key: str, side: str = "left") -> int:
+        """Binary search over the sorted Arrow term column (O(log n)
+        .as_py() calls; UTF-8 byte order == code-point order, so Python
+        string comparison agrees with the Arrow sort)."""
+        a = self._term_col
+        lo, hi = 0, len(a)
+        while lo < hi:
+            mid = (lo + hi) // 2
+            v = a[mid].as_py()
+            if v < key or (side == "right" and v == key):
+                lo = mid + 1
+            else:
+                hi = mid
+        return lo
+
+    def _term_index(self, term: str) -> int:
+        i = self._bisect(term)
+        if i < len(self._term_col) and self._term_col[i].as_py() == term:
+            return i
+        return -1
+
     def resolve_terms(self, pattern: str) -> list[str]:
-        """Vocabulary entries matching an exact term or wildcard pattern."""
+        """Vocabulary entries matching an exact term or wildcard pattern.
+        Wildcards: the literal prefix (up to the first * / ?) narrows to
+        a binary-searched slice, then one vectorized RE2 scan
+        (pc.match_substring_regex, anchored) over the slice."""
         if not _has_wildcard(pattern):
-            return [pattern] if pattern in self._df else []
-        rx = re.compile(wildcard_to_regex(pattern))
-        return [t for t in self._terms if rx.match(t)]
+            return [pattern] if self._term_index(pattern) >= 0 else []
+        wpos = min(
+            (i for i in (pattern.find("*"), pattern.find("?")) if i >= 0)
+        )
+        prefix = pattern[:wpos]
+        sl = self._term_col
+        if prefix:
+            lo = self._bisect(prefix)
+            last = prefix[-1]
+            if ord(last) < 0x10FFFF:
+                hi = self._bisect(prefix[:-1] + chr(ord(last) + 1))
+            else:
+                hi = len(sl)
+            sl = sl.slice(lo, hi - lo)
+        if len(sl) == 0:
+            return []
+        mask = pc.match_substring_regex(sl, wildcard_to_regex(pattern))
+        return sl.filter(mask).to_pylist()
 
     def df(self, term: str) -> int:
-        return int(self._df.get(term, 0))
+        i = self._term_index(term)
+        return int(self._df_np[i]) if i >= 0 else 0
 
     def idf(self, term: str) -> float:
         df = self.df(term)
