@@ -55,3 +55,31 @@ def test_file_source_build_matches_oracle(ray_session, tmp_path):
         want = sorted(oracle.postings[term].items())
         assert ids.tolist() == [d for d, _ in want], term
         assert tfs.tolist() == [c for _, c in want], term
+
+
+def test_name_filter_applied_before_read(ray_session, tmp_path):
+    """Blacklisted files (O1) are dropped at LISTING time: the Ray read
+    never opens them (input_files excludes them), so media payloads are
+    never fetched just to be discarded."""
+    import os
+
+    from textindex_ray.sources.files import list_file_corpus, read_file_corpus
+
+    (tmp_path / "a.html").write_bytes(b"<html>alpha beta</html>")
+    (tmp_path / "big.jpg").write_bytes(b"\xff\xd8" + b"x" * 4096)
+    (tmp_path / "thumbs.db").write_bytes(b"y" * 1024)
+
+    paths = list_file_corpus(str(tmp_path))
+    assert [os.path.basename(p) for p in paths] == ["a.html"]
+
+    ds = read_file_corpus(str(tmp_path))
+    assert all("jpg" not in f and "thumbs" not in f for f in ds.input_files())
+    rows = ds.take_all()
+    assert len(rows) == 1 and rows[0]["url"] == "a.html"
+
+    # empty tree -> empty dataset with the contract schema
+    empty = tmp_path / "sub"
+    empty.mkdir()
+    e = read_file_corpus(str(empty))
+    assert e.count() == 0
+    assert set(e.schema().names) == {"url", "html"}

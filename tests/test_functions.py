@@ -589,3 +589,51 @@ def test_large_binary_docs_small_batches(ray_session, tmp_path):
     r = IndexReader(str(tmp_path / "i"))
     ids, _ = r.bm25_topk(["alpha", "doc"], 5)
     assert len(ids) == 5
+
+
+def test_multimodal_decoder_import_guard(monkeypatch):
+    """decode_image/decode_audio run the real library branch when the
+    import-guarded module global is present and fall back to the
+    deterministic stub when it is None (this sandbox has neither PIL nor
+    soundfile; the real branch is exercised with injected fakes)."""
+    import numpy as np
+
+    from textindex_ray.functions import multimodal as mm
+
+    # stub branch (the in-sandbox default)
+    assert mm._PIL_Image is None and mm._soundfile is None
+    img = mm.decode_image(b"payload")
+    assert img.shape == (8, 8) and img.dtype == np.float32
+    pcm = mm.decode_audio(b"payload", 16_000)
+    assert pcm.size == 16_000
+
+    # real branch via fakes
+    class _FakeIm:
+        def __enter__(self):
+            return self
+
+        def __exit__(self, *a):
+            return False
+
+        def convert(self, mode):
+            assert mode == "L"
+            return np.ones((3, 4), dtype=np.uint8) * 7
+
+    class _FakePIL:
+        @staticmethod
+        def open(buf):
+            assert buf.read(4) == b"imgd"
+            return _FakeIm()
+
+    class _FakeSF:
+        @staticmethod
+        def read(buf, dtype):
+            assert dtype == "float32"
+            return np.ones((8, 2), dtype=np.float32) * 0.5, 44_100
+
+    monkeypatch.setattr(mm, "_PIL_Image", _FakePIL)
+    monkeypatch.setattr(mm, "_soundfile", _FakeSF)
+    img2 = mm.decode_image(b"imgdata")
+    assert img2.shape == (3, 4) and float(img2[0, 0]) == 7.0
+    pcm2 = mm.decode_audio(b"audiodata", 16_000)
+    assert pcm2.shape == (8,) and float(pcm2[0]) == 0.5  # channel downmix

@@ -155,6 +155,42 @@ def test_update_index_bloom_path(ray_session, tmp_path):
     np.testing.assert_allclose(sa, sb, rtol=0, atol=0)
 
 
+def test_update_index_bloom_disjoint_corpus(ray_session, tmp_path):
+    """Bloom path with an ALL-NEW corpus (no committed url appears): the
+    'maybe committed' side is empty at a tiny fp_rate, which previously
+    flowed schema-less through the left_anti join. Result must equal a
+    full rebuild over the union."""
+    import pyarrow.parquet as pq
+
+    full = generate_corpus(200)
+    first, new_only = full.slice(0, 120), full.slice(120, 80)
+    for name, t in (("c1", first), ("c2", new_only)):
+        d = tmp_path / name
+        d.mkdir()
+        pq.write_table(t, str(d / "part.parquet"))
+    call = tmp_path / "call"
+    call.mkdir()
+    pq.write_table(first, str(call / "a.parquet"))
+    pq.write_table(new_only, str(call / "b.parquet"))
+
+    idx = str(tmp_path / "idx")
+    build_index(str(tmp_path / "c1"), idx, num_buckets=8)
+    update_index(str(tmp_path / "c2"), idx, num_buckets=8,
+                 membership="bloom", fp_rate=1e-6)
+
+    ref = str(tmp_path / "idx_ref")
+    build_index(str(call), ref, num_buckets=8)
+
+    ri, rr = IndexReader(idx), IndexReader(ref)
+    assert ri.n_docs == rr.n_docs
+    assert ri._dict.column("term").to_pylist() == rr._dict.column("term").to_pylist()
+    assert ri._dict.column("df").to_pylist() == rr._dict.column("df").to_pylist()
+    a, sa = ri.bm25_topk(["alpha", "beta"], 10)
+    b, sb = rr.bm25_topk(["alpha", "beta"], 10)
+    assert a.tolist() == b.tolist()
+    np.testing.assert_allclose(sa, sb, rtol=0, atol=0)
+
+
 def test_update_index_incremental(ray_session, tmp_path):
     """update_index == full rebuild over the grown corpus."""
     import pyarrow.parquet as pq

@@ -340,9 +340,12 @@ def update_index(corpus_path, index_dir: str, *, work_dir: str | None = None,
     else:
         from textindex_ray.index.bloom import UrlBloom
 
+        # materialize: cds is consumed twice (bloom build stream + the
+        # left_anti join) — without this the read + tombstone filter
+        # lineage re-executes per consumer
         cds = ray.data.read_parquet(
             _data(os.path.join(index_dir, "docmap")), columns=["url", "doc_id"]
-        ).map_batches(_drop_tombstoned, batch_format="pyarrow")
+        ).map_batches(_drop_tombstoned, batch_format="pyarrow").materialize()
         bloom = UrlBloom.sized_for(n_committed, fp_rate)
 
         def partial_bloom(batch: pa.Table) -> pa.Table:
@@ -379,10 +382,19 @@ def update_index(corpus_path, index_dir: str, *, work_dir: str | None = None,
             ).drop_columns(["maybe"])
 
         definitely_new = flagged.map_batches(take_new, batch_format="pyarrow")
-        survivors = flagged.map_batches(take_maybe, batch_format="pyarrow").join(
-            cds, join_type="left_anti", num_partitions=num_partitions, on=("url",)
-        )
-        new_corpus = definitely_new.union(survivors)
+        # the maybe side can be EMPTY (all-new corpus, zero Bloom false
+        # positives); an empty dataset loses its schema through
+        # Dataset.join, so materialize and branch on the count — the
+        # pattern documented for dedup.minhash_lsh_pairs
+        maybe = flagged.map_batches(take_maybe, batch_format="pyarrow").materialize()
+        if maybe.count() == 0:
+            new_corpus = definitely_new
+        else:
+            survivors = maybe.join(
+                cds, join_type="left_anti", num_partitions=num_partitions,
+                on=("url",),
+            )
+            new_corpus = definitely_new.union(survivors)
     staged = os.path.join(work_dir, "corpus-delta")
     os.makedirs(staged, exist_ok=True)
     new_corpus.write_parquet(staged)
