@@ -26,6 +26,49 @@ import sys
 
 PAGE = 20  # reference paging unit (main.rs:207)
 
+# command inventory for completion (grammar: cmds.rs:251-276)
+COMMANDS = (
+    "index", "find", "files", "next", "first", "bm25", "lines", "summary",
+    "delete", "stats", "store", "help", "quit", "exit",
+)
+_TERM_ARG_CMDS = frozenset({"find", "bm25", "lines", "stats"})
+
+
+def complete_candidates(r, buf: str, begin: int, text: str) -> list[str]:
+    """Completion core (testable without a TTY): command names at column
+    0, vocabulary terms (prefix-range binary search over the Arrow dict,
+    capped at 50) for term-taking commands — the counterpart of the
+    reference's cmdlib completion (cmdlib.rs:1-364)."""
+    if begin == 0:
+        return [c + " " for c in COMMANDS if c.startswith(text)]
+    head = buf[:begin].split()
+    if head and head[0] in _TERM_ARG_CMDS and text and "*" not in text and "?" not in text:
+        return [t + " " for t in r.resolve_terms(text + "*")[:50]]
+    return []
+
+
+def _interactive_lines(r):
+    """TTY input loop with readline tab-completion installed."""
+    try:
+        import readline
+
+        def _rl_complete(text, state):
+            opts = complete_candidates(
+                r, readline.get_line_buffer(), readline.get_begidx(), text
+            )
+            return opts[state] if state < len(opts) else None
+
+        readline.set_completer(_rl_complete)
+        readline.set_completer_delims(" \t\n")
+        readline.parse_and_bind("tab: complete")
+    except ImportError:
+        pass
+    while True:
+        try:
+            yield input("ti> ")
+        except EOFError:
+            return
+
 
 def _print_page(r, found) -> None:
     ids = found["ids"]
@@ -42,6 +85,8 @@ def run(index_path: str, corpus: str | None, stream) -> int:
 
     r = IndexReader(index_path)
     found = {"ids": [], "page": 0}
+    if stream is sys.stdin and sys.stdin.isatty():
+        stream = _interactive_lines(r)
     for raw in stream:
         try:
             parts = shlex.split(raw.strip())

@@ -61,3 +61,25 @@ def test_repl_bm25_files_stats_delete(repl_index):
     rows2 = _repl(repl_index, "delete %s\nbm25 alpha beta\nquit\n" % victim)
     assert rows2[0]["deleted"] == 1
     assert victim not in rows2[1]["urls"]
+
+
+def test_repl_tab_completion_core(repl_index):
+    """Completion core (cmdlib.rs counterpart): command names at column 0,
+    vocabulary terms by prefix for term-taking commands, nothing for
+    non-term arguments."""
+    from jobs.repl import COMMANDS, complete_candidates
+    from textindex_ray.query.engine import IndexReader
+
+    r = IndexReader(repl_index)
+    # column 0: command names
+    got = complete_candidates(r, "f", 0, "f")
+    assert set(got) == {"find ", "files ", "first "}
+    assert complete_candidates(r, "", 0, "") == [c + " " for c in COMMANDS]
+    # term argument: prefix-matched vocabulary entries
+    terms = complete_candidates(r, "find alp", 5, "alp")
+    assert terms and all(t.startswith("alp") for t in terms)
+    assert all(t.rstrip() in r.resolve_terms("alp*") for t in terms)
+    # non-term command argument: no candidates
+    assert complete_candidates(r, "files alp", 6, "alp") == []
+    # wildcard already typed: leave it alone
+    assert complete_candidates(r, "find alp*", 5, "alp*") == []
