@@ -41,14 +41,46 @@ def add_text_hash(batch: pa.Table) -> pa.Table:
     return batch.append_column("text_hash", pa.array(h, pa.string()))
 
 
-def exact_dedup_groups(ds: "ray.data.Dataset") -> "ray.data.Dataset":
-    """(text_hash, keep_doc_id, dup_count): one row per distinct content."""
-    from ray.data.aggregate import Count, Min
+def exact_dedup_groups(
+    ds: "ray.data.Dataset", *, num_partitions: int = 32
+) -> "ray.data.Dataset":
+    """(text_hash, keep_doc_id, dup_count): one row per distinct content.
+
+    Partition-bucketed: rows shuffle by a coarse hash-prefix partition
+    (so every text_hash lands wholly in one partition) and the
+    fine-grained per-hash grouping runs inside the partition with the
+    Arrow C++ hash aggregate — Ray's sort-based groupby costs ~0.2 ms of
+    Python per group, which dominates at millions of distinct texts."""
+    P = int(num_partitions)
+
+    def add_hash(batch: pa.Table) -> pa.Table:
+        h = [
+            hashlib.md5(t.encode("utf-8")).hexdigest()
+            for t in batch.column("text").to_pylist()
+        ]
+        part = pa.array([int(x[:4], 16) % P for x in h], pa.int32())
+        return pa.table(
+            {"doc_id": batch.column("doc_id"),
+             "text_hash": pa.array(h, pa.string()),
+             "part": part}
+        )
+
+    def part_agg(g: pa.Table) -> pa.Table:
+        t = g.group_by("text_hash").aggregate(
+            [("doc_id", "min"), ("doc_id", "count")]
+        )
+        return pa.table(
+            {
+                "text_hash": t.column("text_hash"),
+                "keep_doc_id": t.column("doc_id_min").cast(pa.int64()),
+                "dup_count": t.column("doc_id_count").cast(pa.int64()),
+            }
+        )
 
     return (
-        ds.map_batches(add_text_hash, batch_format="pyarrow")
-        .groupby("text_hash")
-        .aggregate(Min("doc_id", alias_name="keep_doc_id"), Count(alias_name="dup_count"))
+        ds.map_batches(add_hash, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(part_agg, batch_format="pyarrow")
     )
 
 

@@ -19,6 +19,44 @@ import ray.data
 _HOUR_US = 3_600_000_000
 
 
+def _window_partition(batch: pa.Table, P: int) -> pa.Table:
+    """Coarse deterministic partition of (event_type, window) rows so the
+    fine-grained grouping can run inside each partition with the Arrow
+    C++ hash aggregate (Ray's sort-based groupby costs ~0.2 ms of Python
+    per group — fatal at many windows x types). Every (type, window) key
+    lands wholly in one partition."""
+    import zlib
+
+    et = batch.column("event_type").to_pylist()
+    win = batch.column("window").to_numpy().astype(np.uint64)
+    codes = {}
+    tc = np.fromiter(
+        (codes.setdefault(e, zlib.crc32(e.encode("utf-8"))) for e in et),
+        np.uint64, len(et),
+    )
+    part = ((tc ^ (win * np.uint64(0x9E3779B97F4A7C15))) % np.uint64(P)).astype(
+        np.int32
+    )
+    return batch.append_column("part", pa.array(part, pa.int32()))
+
+
+def _window_part_agg(g: pa.Table) -> pa.Table:
+    """Exact per-partition (event_type, window) aggregate: integer sums
+    are order-free, so this equals the global groupby bit-for-bit."""
+    t = g.group_by(["event_type", "window"]).aggregate(
+        [("value_t4", "count"), ("value_t4", "sum")]
+    )
+    return pa.table(
+        {
+            "event_type": t.column("event_type"),
+            "window": t.column("window").cast(pa.int64()),
+            "n_events": t.column("value_t4_count").cast(pa.int64()),
+            "sum_value_t4": t.column("value_t4_sum").cast(pa.int64()),
+        }
+    )
+
+
+
 def add_window(batch: pa.Table, *, window_us: int = _HOUR_US) -> pa.Table:
     ts = batch.column("ts").cast(pa.int64()).to_numpy()
     win = (ts // window_us).astype(np.int64)
@@ -33,40 +71,37 @@ def add_window(batch: pa.Table, *, window_us: int = _HOUR_US) -> pa.Table:
     return batch.append_column("value_t4", pa.array(v4, pa.int64()))
 
 
-def tumbling_window_stats(ds: "ray.data.Dataset", *, window_us: int = _HOUR_US):
+def tumbling_window_stats(
+    ds: "ray.data.Dataset", *, window_us: int = _HOUR_US, num_partitions: int = 32
+):
     """(event_type, window, n_events, sum_value_t4): tumbling event-time
-    windows by type; sum over per-event floor(value*1e4) integers."""
-    from ray.data.aggregate import Count, Sum
+    windows by type; sum over per-event floor(value*1e4) integers.
+    Partition-bucketed (see _window_partition)."""
 
-    out = (
-        ds.map_batches(lambda b: add_window(b, window_us=window_us), batch_format="pyarrow")
-        .groupby(["event_type", "window"])
-        .aggregate(Count(alias_name="n_events"), Sum("value_t4", alias_name="_sv"))
-    )
-
-    def finish(b: pa.Table) -> pa.Table:
-        return pa.table(
-            {
-                "event_type": b.column("event_type"),
-                "window": b.column("window").cast(pa.int64()),
-                "n_events": b.column("n_events").cast(pa.int64()),
-                "sum_value_t4": b.column("_sv").cast(pa.int64()),
-            }
+    def prep(b: pa.Table) -> pa.Table:
+        b = add_window(b, window_us=window_us)
+        return _window_partition(
+            b.select(["event_type", "window", "value_t4"]), num_partitions
         )
 
-    return out.map_batches(finish, batch_format="pyarrow")
+    return (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(_window_part_agg, batch_format="pyarrow")
+    )
 
 
 def sliding_window_stats(
-    ds: "ray.data.Dataset", *, size_windows: int = 2, window_us: int = _HOUR_US
+    ds: "ray.data.Dataset", *, size_windows: int = 2, window_us: int = _HOUR_US,
+    num_partitions: int = 32,
 ):
     """Sliding event-time windows (size = size_windows hops, hop =
     window_us): each event lands in ``size_windows`` consecutive windows
     via a vectorized flat-map, then the same order-free integer hash
     aggregate as the tumbling path. Returns
     (event_type, window, n_events, sum_value_t4) where ``window`` is the
-    window's LAST hop index (window w covers hops [w-size+1, w])."""
-    from ray.data.aggregate import Count, Sum
+    window's LAST hop index (window w covers hops [w-size+1, w]).
+    Partition-bucketed (see _window_partition)."""
 
     def explode(batch: pa.Table) -> pa.Table:
         batch = add_window(batch, window_us=window_us)
@@ -82,23 +117,14 @@ def sliding_window_stats(
             }
         )
 
-    out = (
-        ds.map_batches(explode, batch_format="pyarrow")
-        .groupby(["event_type", "window"])
-        .aggregate(Count(alias_name="n_events"), Sum("value_t4", alias_name="_sv"))
-    )
-
-    def finish(b: pa.Table) -> pa.Table:
-        return pa.table(
-            {
-                "event_type": b.column("event_type"),
-                "window": b.column("window").cast(pa.int64()),
-                "n_events": b.column("n_events").cast(pa.int64()),
-                "sum_value_t4": b.column("_sv").cast(pa.int64()),
-            }
+    return (
+        ds.map_batches(
+            lambda b: _window_partition(explode(b), num_partitions),
+            batch_format="pyarrow",
         )
-
-    return out.map_batches(finish, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(_window_part_agg, batch_format="pyarrow")
+    )
 
 
 def sessionize(ds: "ray.data.Dataset", *, gap_us: int = 1_800_000_000):
