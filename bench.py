@@ -5,7 +5,7 @@ Prints ONE JSON line:
    "queries": {...per-section min-of-N sec...}, "reps": {...all reps...},
    "sf": ..., "num_cpus": N, "docs": N, "docs_per_sec": N}
 
-Every timed section runs GRAFT_BENCH_REPS times (default 2) with a warm
+Every timed section runs GRAFT_BENCH_REPS times (default 3) with a warm
 pool/page cache and the MIN is published: this VM sees external
 host-steal episodes (CLAUDE.md) that uniformly inflate wall-clock; the
 min over reps is the steady-state number the engine actually delivers.
@@ -86,7 +86,7 @@ def main() -> None:
     sf = sf_of(sf_dir)
     n_docs = int(os.environ.get("GRAFT_BENCH_DOCS", SF_DOCS.get(sf, 50000)))
     build_only = os.environ.get("GRAFT_BENCH_BUILD_ONLY") == "1"
-    reps = max(1, int(os.environ.get("GRAFT_BENCH_REPS", "2")))
+    reps = max(1, int(os.environ.get("GRAFT_BENCH_REPS", "3")))
 
     import ray
 
