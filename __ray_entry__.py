@@ -85,6 +85,22 @@ def corpus_find(sf_dir: str) -> pa.Table:
     return pa.table({"doc_id": pa.array(r.find(["alph*", "beta"]), pa.uint64())})
 
 
+def _suite_shape(b: pa.Table) -> pa.Table:
+    """Grading projection for the query-suite results, streamed (no
+    driver collection): qid + per-query hit count."""
+    import pyarrow.compute as pc
+
+    dc = b.column("doc_ids")
+    if isinstance(dc, pa.ChunkedArray):
+        dc = dc.combine_chunks()
+    return pa.table(
+        {
+            "qid": b.column("qid").cast(pa.int32()),
+            "n_results": pc.list_value_length(dc).cast(pa.int64()),
+        }
+    )
+
+
 def corpus_query_suite(sf_dir: str) -> pa.Table:
     """The full reference query suite (FIXTURES.md §3) answered by the
     batch-evaluation actor pool over the synthetic corpus index."""
@@ -96,14 +112,7 @@ def corpus_query_suite(sf_dir: str) -> pa.Table:
     r = _corpus_reader(sf_dir)
     qds = ray.data.from_arrow(queries_table())
     res = evaluate_queries(r.path, qds)
-    t = res.to_pandas()
-    t["n_results"] = t["doc_ids"].map(len)
-    return pa.table(
-        {
-            "qid": pa.array(t["qid"].tolist(), pa.int32()),
-            "n_results": pa.array(t["n_results"].tolist(), pa.int64()),
-        }
-    )
+    return res.map_batches(_suite_shape, batch_format="pyarrow")
 
 
 def corpus_query_suite_sharded(sf_dir: str) -> pa.Table:
@@ -118,15 +127,7 @@ def corpus_query_suite_sharded(sf_dir: str) -> pa.Table:
     r = _corpus_reader(sf_dir)
     qds = ray.data.from_arrow(queries_table())
     res = evaluate_queries_sharded(r.path, qds, n_shards=4)
-    t = res.to_pandas()
-    t["n_results"] = t["doc_ids"].map(len)
-    t = t.sort_values("qid")
-    return pa.table(
-        {
-            "qid": pa.array(t["qid"].tolist(), pa.int32()),
-            "n_results": pa.array(t["n_results"].tolist(), pa.int64()),
-        }
-    )
+    return res.map_batches(_suite_shape, batch_format="pyarrow")
 
 
 def corpus_snippets(sf_dir: str) -> pa.Table:
