@@ -192,6 +192,40 @@ def queries() -> dict[str, Callable[[str], Any]]:
         res = similarity.knn_brute(emb_ds(sf_dir), qm, qids, k=10)
         return res.select(["query_id", "vec_id"])  # ids only: float-safe vs SQL
 
+    def q_knn_ivf(sf_dir):
+        """Persisted-IVF serving path, graded EXACTLY: nprobe == n_cells
+        degenerates to brute force, so the brute SQL oracle applies; the
+        IO-pruning behavior at nprobe << n_cells is pytest-gated
+        (test_ivf_persisted_layout) since an approximate result has no
+        SQL twin."""
+        import shutil
+
+        import pyarrow.parquet as pq
+
+        from textindex_ray.functions.similarity import (
+            ivf_build,
+            kmeans_fit,
+            knn_ivf_persisted,
+        )
+        from textindex_ray.pipelines.documents import _code_tag
+
+        sf = _sf_of(sf_dir)
+        idx = "/tmp/textindex_ray_cache/ivf-%s-sf%s" % (_code_tag(), sf)
+        if not os.path.exists(os.path.join(idx, "meta.json")):
+            shutil.rmtree(idx, ignore_errors=True)
+            emb = emb_ds(sf_dir)
+            cents = kmeans_fit(emb, 8, n_iter=4)
+            ivf_build(emb, cents, idx)
+        t = pq.read_table(
+            os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+        )
+        mask = np.isin(t.column("vec_id").to_numpy(), [0, 1, 2, 3, 4])
+        q = t.filter(pa.array(mask))
+        qm = np.array(q.column("embedding").to_pylist(), dtype=np.float64)
+        qids = q.column("vec_id").to_pylist()
+        res = knn_ivf_persisted(idx, qm, qids, k=10, nprobe=8)
+        return res.select(["query_id", "vec_id"])
+
     def q_emb_dup(sf_dir):
         # banded-LSH + per-bucket exact verify (the scale path); output
         # identical to the brute all-pairs verifier (pytest-gated)
@@ -270,6 +304,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_jaccard_pairs": q_ngram_pairs,
         # similarity search
         "embedding_knn": q_knn,
+        "embedding_knn_ivf": q_knn_ivf,
         "embedding_dup_pairs": q_emb_dup,
         # text analysis
         "lang_id": q_langid,
@@ -412,6 +447,9 @@ ranked AS (SELECT query_id, vec_id,
                                      ORDER BY cos DESC, vec_id) AS rn
            FROM sims)
 SELECT query_id, vec_id FROM ranked WHERE rn <= 10"""
+
+    # persisted-IVF at full probe is exactly brute force: same oracle
+    sql["embedding_knn_ivf"] = sql["embedding_knn"]
 
     sql["embedding_dup_pairs"] = """
 SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
