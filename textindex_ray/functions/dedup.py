@@ -84,18 +84,37 @@ def exact_dedup_groups(
     )
 
 
-def exact_dedup(ds: "ray.data.Dataset") -> "ray.data.Dataset":
-    """Keep one row (min doc_id) per distinct text."""
-    def keep_first(g: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
+def exact_dedup(
+    ds: "ray.data.Dataset", *, num_partitions: int = 32
+) -> "ray.data.Dataset":
+    """Keep one row (min doc_id) per distinct text (partition-bucketed
+    run-first, like exact_dedup_groups)."""
+    import pyarrow.compute as pc
 
-        i = pc.index(g.column("doc_id"), pc.min(g.column("doc_id")))
-        return g.slice(int(i.as_py()), 1)
+    P = int(num_partitions)
+
+    def add_hp(b: pa.Table) -> pa.Table:
+        part = pa.array(
+            [int(h[:4], 16) % P for h in b.column("text_hash").to_pylist()],
+            pa.int32(),
+        )
+        return b.append_column("part", part)
+
+    def part_first(g: pa.Table) -> pa.Table:
+        t = g.sort_by([("text_hash", "ascending"), ("doc_id", "ascending")])
+        th = t.column("text_hash").combine_chunks()
+        n = len(th)
+        eq = pc.equal(th.slice(1, n - 1), th.slice(0, n - 1)).to_numpy(
+            zero_copy_only=False
+        )
+        starts = np.concatenate(([0], np.flatnonzero(~eq) + 1))
+        return t.take(pa.array(starts)).drop_columns(["part"])
 
     return (
         ds.map_batches(add_text_hash, batch_format="pyarrow")
-        .groupby("text_hash")
-        .map_groups(keep_first, batch_format="pyarrow")
+        .map_batches(add_hp, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(part_first, batch_format="pyarrow")
     )
 
 
@@ -155,13 +174,16 @@ class MinHasher:
         )
 
 
-def lsh_band_explode(num_bands: int, rows_per_band: int):
-    """Signature -> (band_id, band_hash, doc_id) rows."""
+def lsh_band_explode(num_bands: int, rows_per_band: int,
+                     num_partitions: int | None = None):
+    """Signature -> (band_id, band_hash, doc_id[, part]) rows; ``part``
+    is the coarse bucket-colocating hash partition (every (band, hash)
+    bucket lands wholly in one partition)."""
 
     def fn(batch: pa.Table) -> pa.Table:
         doc_ids = batch.column("doc_id").to_pylist()
         sigs = batch.column("sig").to_pylist()
-        out_doc, out_band, out_hash = [], [], []
+        out_doc, out_band, out_hash, out_part = [], [], [], []
         for d, sig in zip(doc_ids, sigs):
             for b in range(num_bands):
                 chunk = sig[b * rows_per_band : (b + 1) * rows_per_band]
@@ -169,13 +191,16 @@ def lsh_band_explode(num_bands: int, rows_per_band: int):
                 out_doc.append(d)
                 out_band.append(b)
                 out_hash.append(h)
-        return pa.table(
-            {
-                "band_id": pa.array(out_band, pa.int32()),
-                "band_hash": pa.array(out_hash, pa.string()),
-                "doc_id": pa.array(out_doc, pa.int64()),
-            }
-        )
+                if num_partitions:
+                    out_part.append((int(h[:8], 16) ^ b) % num_partitions)
+        cols = {
+            "band_id": pa.array(out_band, pa.int32()),
+            "band_hash": pa.array(out_hash, pa.string()),
+            "doc_id": pa.array(out_doc, pa.int64()),
+        }
+        if num_partitions:
+            cols["part"] = pa.array(out_part, pa.int32())
+        return pa.table(cols)
 
     return fn
 
@@ -186,6 +211,15 @@ _EMPTY_PAIRS = pa.table(
      "jaccard_ppm": pa.array([], pa.int64())}
 )
 
+_EMPTY_AB = pa.table(
+    {"doc_a": pa.array([], pa.int64()), "doc_b": pa.array([], pa.int64())}
+)
+
+
+def _run_starts_eq(eq: "np.ndarray", n: int) -> "np.ndarray":
+    """Run starts (with trailing n) from an adjacent-equality mask."""
+    return np.concatenate(([0], np.flatnonzero(~eq) + 1, [n]))
+
 
 def minhash_lsh_pairs(
     ds: "ray.data.Dataset",
@@ -195,6 +229,7 @@ def minhash_lsh_pairs(
     shingle_k: int = 5,
     verify_threshold: float = 0.5,
     num_partitions: int = 4,
+    fine_partitions: int = 32,
 ) -> "ray.data.Dataset":
     """Near-duplicate pairs via MinHash-LSH, verified with exact shingle
     Jaccard. Returns (doc_a, doc_b, jaccard_ppm), doc_a < doc_b —
@@ -219,6 +254,12 @@ def minhash_lsh_pairs(
     still emits O(b^2) candidate pairs — that is the LSH candidate set
     itself, not an artifact; emission is one vectorized block per
     bucket.
+
+    Every fine-grained grouping (text_hash rep-selection, band buckets,
+    pair dedup, within-group member pairs) shuffles on a COARSE
+    ``fine_partitions`` hash partition and runs the fine grouping inside
+    the partition with Arrow sort/run-detection — Ray's per-group Python
+    cost (~0.2 ms) would dominate at millions of buckets.
     """
     import pyarrow.compute as pc
 
@@ -231,13 +272,30 @@ def minhash_lsh_pairs(
     )
     members = hashed.select_columns(["doc_id", "text_hash"])
 
-    def keep_min(g: pa.Table) -> pa.Table:
-        i = pc.index(g.column("doc_id"), pc.min(g.column("doc_id")))
-        return g.slice(int(i.as_py()), 1)
+    fine = int(fine_partitions)
+
+    def add_hpart(b: pa.Table) -> pa.Table:
+        part = pa.array(
+            [int(h[:4], 16) % fine for h in b.column("text_hash").to_pylist()],
+            pa.int32(),
+        )
+        return b.append_column("part", part)
+
+    def part_first(g: pa.Table) -> pa.Table:
+        # min-doc_id row per text_hash: sort, take each run's first row
+        t = g.sort_by([("text_hash", "ascending"), ("doc_id", "ascending")])
+        th = t.column("text_hash").combine_chunks()
+        n = len(th)
+        eq = pc.equal(th.slice(1, n - 1), th.slice(0, n - 1)).to_numpy(
+            zero_copy_only=False
+        )
+        starts = np.concatenate(([0], np.flatnonzero(~eq) + 1))
+        return t.take(pa.array(starts)).drop_columns(["part"])
 
     reps = (
-        hashed.groupby("text_hash")
-        .map_groups(keep_min, batch_format="pyarrow")
+        hashed.map_batches(add_hpart, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(part_first, batch_format="pyarrow")
     )
 
     def add_flag(b: pa.Table) -> pa.Table:
@@ -258,33 +316,65 @@ def minhash_lsh_pairs(
         concurrency=(1, 8),
     )
     bands = sigs.map_batches(
-        lsh_band_explode(num_bands, rows_per_band), batch_format="pyarrow"
+        lsh_band_explode(num_bands, rows_per_band, num_partitions=fine),
+        batch_format="pyarrow",
     )
 
-    def bucket_pairs(g: pa.Table) -> pa.Table:
-        ids = np.sort(g.column("doc_id").to_numpy())
-        if ids.size < 2:
-            return pa.table(
-                {"doc_a": pa.array([], pa.int64()), "doc_b": pa.array([], pa.int64())}
-            )
-        iu, ju = np.triu_indices(ids.size, k=1)
-        return pa.table(
-            {"doc_a": pa.array(ids[iu], pa.int64()),
-             "doc_b": pa.array(ids[ju], pa.int64())}
+    def part_band_pairs(g: pa.Table) -> pa.Table:
+        # all bucket runs of one partition: sort, detect runs, emit each
+        # run's triu pair block, locally dedup with the Arrow aggregate
+        n = g.num_rows
+        if n < 2:
+            return _EMPTY_AB
+        t = g.sort_by([
+            ("band_id", "ascending"), ("band_hash", "ascending"),
+            ("doc_id", "ascending"),
+        ])
+        bh = t.column("band_hash").combine_chunks()
+        bid = t.column("band_id").to_numpy()
+        ids = t.column("doc_id").to_numpy()
+        eq = pc.equal(bh.slice(1, n - 1), bh.slice(0, n - 1)).to_numpy(
+            zero_copy_only=False
+        ) & (bid[1:] == bid[:-1])
+        starts = _run_starts_eq(eq, n)
+        oa, ob = [], []
+        for st, en in zip(starts[:-1], starts[1:]):
+            if en - st < 2:
+                continue
+            iu, ju = np.triu_indices(en - st, k=1)
+            oa.append(ids[st + iu])
+            ob.append(ids[st + ju])
+        if not oa:
+            return _EMPTY_AB
+        tt = pa.table(
+            {"doc_a": pa.array(np.concatenate(oa), pa.int64()),
+             "doc_b": pa.array(np.concatenate(ob), pa.int64())}
+        )
+        return tt.group_by(["doc_a", "doc_b"]).aggregate([])
+
+    def add_pair_part(b: pa.Table) -> pa.Table:
+        a = b.column("doc_a").to_numpy().astype(np.uint64)
+        bb = b.column("doc_b").to_numpy().astype(np.uint64)
+        h = a * np.uint64(0x9E3779B97F4A7C15) + bb * np.uint64(0xC2B2AE3D27D4EB4F)
+        return b.append_column(
+            "part", pa.array((h % np.uint64(fine)).astype(np.int32), pa.int32())
         )
 
-    from ray.data.aggregate import Count
+    def part_distinct(g: pa.Table) -> pa.Table:
+        return g.select(["doc_a", "doc_b"]).group_by(
+            ["doc_a", "doc_b"]
+        ).aggregate([])
 
     # candidate pairs are consumed by the verify joins and can be empty
     # (empty blocks lose their schema through a hash join): materialize —
     # it is the small side by construction — and branch on the count
     # (metadata-only on a materialized dataset)
     pairs = (
-        bands.groupby(["band_id", "band_hash"])
-        .map_groups(bucket_pairs, batch_format="pyarrow")
-        .groupby(["doc_a", "doc_b"])
-        .aggregate(Count(alias_name="nb"))
-        .select_columns(["doc_a", "doc_b"])
+        bands.groupby("part")
+        .map_groups(part_band_pairs, batch_format="pyarrow")
+        .map_batches(add_pair_part, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(part_distinct, batch_format="pyarrow")
         .materialize()
     )
 
@@ -344,21 +434,40 @@ def minhash_lsh_pairs(
         on=("text_hash",), left_suffix="", right_suffix="_rep",
     ).materialize()
 
-    def group_pairs(g: pa.Table) -> pa.Table:
-        if not bool(g.column("has_shingles")[0].as_py()):
+    def part_group_pairs(g: pa.Table) -> pa.Table:
+        t = g.sort_by([("text_hash", "ascending"), ("doc_id", "ascending")])
+        th = t.column("text_hash").combine_chunks()
+        ids = t.column("doc_id").to_numpy()
+        hs = t.column("has_shingles").to_numpy(zero_copy_only=False)
+        n = ids.size
+        if n < 2:
             return _EMPTY_PAIRS
-        ids = np.sort(g.column("doc_id").to_numpy())
-        if ids.size < 2:
+        eq = pc.equal(th.slice(1, n - 1), th.slice(0, n - 1)).to_numpy(
+            zero_copy_only=False
+        )
+        starts = _run_starts_eq(eq, n)
+        oa, ob = [], []
+        for st, en in zip(starts[:-1], starts[1:]):
+            if en - st < 2 or not hs[st]:
+                continue
+            iu, ju = np.triu_indices(en - st, k=1)
+            oa.append(ids[st + iu])
+            ob.append(ids[st + ju])
+        if not oa:
             return _EMPTY_PAIRS
-        iu, ju = np.triu_indices(ids.size, k=1)
+        a = np.concatenate(oa)
         return pa.table(
-            {"doc_a": pa.array(ids[iu], pa.int64()),
-             "doc_b": pa.array(ids[ju], pa.int64()),
+            {"doc_a": pa.array(a, pa.int64()),
+             "doc_b": pa.array(np.concatenate(ob), pa.int64()),
              "jaccard_ppm": pa.array(
-                 np.full(iu.size, 1_000_000, dtype=np.int64), pa.int64())}
+                 np.full(a.size, 1_000_000, dtype=np.int64), pa.int64())}
         )
 
-    within = minfo.groupby("text_hash").map_groups(group_pairs, batch_format="pyarrow")
+    within = (
+        minfo.map_batches(add_hpart, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(part_group_pairs, batch_format="pyarrow")
+    )
     if thr > 1_000_000:
         within = within.filter(lambda r: False)
 

@@ -154,16 +154,21 @@ def lsh_dup_pairs(
     num_bands: int = 32,
     planes_per_band: int = 8,
     seed: int = 42,
+    fine_partitions: int = 32,
 ) -> pa.Table:
     """Embedding near-dup pairs via banded random-hyperplane LSH with
     exact per-bucket verification — the scale path for cosine_dup_pairs.
 
     Pipeline: per-batch banded sign signatures (each vector lands in
-    ``num_bands`` buckets of ``planes_per_band``-bit keys) ->
-    groupby(band, bucket) -> exact pairwise cosine inside each bucket ->
-    per-pair Min-aggregate dedup across bands. Only bucket-cohabiting
-    rows are ever compared; nothing is materialized on the driver except
-    the final pair table (the operator's output).
+    ``num_bands`` buckets of ``planes_per_band``-bit keys) -> coarse
+    hash partition colocating each (band, bucket) -> exact pairwise
+    cosine per bucket run inside the partition (Arrow sort + run
+    detection; Ray's per-group Python cost would dominate at millions
+    of buckets) -> per-pair min dedup across bands, also partitioned
+    (values are identical across bands — the shape-independent einsum
+    kernel — so min is pure dedup). Only bucket-cohabiting rows are
+    ever compared; nothing is materialized on the driver except the
+    final pair table (the operator's output).
 
     Recall: a pair at cosine c collides in one band with probability
     p^r, p = 1 - arccos(c)/pi; miss probability (1 - p^r)^B. At the
@@ -187,10 +192,18 @@ def lsh_dup_pairs(
             chunk = signs[:, b * planes_per_band : (b + 1) * planes_per_band]
             buckets[:, b] = chunk.astype(np.int64) @ weights
         idx = np.repeat(np.arange(n), num_bands)
+        bands_col = np.tile(np.arange(num_bands, dtype=np.int64), n)
+        flat = buckets.ravel()
+        part = (
+            (flat.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+             ^ bands_col.astype(np.uint64) * np.uint64(0xC2B2AE3D27D4EB4F))
+            % np.uint64(fine_partitions)
+        ).astype(np.int32)
         return pa.table(
             {
-                "band": pa.array(np.tile(np.arange(num_bands, dtype=np.int32), n), pa.int32()),
-                "bucket": pa.array(buckets.ravel(), pa.int64()),
+                "band": pa.array(bands_col.astype(np.int32), pa.int32()),
+                "bucket": pa.array(flat, pa.int64()),
+                "part": pa.array(part, pa.int32()),
                 "vec_id": batch.column("vec_id").take(pa.array(idx)),
                 "embedding": batch.column("embedding").take(pa.array(idx)),
             }
@@ -200,40 +213,76 @@ def lsh_dup_pairs(
         bucketize, batch_format="pyarrow"
     )
 
-    def bucket_dups(g: pa.Table) -> pa.Table:
-        empty = pa.table(
-            {"vec_a": pa.array([], pa.int64()), "vec_b": pa.array([], pa.int64()),
-             "cos_ppm": pa.array([], pa.int64())}
-        )
-        if g.num_rows < 2:
-            return empty
-        ids = g.column("vec_id").to_numpy()
-        m = _to_matrix(g)
-        order = np.argsort(ids)
-        ids, m = ids[order], m[order]
+    _EMPTY_VPAIRS = pa.table(
+        {"vec_a": pa.array([], pa.int64()), "vec_b": pa.array([], pa.int64()),
+         "cos_ppm": pa.array([], pa.int64())}
+    )
+
+    def part_bucket_dups(g: pa.Table) -> pa.Table:
+        n = g.num_rows
+        if n < 2:
+            return _EMPTY_VPAIRS
+        t = g.sort_by([
+            ("band", "ascending"), ("bucket", "ascending"),
+            ("vec_id", "ascending"),
+        ])
+        band = t.column("band").to_numpy()
+        bucket = t.column("bucket").to_numpy()
+        ids = t.column("vec_id").to_numpy()
+        m = _to_matrix(t)
         norms = np.linalg.norm(m, axis=1, keepdims=True)
         norms[norms == 0] = 1.0
         mn = m / norms
-        iu, ju = np.triu_indices(len(ids), k=1)
-        ppm = _pair_cos_ppm(mn, iu, ju)
-        keep = ppm >= threshold_ppm
-        if not keep.any():
-            return empty
+        same = (band[1:] == band[:-1]) & (bucket[1:] == bucket[:-1])
+        starts = np.concatenate(([0], np.flatnonzero(~same) + 1, [n]))
+        oa, ob, op = [], [], []
+        for st, en in zip(starts[:-1], starts[1:]):
+            if en - st < 2:
+                continue
+            iu, ju = np.triu_indices(en - st, k=1)
+            ppm = _pair_cos_ppm(mn[st:en], iu, ju)
+            keep = ppm >= threshold_ppm
+            if keep.any():
+                oa.append(ids[st + iu[keep]])
+                ob.append(ids[st + ju[keep]])
+                op.append(ppm[keep])
+        if not oa:
+            return _EMPTY_VPAIRS
         return pa.table(
             {
-                "vec_a": pa.array(ids[iu[keep]], pa.int64()),
-                "vec_b": pa.array(ids[ju[keep]], pa.int64()),
-                "cos_ppm": pa.array(ppm[keep], pa.int64()),
+                "vec_a": pa.array(np.concatenate(oa), pa.int64()),
+                "vec_b": pa.array(np.concatenate(ob), pa.int64()),
+                "cos_ppm": pa.array(np.concatenate(op), pa.int64()),
             }
         )
 
-    from ray.data.aggregate import Min
+    def add_vpair_part(b: pa.Table) -> pa.Table:
+        a = b.column("vec_a").to_numpy().astype(np.uint64)
+        bb = b.column("vec_b").to_numpy().astype(np.uint64)
+        h = a * np.uint64(0x9E3779B97F4A7C15) + bb * np.uint64(0xC2B2AE3D27D4EB4F)
+        return b.append_column(
+            "part",
+            pa.array((h % np.uint64(fine_partitions)).astype(np.int32), pa.int32()),
+        )
+
+    def part_pair_min(g: pa.Table) -> pa.Table:
+        t = g.select(["vec_a", "vec_b", "cos_ppm"]).group_by(
+            ["vec_a", "vec_b"]
+        ).aggregate([("cos_ppm", "min")])
+        return pa.table(
+            {
+                "vec_a": t.column("vec_a"),
+                "vec_b": t.column("vec_b"),
+                "cos_ppm": t.column("cos_ppm_min").cast(pa.int64()),
+            }
+        )
 
     pairs = (
-        exploded.groupby(["band", "bucket"])
-        .map_groups(bucket_dups, batch_format="pyarrow")
-        .groupby(["vec_a", "vec_b"])
-        .aggregate(Min("cos_ppm", alias_name="cos_ppm"))
+        exploded.groupby("part")
+        .map_groups(part_bucket_dups, batch_format="pyarrow")
+        .map_batches(add_vpair_part, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(part_pair_min, batch_format="pyarrow")
     )
     t = pairs.to_pandas()
     if len(t) == 0:
