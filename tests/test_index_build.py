@@ -265,3 +265,23 @@ def test_reader_open_memory_bounded(tmp_path):
     # wildcard with no literal prefix: full vectorized scan
     assert len(r.resolve_terms("*9999999")) == 0
     assert r.resolve_terms("*999999") == ["t0999999"]
+
+
+def test_distributed_dict_equals_driver_dict(ray_session, tmp_path, monkeypatch):
+    """Phase D's scale path (partition-bucketed distributed aggregate,
+    forced via GRAFT_DICT_DRIVER_LIMIT=0) produces the same dictionary
+    as the driver-side Arrow group_by."""
+    corpus = str(tmp_path / "c")
+    write_corpus(corpus, 120, rows_per_file=60)
+    build_index(corpus, str(tmp_path / "i1"), num_buckets=4)
+    monkeypatch.setenv("GRAFT_DICT_DRIVER_LIMIT", "0")
+    build_index(corpus, str(tmp_path / "i2"), num_buckets=4)
+    r1 = IndexReader(str(tmp_path / "i1"))
+    r2 = IndexReader(str(tmp_path / "i2"))
+    assert r1._dict.column("term").to_pylist() == r2._dict.column("term").to_pylist()
+    assert r1._dict.column("df").to_pylist() == r2._dict.column("df").to_pylist()
+    assert r1._dict.column("cf").to_pylist() == r2._dict.column("cf").to_pylist()
+    a, sa = r1.bm25_topk(["alpha", "beta"], 10)
+    b, sb = r2.bm25_topk(["alpha", "beta"], 10)
+    assert a.tolist() == b.tolist()
+    np.testing.assert_allclose(sa, sb, rtol=0, atol=0)

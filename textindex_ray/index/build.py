@@ -298,24 +298,50 @@ def build_postings_hash(postings, chunk_size: int, *, heavy_df: int = 100_000):
        ``term \x00 hex(doc_id >> SALT_SHIFT)`` — doc-RANGE salts, so each
        salted group holds a contiguous, disjoint docID range and its
        encoded chunks are globally ordered without a re-merge.
-    3. groupby(skey).map_groups: sort by doc_id, delta+varint encode.
+    3. coarse-partition groupby: sort by (term, doc_id) inside the
+       partition, delta+varint encode (many skey groups per Ray group —
+       per-group Python cost stays O(partitions)).
     """
-    from ray.data.aggregate import Sum
-
     # the df-estimation pass and the encode pass both consume `postings`;
     # materialize once so the expensive extract+groupby lineage does not
     # re-execute for the second pass
     postings = postings.materialize()
 
+    import zlib
+
+    P = 64  # coarse partition count for the term-keyed steps
+
     def partial_counts(batch: pa.Table) -> pa.Table:
         vc = pc.value_counts(batch.column("term").combine_chunks())
+        terms = vc.field("values")
+        part = pa.array(
+            [zlib.crc32(t.encode("utf-8")) % P for t in terms.to_pylist()],
+            pa.int32(),
+        )
         return pa.table(
-            {"term": vc.field("values"), "c": vc.field("counts").cast(pa.int64())}
+            {"term": terms, "c": vc.field("counts").cast(pa.int64()),
+             "part": part}
         )
 
-    dfs = postings.map_batches(partial_counts, batch_format="pyarrow")
-    dfs = dfs.groupby("term").aggregate(Sum("c", alias_name="df"))
-    heavy_rows = dfs.filter(lambda r: r["df"] > heavy_df).take_all()
+    def part_df_sum(g: pa.Table) -> pa.Table:
+        t = g.group_by("term").aggregate([("c", "sum")])
+        return pa.table(
+            {"term": t.column("term"), "df": t.column("c_sum").cast(pa.int64())}
+        )
+
+    def only_heavy(b: pa.Table) -> pa.Table:
+        return b.filter(pa.array(b.column("df").to_numpy() > heavy_df))
+
+    # partition-bucketed df estimate (a groupby(term) would pay the
+    # per-group Python cost over the whole vocabulary); only the heavy
+    # rows — few by construction — reach the driver
+    heavy_rows = (
+        postings.map_batches(partial_counts, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(part_df_sum, batch_format="pyarrow")
+        .map_batches(only_heavy, batch_format="pyarrow")
+        .take_all()
+    )
     heavy = {r["term"] for r in heavy_rows}
     heavy_ref = ray.put(heavy)
 
@@ -330,21 +356,87 @@ def build_postings_hash(postings, chunk_size: int, *, heavy_df: int = 100_000):
             ]
         else:
             skeys = terms
-        return batch.append_column("skey", pa.array(skeys, pa.string()))
+        part = pa.array(
+            [zlib.crc32(k.encode("utf-8")) % P for k in skeys], pa.int32()
+        )
+        return batch.append_column(
+            "skey", pa.array(skeys, pa.string())
+        ).append_column("part", part)
 
     encode = make_encode_chunks(chunk_size)
 
     def encode_group(group: pa.Table) -> pa.Table:
-        group = group.drop_columns(["skey"])
+        # one coarse partition = many skey groups; each skey RUN encodes
+        # separately (a chunk must never span a salt-range gap — two salt
+        # ranges of a term in one partition with the middle range
+        # elsewhere would otherwise produce overlapping chunk doc-ranges,
+        # breaking the reader's sorted-disjoint-chunks contract). The
+        # per-run Python cost is microseconds vs Ray's ~0.2 ms per group.
         order = pc.sort_indices(
-            group, [("term", "ascending"), ("doc_id", "ascending")]
+            group, [("skey", "ascending"), ("doc_id", "ascending")]
         )
-        return encode(group.take(order))
+        t = group.take(order)
+        n = t.num_rows
+        if n == 0:
+            return _empty_chunks()
+        sk = t.column("skey").combine_chunks()
+        t = t.drop_columns(["skey", "part"])
+        eq = pc.equal(sk.slice(1, n - 1), sk.slice(0, n - 1)).to_numpy(
+            zero_copy_only=False
+        )
+        starts = np.concatenate(([0], np.flatnonzero(~eq) + 1, [n]))
+        parts = [
+            encode(t.slice(st, en - st))
+            for st, en in zip(starts[:-1], starts[1:])
+        ]
+        return pa.concat_tables(parts) if len(parts) > 1 else parts[0]
 
     return (
         postings.map_batches(add_skey, batch_format="pyarrow")
-        .groupby("skey")
+        .groupby("part")
         .map_groups(encode_group, batch_format="pyarrow")
+    )
+
+
+def build_dict_distributed(
+    index_data_dir: str, dict_data_dir: str, *, num_partitions: int = 64
+) -> None:
+    """Distributed dictionary aggregate, partition-bucketed: per-block
+    Arrow partial combine -> coarse crc32(term) partition -> per-partition
+    Arrow sum -> global range sort by term -> write. Ray-level group keys
+    stay coarse (a groupby("term") pays ~0.2 ms of Python per group —
+    hours at 10^8 terms); the final sort is a sample-based range shuffle
+    with no per-group cost."""
+    import zlib
+
+    P = int(num_partitions)
+
+    def part_combine(b: pa.Table) -> pa.Table:
+        g = b.group_by("term").aggregate([("n", "sum"), ("cf", "sum")])
+        part = pa.array(
+            [zlib.crc32(t.encode("utf-8")) % P for t in g.column("term").to_pylist()],
+            pa.int32(),
+        )
+        return pa.table(
+            {"term": g.column("term"), "n": g.column("n_sum"),
+             "cf": g.column("cf_sum"), "part": part}
+        )
+
+    def part_sum(g: pa.Table) -> pa.Table:
+        t = g.group_by("term").aggregate([("n", "sum"), ("cf", "sum")])
+        return pa.table(
+            {"term": t.column("term"),
+             "df": t.column("n_sum").cast(pa.uint64()),
+             "cf": t.column("cf_sum").cast(pa.uint64())}
+        )
+
+    (
+        ray.data.read_parquet(index_data_dir, columns=["term", "n", "cf"])
+        .map_batches(part_combine, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(part_sum, batch_format="pyarrow")
+        .sort("term")
+        .write_parquet(dict_data_dir)
     )
 
 
@@ -598,7 +690,10 @@ def build_index(
             if f.endswith(".parquet")
         ]
         idx_bytes = sum(os.path.getsize(f) for f in idx_files)
-        if idx_bytes < 512 * 1024 * 1024:
+        driver_limit = int(
+            os.environ.get("GRAFT_DICT_DRIVER_LIMIT", 512 * 1024 * 1024)
+        )
+        if idx_bytes < driver_limit:
             # the chunk metadata table is tiny relative to the corpus: a
             # driver-side arrow group_by beats a Ray job's fixed costs
             ct = pq.read_table(_data(index_dir), columns=["term", "n", "cf"])
@@ -613,13 +708,8 @@ def build_index(
                               "df": pa.array([], pa.uint64()),
                               "cf": pa.array([], pa.uint64())})
             pq.write_table(d, os.path.join(_data(dict_dir), "dict.parquet"))
-        else:  # scale path: distributed aggregate
-            from ray.data.aggregate import Sum
-
-            cds = ray.data.read_parquet(_data(index_dir), columns=["term", "n", "cf"])
-            cds.groupby("term").aggregate(
-                Sum("n", alias_name="df"), Sum("cf", alias_name="cf")
-            ).sort("term").write_parquet(_data(dict_dir))
+        else:  # scale path: distributed, partition-bucketed aggregate
+            build_dict_distributed(_data(index_dir), _data(dict_dir))
         timings["dict_sec"] = time.time() - t0
         _commit(dict_dir, {"phase": "dict", "sec": timings["dict_sec"]})
 

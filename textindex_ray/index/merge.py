@@ -37,6 +37,7 @@ from textindex_ray.index.build import (
     _data,
     _empty_chunks,
     _fresh,
+    build_dict_distributed,
     build_index,
     K1,
     B,
@@ -111,26 +112,31 @@ def merge_indexes(index_dirs: list[str], out_dir: str, *, num_buckets: int = 64,
     for s in srcs[1:]:
         alldm = alldm.union(s)
 
-    def first_source(g: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-
-        i = pc.index(g.column("src"), pc.min(g.column("src")))
-        return g.slice(int(i.as_py()), 1)
-
-    won = alldm.groupby("url").map_groups(first_source, batch_format="pyarrow")
-
     def add_bucket(batch: pa.Table) -> pa.Table:
         b = url_bucket(batch.column("url").to_pylist(), num_buckets)
         return batch.append_column("bucket", pa.array(b.astype(np.int64)))
 
-    won = won.map_batches(add_bucket, batch_format="pyarrow")
+    # first-source-wins happens INSIDE the bucket group (md5 bucketing
+    # colocates every copy of a url): a groupby(url) would pay Ray's
+    # ~0.2 ms-per-group Python cost over the whole corpus
+    won = alldm.map_batches(add_bucket, batch_format="pyarrow")
 
     dmdir = _data(docmap_dir)
 
     def assign_bucket(g: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
 
-        g = g.take(pc.sort_indices(g.column("url")))
+        g = g.take(
+            pc.sort_indices(g, [("url", "ascending"), ("src", "ascending")])
+        )
+        n0 = g.num_rows
+        if n0 > 1:
+            u = g.column("url").combine_chunks()
+            eq = pc.equal(u.slice(1, n0 - 1), u.slice(0, n0 - 1)).to_numpy(
+                zero_copy_only=False
+            )
+            starts = np.concatenate(([0], np.flatnonzero(~eq) + 1))
+            g = g.take(pa.array(starts))
         n = g.num_rows
         bucket = int(g.column("bucket")[0].as_py())
         ids = (np.uint64(bucket) << np.uint64(BUCKET_SHIFT)) + np.arange(n, dtype=np.uint64)
@@ -253,13 +259,9 @@ def merge_indexes(index_dirs: list[str], out_dir: str, *, num_buckets: int = 64,
     chunks.write_parquet(_data(index_dir))
     _commit(index_dir, {"phase": "merge-index", "sources": index_dirs})
 
-    from ray.data.aggregate import Sum
-
     cds = ray.data.read_parquet(_data(index_dir), columns=["term", "n", "cf"])
     if cds.count() > 0:
-        cds.groupby("term").aggregate(
-            Sum("n", alias_name="df"), Sum("cf", alias_name="cf")
-        ).sort("term").write_parquet(_data(dict_dir))
+        build_dict_distributed(_data(index_dir), _data(dict_dir))
     else:
         pq.write_table(
             pa.table({"term": pa.array([], pa.string()),
