@@ -179,6 +179,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def q_ngram_pairs(sf_dir):
         return dedup.ngram_jaccard_pairs(docs_ds(sf_dir), k=5, min_ppm=200_000)
 
+    def _cluster_pairs(sf_dir):
+        # tighter threshold than the pair query: clusters over >=0.5
+        # Jaccard (the dedup-pipeline operating point)
+        return dedup.ngram_jaccard_pairs(docs_ds(sf_dir), k=5, min_ppm=500_000)
+
+    def q_dup_clusters(sf_dir):
+        # connected components (hash-to-min) over the exact near-dup
+        # pair list; cluster_id = component-min doc_id
+        return dedup.dup_clusters(_cluster_pairs(sf_dir))
+
+    def q_dedup_keep(sf_dir):
+        # end-to-end near-dup removal: keep one doc per cluster
+        return dedup.dedup_keep(
+            docs_ds(sf_dir), dedup.dup_clusters(_cluster_pairs(sf_dir))
+        )
+
     def q_knn(sf_dir):
         import pyarrow.parquet as pq
 
@@ -302,6 +318,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash64": q_simhash,
         "minhash_lsh_pairs": q_minhash_pairs,
         "ngram_jaccard_pairs": q_ngram_pairs,
+        "dup_clusters": q_dup_clusters,
+        "dedup_keep": q_dedup_keep,
         # similarity search
         "embedding_knn": q_knn,
         "embedding_knn_ivf": q_knn_ivf,
@@ -435,6 +453,50 @@ SELECT doc_a, doc_b,
        (inter * 1000000) // (sa.n + sb.n - inter) AS jaccard_ppm
 FROM pairs JOIN sizes sa ON doc_a = sa.doc_id JOIN sizes sb ON doc_b = sb.doc_id
 WHERE (inter * 1000000) >= 200000 * (sa.n + sb.n - inter)"""
+
+    # connected components over the exact >=0.5-Jaccard pair list:
+    # min-label transitive closure as a recursive CTE (the component
+    # minimum m always propagates because m < x for every other member
+    # x, so the r.lab < e.v prune never blocks it)
+    _cc_parts = """
+norm AS (SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
+              FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id, substr(t, i, 5) AS g
+  FROM (SELECT doc_id, t, unnest(range(1, greatest(length(t) - 3, 1))) AS i
+        FROM norm WHERE length(t) >= 5)
+  UNION
+  SELECT doc_id, t AS g FROM norm WHERE length(t) < 5 AND length(t) > 0),
+npairs AS (
+  SELECT doc_a, doc_b FROM (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*)::BIGINT AS inter
+    FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id) p
+  JOIN (SELECT doc_id, count(*)::BIGINT AS n FROM sh GROUP BY doc_id) sa
+    ON doc_a = sa.doc_id
+  JOIN (SELECT doc_id, count(*)::BIGINT AS n FROM sh GROUP BY doc_id) sb
+    ON doc_b = sb.doc_id
+  WHERE (inter * 1000000) >= 500000 * (sa.n + sb.n - inter)),
+edges AS (SELECT doc_a AS u, doc_b AS v FROM npairs
+          UNION SELECT doc_b, doc_a FROM npairs),
+nodes AS (SELECT DISTINCT u AS nd FROM edges),
+reach(nd, lab) AS (
+  SELECT nd, nd FROM nodes
+  UNION
+  SELECT e.v, r.lab FROM reach r JOIN edges e ON e.u = r.nd WHERE r.lab < e.v
+)"""
+    sql["dup_clusters"] = (
+        "WITH RECURSIVE " + _cc_parts
+        + "\nSELECT nd AS doc_id, min(lab)::BIGINT AS cluster_id "
+        "FROM reach GROUP BY nd"
+    )
+    sql["dedup_keep"] = (
+        "WITH RECURSIVE " + _cc_parts
+        + """,
+cc AS (SELECT nd, min(lab) AS cluster FROM reach GROUP BY nd)
+SELECT doc_id FROM documents
+WHERE doc_id NOT IN (SELECT nd FROM cc WHERE nd <> cluster)"""
+    )
 
     sql["embedding_knn"] = """
 WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings

@@ -637,3 +637,78 @@ def test_multimodal_decoder_import_guard(monkeypatch):
     assert img2.shape == (3, 4) and float(img2[0, 0]) == 7.0
     pcm2 = mm.decode_audio(b"audiodata", 16_000)
     assert pcm2.shape == (8,) and float(pcm2[0]) == 0.5  # channel downmix
+
+
+def test_dup_clusters_union_find_equivalence(ray_session):
+    """dup_clusters == union-find ground truth on a random graph, a
+    worst-diameter chain, and the empty pair list."""
+    import ray.data
+
+    from textindex_ray.functions.dedup import (
+        _EMPTY_PAIRS,
+        dedup_keep,
+        dup_clusters,
+    )
+
+    rng = np.random.default_rng(7)
+    n, m = 2000, 2500
+    a = rng.integers(0, n, m)
+    b = rng.integers(0, n, m)
+    keep = a != b
+    doc_a = np.minimum(a[keep], b[keep])
+    doc_b = np.maximum(a[keep], b[keep])
+    pairs = ray.data.from_arrow(pa.table({
+        "doc_a": pa.array(doc_a, pa.int64()),
+        "doc_b": pa.array(doc_b, pa.int64()),
+        "jaccard_ppm": pa.array(np.full(doc_a.size, 900000), pa.int64()),
+    }))
+    got = dup_clusters(pairs).to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for x, y in zip(doc_a, doc_b):
+        rx, ry = find(int(x)), find(int(y))
+        if rx != ry:
+            parent[max(rx, ry)] = min(rx, ry)
+    nodes = sorted(set(doc_a.tolist()) | set(doc_b.tolist()))
+    comp_min = {}
+    for v in nodes:  # ascending: first node seen per root IS the min
+        comp_min.setdefault(find(v), v)
+    assert got["doc_id"].tolist() == nodes
+    assert got["cluster_id"].tolist() == [comp_min[find(v)] for v in nodes]
+
+    # chain (diameter n): exercises the O(log n) round bound
+    cn = 300
+    chain = ray.data.from_arrow(pa.table({
+        "doc_a": pa.array(np.arange(cn - 1), pa.int64()),
+        "doc_b": pa.array(np.arange(1, cn), pa.int64()),
+        "jaccard_ppm": pa.array(np.full(cn - 1, 900000), pa.int64()),
+    }))
+    r2 = dup_clusters(chain).to_pandas()
+    assert len(r2) == cn and (r2["cluster_id"] == 0).all()
+
+    # empty: schema preserved on the Dataset (to_pandas drops columns on
+    # a 0-row dataset -- Ray quirk, same as every _EMPTY_* sentinel path)
+    r3 = dup_clusters(ray.data.from_arrow(_EMPTY_PAIRS))
+    assert r3.count() == 0
+    assert [f.name for f in r3.schema().base_schema] == ["doc_id", "cluster_id"]
+
+    # end-to-end keep-one-per-cluster
+    docs = ray.data.from_arrow(
+        pa.table({"doc_id": pa.array(np.arange(n), pa.int64())})
+    )
+    kept = dedup_keep(docs, dup_clusters(pairs)).to_pandas()
+    drop = {v for v in nodes if comp_min[find(v)] != v}
+    assert sorted(kept["doc_id"].tolist()) == sorted(set(range(n)) - drop)
+
+    # no near-dups at all: everything kept (empty-join guard branch)
+    kept_all = dedup_keep(
+        docs, dup_clusters(ray.data.from_arrow(_EMPTY_PAIRS))
+    ).to_pandas()
+    assert len(kept_all) == n

@@ -791,6 +791,201 @@ def ngram_jaccard_pairs(
 _POPCOUNT = np.array([bin(i).count("1") for i in range(256)], dtype=np.int64)
 
 
+# ---------------------------------------------------------------------------
+# Connected components over a near-dup pair list (cluster assignment)
+
+_EMPTY_CLUSTERS = pa.table(
+    {"doc_id": pa.array([], pa.int64()), "cluster_id": pa.array([], pa.int64())}
+)
+
+_CC_K1 = np.uint64(0x9E3779B97F4A7C15)
+_CC_K2 = np.uint64(0xC2B2AE3D27D4EB4F)
+
+
+def dup_clusters(
+    pairs: "ray.data.Dataset",
+    *,
+    fine_partitions: int = 32,
+    max_iters: int = 64,
+) -> "ray.data.Dataset":
+    """(doc_id, cluster_id): connected components over an undirected
+    near-dup pair list (doc_a, doc_b); cluster_id is the MINIMUM doc_id
+    of the component — the canonical representative a downstream dedup
+    keeps.
+
+    Distributed hash-to-min (Rastogi et al., "Finding Connected
+    Components in Map-Reduce", ICDE 2013): every node maintains a
+    cluster set C(v) (initially its neighbourhood plus itself); each
+    round every node sends min(C(v)) to all of C(v) and all of C(v) to
+    min(C(v)); converges in O(log d) rounds to stars around each
+    component minimum. One round == ONE coarse hash-partition shuffle:
+    rows partition by hash(u) % fine_partitions and the per-node fine
+    grouping (dedup -> sort -> run detection -> vectorized emission)
+    runs inside the partition with Arrow/numpy kernels — the house
+    partition-bucket pattern (SCALE.md), never a per-node Ray groupby.
+
+    Convergence is detected with a commutative 64-bit multiset
+    fingerprint (count + wrap-around sum of mix(u, v)) over the emitted
+    edge multiset: the emission is a deterministic function of the
+    canonical (deduped) edge set, so equal fingerprints on consecutive
+    rounds imply the canonical set reached its fixpoint. The fingerprint
+    partials are one tiny row per block; only those reach the driver.
+
+    Scale: the edge list is O(near-dup pairs) — orders of magnitude
+    smaller than the corpus after exact-dup collapse (minhash_lsh_pairs
+    already collapses identical texts before pair emission). Worst-case
+    intermediate growth is the hash-to-min bound O(|E| log n); each
+    round's blocks stream through the object store.
+    """
+    import pyarrow.compute as pc
+
+    fine = int(fine_partitions)
+
+    pairs = pairs.materialize()
+    if pairs.count() == 0:
+        return ray.data.from_arrow(_EMPTY_CLUSTERS)
+
+    def init_edges(b: pa.Table) -> pa.Table:
+        a = b.column("doc_a").to_numpy()
+        bb = b.column("doc_b").to_numpy()
+        # both directions + self loops (self loops make every node its
+        # own C-member, so isolated endpoints and minima label themselves)
+        u = np.concatenate([a, bb, a, bb])
+        v = np.concatenate([bb, a, a, bb])
+        return pa.table(
+            {"u": pa.array(u, pa.int64()), "v": pa.array(v, pa.int64())}
+        )
+
+    def add_part(b: pa.Table) -> pa.Table:
+        u = b.column("u").to_numpy().astype(np.uint64)
+        p = ((u * _CC_K1) % np.uint64(fine)).astype(np.int32)
+        return b.append_column("part", pa.array(p, pa.int32()))
+
+    def _runs(t: pa.Table):
+        u = t.column("u").to_numpy()
+        v = t.column("v").to_numpy()
+        n = u.size
+        starts = np.concatenate(
+            ([0], np.flatnonzero(u[1:] != u[:-1]) + 1, [n])
+        )
+        return u, v, starts
+
+    def star(g: pa.Table) -> pa.Table:
+        # one coarse partition: dedup incoming multiset, then for every
+        # node u (a sorted run) emit (x, m) and (m, x) for x in C(u),
+        # m = min C(u) (v sorted ascending => m is the run head)
+        t = (
+            g.select(["u", "v"])
+            .group_by(["u", "v"])
+            .aggregate([])
+            .sort_by([("u", "ascending"), ("v", "ascending")])
+        )
+        if t.num_rows == 0:
+            return pa.table(
+                {"u": pa.array([], pa.int64()), "v": pa.array([], pa.int64())}
+            )
+        u, v, starts = _runs(t)
+        lens = np.diff(starts)
+        m_row = np.repeat(v[starts[:-1]], lens)
+        ou = np.concatenate([v, m_row])
+        ov = np.concatenate([m_row, v])
+        tt = pa.table(
+            {"u": pa.array(ou, pa.int64()), "v": pa.array(ov, pa.int64())}
+        )
+        return tt.group_by(["u", "v"]).aggregate([])
+
+    def fp_batch(b: pa.Table) -> pa.Table:
+        u = b.column("u").to_numpy().astype(np.uint64)
+        v = b.column("v").to_numpy().astype(np.uint64)
+        mix = (u * _CC_K1) ^ (v * _CC_K2)
+        return pa.table(
+            {"n": pa.array([b.num_rows], pa.int64()),
+             "s": pa.array([int(mix.sum(dtype=np.uint64))], pa.uint64())}
+        )
+
+    def fingerprint(ds: "ray.data.Dataset") -> tuple:
+        parts = ds.map_batches(fp_batch, batch_format="pyarrow").take_all()
+        n = sum(p["n"] for p in parts)
+        s = 0
+        for p in parts:
+            s = (s + int(p["s"])) & 0xFFFFFFFFFFFFFFFF
+        return (n, s)
+
+    edges = pairs.map_batches(init_edges, batch_format="pyarrow")
+    prev_fp = None
+    for _ in range(max_iters):
+        edges = (
+            edges.map_batches(add_part, batch_format="pyarrow")
+            .groupby("part")
+            .map_groups(star, batch_format="pyarrow")
+            .materialize()
+        )
+        fp = fingerprint(edges)
+        if fp == prev_fp:
+            break
+        prev_fp = fp
+    else:
+        raise RuntimeError(
+            "dup_clusters: no convergence in %d rounds" % max_iters
+        )
+
+    def part_labels(g: pa.Table) -> pa.Table:
+        t = (
+            g.select(["u", "v"])
+            .group_by(["u", "v"])
+            .aggregate([])
+            .sort_by([("u", "ascending"), ("v", "ascending")])
+        )
+        if t.num_rows == 0:
+            return _EMPTY_CLUSTERS
+        u, v, starts = _runs(t)
+        heads = starts[:-1]
+        return pa.table(
+            {"doc_id": pa.array(u[heads], pa.int64()),
+             "cluster_id": pa.array(v[heads], pa.int64())}
+        )
+
+    return (
+        edges.map_batches(add_part, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(part_labels, batch_format="pyarrow")
+    )
+
+
+def dedup_keep(
+    docs: "ray.data.Dataset",
+    clusters: "ray.data.Dataset",
+    *,
+    num_partitions: int = 4,
+) -> "ray.data.Dataset":
+    """End-to-end near-dup removal: keep exactly one document (the
+    cluster minimum) per near-dup cluster, plus every unclustered doc.
+
+    Returns the kept (doc_id) rows of ``docs``. The drop set (cluster
+    members that are not their cluster's minimum) is removed with a
+    partitioned left_anti hash join — no driver-side set, no broadcast;
+    only the drop ids shuffle. Empty-drop-set degenerates to the input
+    (Dataset.join loses the schema of an empty side — CLAUDE.md rule —
+    so the drop side is materialized and branched on count()==0)."""
+    import pyarrow.compute as pc
+
+    ids = docs.select_columns(["doc_id"])
+
+    def non_canonical(b: pa.Table) -> pa.Table:
+        keep = pc.not_equal(b.column("doc_id"), b.column("cluster_id"))
+        return b.filter(keep).select(["doc_id"])
+
+    drop = clusters.map_batches(
+        non_canonical, batch_format="pyarrow"
+    ).materialize()
+    if drop.count() == 0:
+        return ids
+    return ids.join(
+        drop, join_type="left_anti", num_partitions=num_partitions,
+        on=("doc_id",),
+    )
+
+
 def ngram_jaccard_pairs_allpairs(
     ds: "ray.data.Dataset", *, k: int = 5, min_ppm: int = 500_000
 ):
