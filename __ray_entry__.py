@@ -260,6 +260,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def q_fingerprint(sf_dir):
         return docs_ds(sf_dir).map_batches(textstats.fingerprint_batch, batch_format="pyarrow")
 
+    def q_hash_split(sf_dir):
+        # deterministic content-keyed train/val split (dup-leak-proof)
+        return docs_ds(sf_dir).map_batches(
+            textstats.hash_split(900_000), batch_format="pyarrow"
+        )
+
+    def q_redact(sf_dir):
+        # regex scrub stage: Arrow RE2 == DuckDB RE2, byte-identical
+        return docs_ds(sf_dir).map_batches(
+            textstats.redact("[0-9]+", "#"), batch_format="pyarrow"
+        )
+
     def q_lsh_buckets(sf_dir):
         res = similarity.rp_lsh_buckets(emb_ds(sf_dir), n_planes=8)
         return res
@@ -330,6 +342,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_count": q_token_count,
         "doc_fingerprint": q_fingerprint,
         "heavy_terms": q_heavy_terms,
+        "hash_split": q_hash_split,
+        "doc_redact": q_redact,
         "embedding_lsh_buckets": q_lsh_buckets,
         # stream-shaped (events log)
         "events_window_stats": q_events_window,
@@ -497,6 +511,18 @@ cc AS (SELECT nd, min(lab) AS cluster FROM reach GROUP BY nd)
 SELECT doc_id FROM documents
 WHERE doc_id NOT IN (SELECT nd FROM cc WHERE nd <> cluster)"""
     )
+
+    sql["hash_split"] = """
+SELECT doc_id,
+       CASE WHEN ('0x' || substr(md5(text), 1, 8))::BIGINT % 1000000 < 900000
+            THEN 'train' ELSE 'val' END AS split
+FROM documents"""
+
+    sql["doc_redact"] = """
+SELECT doc_id,
+       len(regexp_extract_all(text, '[0-9]+'))::BIGINT AS n_matches,
+       length(regexp_replace(text, '[0-9]+', '#', 'g'))::BIGINT AS red_len
+FROM documents"""
 
     sql["embedding_knn"] = """
 WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings

@@ -712,3 +712,39 @@ def test_dup_clusters_union_find_equivalence(ray_session):
         docs, dup_clusters(ray.data.from_arrow(_EMPTY_PAIRS))
     ).to_pandas()
     assert len(kept_all) == n
+
+
+def test_hash_split_and_redact(docs_ds):
+    """Content-keyed split: deterministic, dup-consistent, ~train_ppm
+    mass; redact: RE2 count/replace agree with Python re."""
+    import re as _re
+
+    from textindex_ray.functions import textstats
+
+    sp = docs_ds.map_batches(
+        textstats.hash_split(900_000), batch_format="pyarrow"
+    ).to_pandas()
+    assert set(sp.columns) == {"doc_id", "split"}
+    assert set(sp["split"]) <= {"train", "val"}
+    frac = (sp["split"] == "train").mean()
+    assert 0.8 < frac < 0.97  # 500 docs at 0.9: loose binomial band
+    # determinism: second run identical
+    sp2 = docs_ds.map_batches(
+        textstats.hash_split(900_000), batch_format="pyarrow"
+    ).to_pandas()
+    assert (
+        sp.sort_values("doc_id")
+        .reset_index(drop=True)
+        .equals(sp2.sort_values("doc_id").reset_index(drop=True))
+    )
+    # dup consistency: same text => same split
+    texts = docs_ds.select_columns(["doc_id", "text"]).to_pandas()
+    j = texts.merge(sp, on="doc_id")
+    assert (j.groupby("text")["split"].nunique() == 1).all()
+
+    rd = docs_ds.map_batches(
+        textstats.redact("[0-9]+", "#"), batch_format="pyarrow"
+    ).to_pandas().merge(texts, on="doc_id")
+    for _, row in rd.head(50).iterrows():
+        assert row["n_matches"] == len(_re.findall(r"[0-9]+", row["text"]))
+        assert row["red_len"] == len(_re.sub(r"[0-9]+", "#", row["text"]))

@@ -134,6 +134,58 @@ def fingerprint_batch(batch: pa.Table) -> pa.Table:
     )
 
 
+def hash_split(train_ppm: int = 900_000):
+    """Deterministic content-hash train/val split: a doc goes to
+    'train' iff the first 8 hex chars of md5(text) mod 1e6 fall below
+    ``train_ppm``. Content-keyed (not doc_id-keyed) so exact duplicates
+    always land in the same split — no train/val leakage through dups —
+    and the assignment is reproducible on any cluster size / shard
+    order (SQL: ('0x' || substr(md5(text), 1, 8))::BIGINT % 1000000,
+    the docID-contract trick, build.py).
+
+    Returns a map_batches fn emitting (doc_id, split)."""
+    thr = int(train_ppm)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        splits = [
+            "train"
+            if int(hashlib.md5(t.encode("utf-8")).hexdigest()[:8], 16) % 1_000_000
+            < thr
+            else "val"
+            for t in batch.column("text").to_pylist()
+        ]
+        return pa.table(
+            {"doc_id": batch.column("doc_id"),
+             "split": pa.array(splits, pa.string())}
+        )
+
+    return fn
+
+
+def redact(pattern: str = "[0-9]+", replacement: str = "#"):
+    """Vectorized regex redaction (the PII-scrub stage shape): replace
+    every match of ``pattern`` and report per doc the match count and
+    the redacted length. Both kernels are Arrow C++ RE2
+    (count_substring_regex / replace_substring_regex) — the same regex
+    engine DuckDB uses, so the SQL oracle's regexp_replace/
+    regexp_extract_all agree byte-for-byte.
+
+    Returns a map_batches fn emitting (doc_id, n_matches, red_len)."""
+    import pyarrow.compute as pc
+
+    def fn(batch: pa.Table) -> pa.Table:
+        text = batch.column("text")
+        n = pc.count_substring_regex(text, pattern)
+        red = pc.replace_substring_regex(text, pattern, replacement)
+        return pa.table(
+            {"doc_id": batch.column("doc_id"),
+             "n_matches": n.cast(pa.int64()),
+             "red_len": pc.utf8_length(red).cast(pa.int64())}
+        )
+
+    return fn
+
+
 # ---------------------------------------------------------------------------
 # heavy hitters: bounded-memory sketch + exact recount (two passes)
 
