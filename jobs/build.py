@@ -31,7 +31,17 @@ def main(argv=None) -> int:
     ap.add_argument("--files", action="store_true",
                     help="corpus is a loose-file directory tree (reference "
                          "walk source) instead of a Parquet table")
+    ap.add_argument("--track-alloc", action="store_true",
+                    help="record per-phase memory snapshots (driver RSS, "
+                         "tracemalloc, object-store fill) into each phase's "
+                         "metrics.jsonl — the reference's opt-in allocation "
+                         "tracker analog (main.rs:33-111)")
     args = ap.parse_args(argv)
+
+    if args.track_alloc:
+        from textindex_ray import diagnostics
+
+        diagnostics.start_tracing()
 
     import ray
 

@@ -77,3 +77,34 @@ def test_killed_build_resumes_identically(tmp_path):
         assert os.path.exists(os.path.join(idx, d, "metrics.jsonl")), d
         rec = [json.loads(l) for l in open(os.path.join(idx, d, "metrics.jsonl"))]
         assert rec and "phase" in rec[0]
+
+
+def test_alloc_tracking_opt_in(ray_session, tmp_path, monkeypatch):
+    """--track-alloc analog: phase metrics.jsonl gains an "alloc"
+    snapshot (driver RSS + object-store fill) when enabled, and stays
+    clean when disabled (the default)."""
+    import json
+    import os
+
+    from textindex_ray.corpus import write_corpus
+    from textindex_ray.index.build import build_index
+
+    corpus = str(tmp_path / "corpus")
+    write_corpus(corpus, 64, rows_per_file=64)
+
+    monkeypatch.delenv("GRAFT_TRACK_ALLOC", raising=False)
+    out_off = str(tmp_path / "idx_off")
+    build_index(corpus, out_off, num_buckets=4)
+    with open(os.path.join(out_off, "index", "metrics.jsonl")) as f:
+        recs = [json.loads(line) for line in f]
+    assert all("alloc" not in r for r in recs)
+
+    monkeypatch.setenv("GRAFT_TRACK_ALLOC", "1")
+    out_on = str(tmp_path / "idx_on")
+    build_index(corpus, out_on, num_buckets=4)
+    with open(os.path.join(out_on, "index", "metrics.jsonl")) as f:
+        recs = [json.loads(line) for line in f]
+    snaps = [r["alloc"] for r in recs if "alloc" in r]
+    assert snaps, recs
+    assert snaps[0]["driver_rss_mb"] > 0
+    assert snaps[0]["object_store_mb"] > 0

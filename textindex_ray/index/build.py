@@ -80,6 +80,11 @@ def _fresh(d: str) -> None:
 
 
 def _commit(d: str, metrics: dict, params: dict | None = None) -> None:
+    from textindex_ray import diagnostics
+
+    snap = diagnostics.snapshot()
+    if snap:
+        metrics = {**metrics, "alloc": snap}
     with open(os.path.join(d, "metrics.jsonl"), "a") as f:
         f.write(json.dumps(metrics) + "\n")
     with open(os.path.join(d, "_COMMITTED.tmp"), "w") as f:
