@@ -290,10 +290,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ev = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"))
         return sliding_window_stats(ev, size_windows=2)
 
+    def q_events_topk(sf_dir):
+        import ray.data
+        from textindex_ray.functions.events import window_topk
+
+        ev = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"))
+        return window_topk(ev, k=3)
+
     def q_heavy_terms(sf_dir):
         from textindex_ray.functions.textstats import heavy_terms
 
         return heavy_terms(docs_ds(sf_dir), min_ppm=5_000)
+
+    def q_length_quantiles(sf_dir):
+        return textstats.length_quantiles(docs_ds(sf_dir))
 
     def q_events_sessions(sf_dir):
         import ray.data
@@ -344,10 +354,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "heavy_terms": q_heavy_terms,
         "hash_split": q_hash_split,
         "doc_redact": q_redact,
+        "length_quantiles": q_length_quantiles,
         "embedding_lsh_buckets": q_lsh_buckets,
         # stream-shaped (events log)
         "events_window_stats": q_events_window,
         "events_sliding_window": q_events_sliding,
+        "events_window_topk": q_events_topk,
         "events_sessions": q_events_sessions,
         # synthetic web-corpus pipeline (rows-only; pytest-verified vs oracle)
         "corpus_extract_stats": corpus_extract_stats,
@@ -523,6 +535,30 @@ SELECT doc_id,
        len(regexp_extract_all(text, '[0-9]+'))::BIGINT AS n_matches,
        length(regexp_replace(text, '[0-9]+', '#', 'g'))::BIGINT AS red_len
 FROM documents"""
+
+    # exact discrete quantile: smallest v with cum(v)*1e6 >= q_ppm*n
+    # (integer comparison — no float percentile interpolation)
+    sql["length_quantiles"] = """
+WITH c AS (SELECT n_chars AS v, count(*)::BIGINT AS cnt
+           FROM documents GROUP BY n_chars),
+s AS (SELECT v, sum(cnt) OVER (ORDER BY v) AS cum,
+             (SELECT count(*) FROM documents) AS n
+      FROM c),
+q(q_ppm) AS (VALUES (500000), (900000), (990000))
+SELECT q_ppm::BIGINT AS q_ppm, min(v)::BIGINT AS value
+FROM s JOIN q ON s.cum * 1000000 >= q.q_ppm * s.n
+GROUP BY q_ppm"""
+
+    sql["events_window_topk"] = """
+WITH w AS (SELECT event_type,
+                  (epoch_us(ts) // 3600000000)::BIGINT AS "window",
+                  count(*)::BIGINT AS n_events
+           FROM events GROUP BY event_type, (epoch_us(ts) // 3600000000)),
+r AS (SELECT *, row_number() OVER (PARTITION BY "window"
+                                   ORDER BY n_events DESC, event_type) AS rank
+      FROM w)
+SELECT "window", event_type, n_events, rank::BIGINT AS rank
+FROM r WHERE rank <= 3"""
 
     sql["embedding_knn"] = """
 WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings

@@ -748,3 +748,55 @@ def test_hash_split_and_redact(docs_ds):
     for _, row in rd.head(50).iterrows():
         assert row["n_matches"] == len(_re.findall(r"[0-9]+", row["text"]))
         assert row["red_len"] == len(_re.sub(r"[0-9]+", "#", row["text"]))
+
+
+def test_window_topk_matches_pandas(ray_session):
+    """window_topk == pandas groupby/rank with the same deterministic
+    tie-break (count desc, event_type asc)."""
+    import pandas as pd
+    import ray.data
+
+    from textindex_ray.functions.events import window_topk
+
+    ev = ray.data.read_parquet("/root/testdata/sf0.001/events.parquet")
+    got = (
+        window_topk(ev, k=3)
+        .to_pandas()
+        .sort_values(["window", "rank"])
+        .reset_index(drop=True)
+    )
+
+    raw = ev.to_pandas()
+    raw["window"] = (
+        raw["ts"].astype("int64") // 3_600_000_000
+    ).astype("int64")
+    cnt = (
+        raw.groupby(["window", "event_type"]).size().rename("n_events").reset_index()
+    )
+    cnt = cnt.sort_values(
+        ["window", "n_events", "event_type"], ascending=[True, False, True]
+    )
+    cnt["rank"] = cnt.groupby("window").cumcount() + 1
+    want = cnt[cnt["rank"] <= 3].reset_index(drop=True)
+    assert got["window"].tolist() == want["window"].tolist()
+    assert got["event_type"].tolist() == want["event_type"].tolist()
+    assert got["n_events"].tolist() == want["n_events"].tolist()
+    assert got["rank"].tolist() == want["rank"].tolist()
+
+
+def test_length_quantiles_exact(docs_ds):
+    """length_quantiles == the integer-math discrete quantile computed
+    directly on the column."""
+    import numpy as np
+
+    from textindex_ray.functions.textstats import length_quantiles
+
+    got = length_quantiles(docs_ds).to_pydict()
+    vals = np.sort(
+        docs_ds.select_columns(["n_chars"]).to_pandas()["n_chars"].to_numpy()
+    )
+    n = vals.size
+    for q, v in zip(got["q_ppm"], got["value"]):
+        # smallest value whose cumulative count reaches q_ppm * n / 1e6
+        k = -(-q * n // 1_000_000)  # ceil without floats
+        assert v == int(vals[int(k) - 1]), (q, v, int(vals[int(k) - 1]))

@@ -127,6 +127,63 @@ def sliding_window_stats(
     )
 
 
+def window_topk(
+    ds: "ray.data.Dataset", *, k: int = 3, window_us: int = _HOUR_US,
+    num_partitions: int = 32,
+):
+    """(window, event_type, n_events, rank): per tumbling window, the
+    top-k event types by count — rank 1..k, ties broken (n_events desc,
+    event_type asc), identical to SQL ``row_number() OVER (PARTITION BY
+    window ORDER BY n_events DESC, event_type)``.
+
+    Two partition-bucketed stages: the tumbling count aggregate (the
+    tumbling_window_stats plan), then a window-keyed coarse partition
+    where each window's per-type counts sort and truncate to k inside
+    the partition — per-window input is |event types| (bounded), and
+    only k rows per window leave the stage, so the output is tiny no
+    matter the corpus size."""
+    P = int(num_partitions)
+    counts = tumbling_window_stats(
+        ds, window_us=window_us, num_partitions=num_partitions
+    )
+
+    def add_wpart(b: pa.Table) -> pa.Table:
+        win = b.column("window").to_numpy().astype(np.uint64)
+        part = ((win * np.uint64(0x9E3779B97F4A7C15)) % np.uint64(P)).astype(
+            np.int32
+        )
+        return b.append_column("part", pa.array(part, pa.int32()))
+
+    def part_topk(g: pa.Table) -> pa.Table:
+        t = g.sort_by([
+            ("window", "ascending"),
+            ("n_events", "descending"),
+            ("event_type", "ascending"),
+        ])
+        win = t.column("window").to_numpy()
+        n = win.size
+        ne = win[1:] != win[:-1]
+        run_start = np.concatenate(([0], np.flatnonzero(ne) + 1))
+        run_id = np.cumsum(np.concatenate(([0], ne.astype(np.int64))))
+        rank = np.arange(n) - run_start[run_id] + 1
+        keep = pa.array(rank <= k)
+        t = t.append_column("rank", pa.array(rank, pa.int64())).filter(keep)
+        return pa.table(
+            {
+                "window": t.column("window").cast(pa.int64()),
+                "event_type": t.column("event_type"),
+                "n_events": t.column("n_events").cast(pa.int64()),
+                "rank": t.column("rank"),
+            }
+        )
+
+    return (
+        counts.map_batches(add_wpart, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(part_topk, batch_format="pyarrow")
+    )
+
+
 def sessionize(ds: "ray.data.Dataset", *, gap_us: int = 1_800_000_000):
     """Per-user sessions: consecutive events within gap_us belong to one
     session. Returns (user_id, session_id, n_events, start_ts, end_ts).

@@ -186,6 +186,74 @@ def redact(pattern: str = "[0-9]+", replacement: str = "#"):
     return fn
 
 
+def length_quantiles(
+    ds: "ray.data.Dataset",
+    *,
+    q_ppm: tuple[int, ...] = (500_000, 900_000, 990_000),
+    num_partitions: int = 32,
+) -> pa.Table:
+    """(q_ppm, value): EXACT discrete quantiles of the n_chars column —
+    the length-percentile filter stage of a data-quality pipeline.
+    value = the smallest length v whose cumulative count satisfies
+    ``cum(v) * 1e6 >= q_ppm * n`` (pure integer math, so the SQL
+    window-function twin agrees bit-for-bit; no float percentile
+    interpolation anywhere).
+
+    Value-histogram plan: per-block Arrow count partials -> coarse hash
+    partition on the length value -> Arrow sum inside the partition ->
+    the finished histogram reduces on the driver. The histogram is
+    bounded by the DOMAIN (distinct document lengths, <= ~1e6 rows even
+    at 100 TB), not the corpus, so the driver reduce is a constant-size
+    aggregate like the build's global stats — not a data materialization."""
+    import pyarrow.compute as pc
+
+    P = int(num_partitions)
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = b.select(["n_chars"]).group_by("n_chars").aggregate(
+            [("n_chars", "count")]
+        )
+        v = t.column("n_chars").to_numpy().astype(np.uint64)
+        part = ((v * np.uint64(0x9E3779B97F4A7C15)) % np.uint64(P)).astype(
+            np.int32
+        )
+        return pa.table(
+            {"v": t.column("n_chars").cast(pa.int64()),
+             "cnt": t.column("n_chars_count").cast(pa.int64()),
+             "part": pa.array(part, pa.int32())}
+        )
+
+    def part_sum(g: pa.Table) -> pa.Table:
+        t = g.group_by("v").aggregate([("cnt", "sum")])
+        return pa.table(
+            {"v": t.column("v"), "cnt": t.column("cnt_sum").cast(pa.int64())}
+        )
+
+    hist = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(part_sum, batch_format="pyarrow")
+        .take_all()
+    )
+    vs = np.array([r["v"] for r in hist], dtype=np.int64)
+    cnts = np.array([r["cnt"] for r in hist], dtype=np.int64)
+    order = np.argsort(vs)
+    vs, cnts = vs[order], cnts[order]
+    cum = np.cumsum(cnts)
+    n = int(cum[-1]) if cum.size else 0
+    out_q, out_v = [], []
+    for q in q_ppm:
+        if n == 0:
+            continue
+        idx = int(np.searchsorted(cum * 1_000_000, q * n, side="left"))
+        out_q.append(int(q))
+        out_v.append(int(vs[min(idx, vs.size - 1)]))
+    return pa.table(
+        {"q_ppm": pa.array(out_q, pa.int64()),
+         "value": pa.array(out_v, pa.int64())}
+    )
+
+
 # ---------------------------------------------------------------------------
 # heavy hitters: bounded-memory sketch + exact recount (two passes)
 
