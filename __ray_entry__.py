@@ -305,6 +305,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def q_length_quantiles(sf_dir):
         return textstats.length_quantiles(docs_ds(sf_dir))
 
+    def q_pack_bins(sf_dir):
+        # sequence packing: doc -> fixed-capacity bin by ordered prefix sum
+        return textstats.pack_bins(docs_ds(sf_dir), capacity=4096)
+
     def q_events_sessions(sf_dir):
         import ray.data
         from textindex_ray.functions.events import sessionize
@@ -355,6 +359,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hash_split": q_hash_split,
         "doc_redact": q_redact,
         "length_quantiles": q_length_quantiles,
+        "pack_bins": q_pack_bins,
         "embedding_lsh_buckets": q_lsh_buckets,
         # stream-shaped (events log)
         "events_window_stats": q_events_window,
@@ -548,6 +553,14 @@ q(q_ppm) AS (VALUES (500000), (900000), (990000))
 SELECT q_ppm::BIGINT AS q_ppm, min(v)::BIGINT AS value
 FROM s JOIN q ON s.cum * 1000000 >= q.q_ppm * s.n
 GROUP BY q_ppm"""
+
+    # sequence packing: bin = exclusive ordered prefix sum // capacity
+    sql["pack_bins"] = """
+WITH s AS (SELECT doc_id,
+                  sum(n_chars) OVER (ORDER BY doc_id
+                                     ROWS UNBOUNDED PRECEDING) - n_chars AS excl
+           FROM documents)
+SELECT doc_id, (excl // 4096)::BIGINT AS bin_id FROM s"""
 
     sql["events_window_topk"] = """
 WITH w AS (SELECT event_type,

@@ -784,6 +784,27 @@ def test_window_topk_matches_pandas(ray_session):
     assert got["rank"].tolist() == want["rank"].tolist()
 
 
+def test_pack_bins_exact_and_partition_independent(docs_ds):
+    """pack_bins == single-process ordered prefix sum // capacity, and the
+    result is identical for any num_ranges (partitioning never changes the
+    exact prefix)."""
+    import numpy as np
+
+    from textindex_ray.functions.textstats import pack_bins
+
+    df = docs_ds.select_columns(["doc_id", "n_chars"]).to_pandas()
+    df = df.sort_values("doc_id").reset_index(drop=True)
+    sz = df["n_chars"].to_numpy(np.int64)
+    excl = np.cumsum(sz) - sz
+    want = dict(zip(df["doc_id"].tolist(), (excl // 4096).tolist()))
+
+    for nr in (1, 7, 32):
+        got = pack_bins(docs_ds, capacity=4096, num_ranges=nr).to_pandas()
+        assert len(got) == len(df), nr
+        gm = dict(zip(got["doc_id"].tolist(), got["bin_id"].tolist()))
+        assert gm == want, nr
+
+
 def test_length_quantiles_exact(docs_ds):
     """length_quantiles == the integer-math discrete quantile computed
     directly on the column."""
