@@ -328,6 +328,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return sessionize(ev).map_batches(shape, batch_format="pyarrow")
 
+    def q_events_asof(sf_dir):
+        import ray.data
+        from textindex_ray.functions.events import asof_join
+
+        ev = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"))
+        left = ev.filter(expr="event_type == 'click'")
+        right = ev.filter(expr="event_type == 'error'")
+        return asof_join(left, right)
+
     return {
         # inverted-index engine over the documents table (SQL-checked)
         "doc_dict": D.doc_dict,
@@ -366,6 +375,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sliding_window": q_events_sliding,
         "events_window_topk": q_events_topk,
         "events_sessions": q_events_sessions,
+        "events_asof": q_events_asof,
         # synthetic web-corpus pipeline (rows-only; pytest-verified vs oracle)
         "corpus_extract_stats": corpus_extract_stats,
         "corpus_bm25_topk": corpus_bm25,
@@ -561,6 +571,34 @@ WITH s AS (SELECT doc_id,
                                      ROWS UNBOUNDED PRECEDING) - n_chars AS excl
            FROM documents)
 SELECT doc_id, (excl // 4096)::BIGINT AS bin_id FROM s"""
+
+    # as-of join: each click joined to the latest error at-or-before it
+    # per user; window order (ts, side, event_id) fixes the tie semantics
+    # (same-ts right rows match; among them the largest event_id wins)
+    sql["events_asof"] = """
+WITH u AS (
+  SELECT user_id, ts, event_id, 0 AS side,
+         floor(value * 10000)::BIGINT AS rv
+  FROM events WHERE event_type = 'error'
+  UNION ALL
+  SELECT user_id, ts, event_id, 1 AS side, NULL
+  FROM events WHERE event_type = 'click'
+), w AS (
+  SELECT user_id, ts, event_id, side,
+         last_value(CASE WHEN side = 0 THEN event_id END IGNORE NULLS)
+           OVER ord AS ref_event_id,
+         last_value(rv IGNORE NULLS) OVER ord AS ref_value_t4,
+         last_value(CASE WHEN side = 0 THEN ts END IGNORE NULLS)
+           OVER ord AS ref_ts
+  FROM u
+  WINDOW ord AS (PARTITION BY user_id ORDER BY ts, side, event_id
+                 ROWS UNBOUNDED PRECEDING)
+)
+SELECT event_id, user_id,
+       coalesce(ref_event_id, -1)::BIGINT AS ref_event_id,
+       coalesce(ref_value_t4, -1)::BIGINT AS ref_value_t4,
+       coalesce(epoch_us(ts) - epoch_us(ref_ts), -1)::BIGINT AS gap_us
+FROM w WHERE side = 1"""
 
     sql["events_window_topk"] = """
 WITH w AS (SELECT event_type,

@@ -784,6 +784,53 @@ def test_window_topk_matches_pandas(ray_session):
     assert got["rank"].tolist() == want["rank"].tolist()
 
 
+def test_asof_join_semantics_and_empty_sides():
+    """asof_join: inclusive same-ts match, largest-event_id tie win,
+    per-key reset, -1 when no prior right row, and both empty-side
+    branches keep the output schema."""
+    import pandas as pd
+
+    import ray.data
+    from textindex_ray.functions.events import asof_join
+
+    def mk(rows):
+        df = pd.DataFrame(
+            rows, columns=["event_id", "ts", "user_id", "value"]
+        )
+        df["ts"] = pd.to_datetime(df["ts"], unit="us")
+        return ray.data.from_pandas(df)
+
+    # user 1: right at ts 100 (two rows, ids 10 < 11 -> 11 wins),
+    #         left at ts 100 (inclusive) and ts 50 (no match)
+    # user 2: no right rows at all
+    left = mk([(1, 100, 1, 0.0), (2, 50, 1, 0.0), (3, 999, 2, 0.0)])
+    right = mk([(10, 100, 1, 1.5), (11, 100, 1, 2.5)])
+
+    got = (
+        asof_join(left, right, num_partitions=4)
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    assert got["event_id"].tolist() == [1, 2, 3]
+    assert got["ref_event_id"].tolist() == [11, -1, -1]
+    assert got["ref_value_t4"].tolist() == [25000, -1, -1]
+    assert got["gap_us"].tolist() == [0, -1, -1]
+
+    # empty right: all -1, schema intact
+    er = asof_join(left, mk([]).filter(lambda r: False)).to_pandas()
+    assert sorted(er.columns) == sorted(
+        ["event_id", "user_id", "ref_event_id", "ref_value_t4", "gap_us"]
+    )
+    assert set(er["ref_event_id"]) == {-1} and len(er) == 3
+
+    # empty left: empty output, schema intact (Dataset.schema(); a
+    # zero-block to_pandas drops columns — known Ray quirk)
+    el = asof_join(mk([]).filter(lambda r: False), right)
+    assert el.count() == 0
+    assert sorted(el.schema().names) == sorted(er.columns)
+
+
 def test_pack_bins_exact_and_partition_independent(docs_ds):
     """pack_bins == single-process ordered prefix sum // capacity, and the
     result is identical for any num_ranges (partitioning never changes the

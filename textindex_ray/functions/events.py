@@ -184,6 +184,150 @@ def window_topk(
     )
 
 
+def asof_join(
+    left: "ray.data.Dataset",
+    right: "ray.data.Dataset",
+    *,
+    by: str = "user_id",
+    num_partitions: int = 32,
+):
+    """Distributed as-of join: for each left event, the most recent right
+    event with ``right.ts <= left.ts`` for the same ``by`` key. Returns
+    (event_id, user_id, ref_event_id, ref_value_t4, gap_us) — -1 triple
+    when the key has no right event at or before the left timestamp.
+    Tie semantics (fixed, mirrored by the SQL oracle's window ordering
+    ``(ts, side, event_id)``): a right event at exactly left.ts matches
+    (inclusive), and among right events sharing a ts the largest
+    event_id wins.
+
+    Ray Data has no as-of/range join; this is the classic distributed
+    sort-merge plan: tag sides -> union -> ONE coarse shuffle on
+    hash(key) % num_partitions (every key wholly in one partition) ->
+    per-partition Arrow sort by (key, ts, side, event_id) + numpy
+    forward-fill of the last right index with per-key reset. Work per
+    partition is sort + linear scan; nothing is broadcast and no side
+    is materialized on the driver, so the plan holds when both sides
+    are 100-TB logs (raise num_partitions so one partition's rows fit a
+    worker)."""
+    P = int(num_partitions)
+
+    def prep(side_val: int):
+        def fn(b: pa.Table) -> pa.Table:
+            uid = b.column(by).to_numpy().astype(np.uint64)
+            part = ((uid * np.uint64(0x9E3779B97F4A7C15)) % np.uint64(P)).astype(
+                np.int32
+            )
+            if side_val == 0:
+                rv = np.floor(
+                    np.nan_to_num(b.column("value").to_numpy(zero_copy_only=False))
+                    * 1e4
+                ).astype(np.int64)
+            else:
+                rv = np.zeros(b.num_rows, np.int64)
+            return pa.table(
+                {
+                    by: b.column(by).cast(pa.int64()),
+                    "ts_us": b.column("ts").cast(pa.int64()),
+                    "event_id": b.column("event_id").cast(pa.int64()),
+                    "side": pa.array(
+                        np.full(b.num_rows, side_val, np.int8), pa.int8()
+                    ),
+                    "rv": pa.array(rv, pa.int64()),
+                    "part": pa.array(part, pa.int32()),
+                }
+            )
+
+        return fn
+
+    empty = pa.table(
+        {
+            "event_id": pa.array([], pa.int64()),
+            by: pa.array([], pa.int64()),
+            "ref_event_id": pa.array([], pa.int64()),
+            "ref_value_t4": pa.array([], pa.int64()),
+            "gap_us": pa.array([], pa.int64()),
+        }
+    )
+
+    def merge(g: pa.Table) -> pa.Table:
+        t = g.sort_by(
+            [
+                (by, "ascending"),
+                ("ts_us", "ascending"),
+                ("side", "ascending"),
+                ("event_id", "ascending"),
+            ]
+        )
+        uid = t.column(by).to_numpy()
+        side = t.column("side").to_numpy()
+        ts = t.column("ts_us").to_numpy()
+        eid = t.column("event_id").to_numpy()
+        rv = t.column("rv").to_numpy()
+        n = uid.size
+        idx = np.arange(n, dtype=np.int64)
+        # forward-fill the index of the last right row, reset per key:
+        # rows are key-sorted, so a fill source from an earlier key has
+        # index < this key's first row
+        src = np.where(side == 0, idx, np.int64(-1))
+        ff = np.maximum.accumulate(src)
+        new_key = np.empty(n, dtype=bool)
+        if n:
+            new_key[0] = True
+            new_key[1:] = uid[1:] != uid[:-1]
+        key_start = np.maximum.accumulate(np.where(new_key, idx, np.int64(0)))
+        valid = ff >= key_start
+        is_left = side == 1
+        li = np.flatnonzero(is_left)
+        if li.size == 0:
+            return empty
+        lv = valid[li]
+        ref = ff[li]
+        safe = np.where(lv, ref, 0)
+        return pa.table(
+            {
+                "event_id": pa.array(eid[li], pa.int64()),
+                by: pa.array(uid[li], pa.int64()),
+                "ref_event_id": pa.array(
+                    np.where(lv, eid[safe], np.int64(-1)), pa.int64()
+                ),
+                "ref_value_t4": pa.array(
+                    np.where(lv, rv[safe], np.int64(-1)), pa.int64()
+                ),
+                "gap_us": pa.array(
+                    np.where(lv, ts[li] - ts[safe], np.int64(-1)), pa.int64()
+                ),
+            }
+        )
+
+    lt = left.map_batches(prep(1), batch_format="pyarrow")
+    rt = right.map_batches(prep(0), batch_format="pyarrow")
+    # maybe-empty guard (CLAUDE.md): an empty side through union/groupby
+    # loses its schema — branch instead. limit(1) probes stop after one
+    # row, so neither side is ever materialized (the map lineage
+    # re-executes streaming for the real run).
+    if rt.limit(1).count() == 0:
+        def no_ref(b: pa.Table) -> pa.Table:
+            m1 = pa.array(np.full(b.num_rows, -1, np.int64), pa.int64())
+            return pa.table(
+                {
+                    "event_id": b.column("event_id"),
+                    by: b.column(by),
+                    "ref_event_id": m1,
+                    "ref_value_t4": m1,
+                    "gap_us": m1,
+                }
+            )
+
+        return lt.map_batches(no_ref, batch_format="pyarrow")
+    if lt.limit(1).count() == 0:
+        return ray.data.from_arrow(empty)
+    return (
+        lt.union(rt)
+        .groupby("part")
+        .map_groups(merge, batch_format="pyarrow")
+    )
+
+
 def sessionize(ds: "ray.data.Dataset", *, gap_us: int = 1_800_000_000):
     """Per-user sessions: consecutive events within gap_us belong to one
     session. Returns (user_id, session_id, n_events, start_ts, end_ts).
