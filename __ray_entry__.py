@@ -309,6 +309,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # sequence packing: doc -> fixed-capacity bin by ordered prefix sum
         return textstats.pack_bins(docs_ds(sf_dir), capacity=4096)
 
+    def q_common_score(sf_dir):
+        # corpus-statistics rarity scoring: distributed df aggregate ->
+        # broadcast common-token set -> per-doc ppm membership score
+        # (500k ppm: the synthetic corpus has one sub-threshold term, so
+        # the graded ratios actually vary — 50k would make all terms common)
+        return textstats.common_token_score(docs_ds(sf_dir), min_df_ppm=500_000)
+
     def q_events_sessions(sf_dir):
         import ray.data
         from textindex_ray.functions.events import sessionize
@@ -369,6 +376,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_redact": q_redact,
         "length_quantiles": q_length_quantiles,
         "pack_bins": q_pack_bins,
+        "common_token_score": q_common_score,
         "embedding_lsh_buckets": q_lsh_buckets,
         # stream-shaped (events log)
         "events_window_stats": q_events_window,
@@ -571,6 +579,25 @@ WITH s AS (SELECT doc_id,
                                      ROWS UNBOUNDED PRECEDING) - n_chars AS excl
            FROM documents)
 SELECT doc_id, (excl // 4096)::BIGINT AS bin_id FROM s"""
+
+    # corpus-statistics rarity scoring: a term is "common" when
+    # df * 1e6 >= N * min_df_ppm; per doc, the ppm fraction of token
+    # occurrences that are common (floor) + distinct common types
+    sql["common_token_score"] = f"""
+WITH {_TOKS},
+n AS (SELECT count(*)::BIGINT AS n FROM documents),
+df AS (SELECT term, count(DISTINCT doc_id)::BIGINT AS df FROM toks GROUP BY term),
+common AS (SELECT term FROM df, n WHERE df * 1000000 >= n.n * 500000),
+per AS (SELECT t.doc_id, count(*)::BIGINT AS nt,
+               count(*) FILTER (WHERE t.term IN (SELECT term FROM common))::BIGINT AS nc,
+               count(DISTINCT t.term)
+                 FILTER (WHERE t.term IN (SELECT term FROM common))::BIGINT AS ntypes
+        FROM toks t GROUP BY t.doc_id)
+SELECT d.doc_id,
+       CASE WHEN coalesce(p.nt, 0) = 0 THEN 0
+            ELSE (p.nc * 1000000) // p.nt END::BIGINT AS common_ratio_ppm,
+       coalesce(p.ntypes, 0)::BIGINT AS n_common_types
+FROM documents d LEFT JOIN per p ON d.doc_id = p.doc_id"""
 
     # as-of join: each click joined to the latest error at-or-before it
     # per user; window order (ts, side, event_id) fixes the tie semantics

@@ -868,3 +868,46 @@ def test_length_quantiles_exact(docs_ds):
         # smallest value whose cumulative count reaches q_ppm * n / 1e6
         k = -(-q * n // 1_000_000)  # ceil without floats
         assert v == int(vals[int(k) - 1]), (q, v, int(vals[int(k) - 1]))
+
+
+def test_common_token_score_exact(docs_ds, ray_session):
+    """common_token_score == single-process df threshold + membership scan,
+    independent of the partition count, with the empty-text edge pinned."""
+    import ray.data
+    from collections import Counter
+
+    from textindex_ray.functions.textstats import _tokens, common_token_score
+
+    df = docs_ds.select_columns(["doc_id", "text"]).to_pandas()
+    n = len(df)
+    dfc: Counter = Counter()
+    for t in df["text"]:
+        dfc.update(set(_tokens(t)))
+    common = {w for w, c in dfc.items() if c * 1_000_000 >= n * 500_000}
+    want = {}
+    for did, t in zip(df["doc_id"], df["text"]):
+        toks = _tokens(t)
+        nt = len(toks)
+        nc = sum(1 for w in toks if w in common)
+        want[int(did)] = (
+            nc * 1_000_000 // nt if nt else 0,
+            len({w for w in toks if w in common}),
+        )
+
+    for np_ in (4, 32):
+        got = common_token_score(docs_ds, min_df_ppm=500_000, num_partitions=np_)
+        gd = got.to_pandas()
+        gm = {
+            int(r.doc_id): (int(r.common_ratio_ppm), int(r.n_common_types))
+            for r in gd.itertuples()
+        }
+        assert gm == want, np_
+
+    # a doc with no word-run tokens scores (0, 0) and still appears;
+    # df=1, N=2 pins the >= threshold boundary as INCLUSIVE (1e6 >= 1e6)
+    tiny = ray.data.from_arrow(
+        pa.table({"doc_id": pa.array([1, 2], pa.int64()),
+                  "text": pa.array(["", "word word word"], pa.string())})
+    )
+    out = common_token_score(tiny, min_df_ppm=500_000).to_pandas()
+    assert dict(zip(out.doc_id, out.common_ratio_ppm)) == {1: 0, 2: 1_000_000}

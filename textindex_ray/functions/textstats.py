@@ -354,6 +354,114 @@ def pack_bins(
     )
 
 
+def common_token_score(
+    ds: "ray.data.Dataset",
+    *,
+    min_df_ppm: int = 50_000,
+    num_partitions: int = 32,
+) -> "ray.data.Dataset":
+    """(doc_id, common_ratio_ppm, n_common_types): corpus-statistics
+    quality scoring — the KenLM-style-filter analog with an exact SQL
+    twin. A term is "common" when its document frequency df satisfies
+    ``df * 1e6 >= N * min_df_ppm``; each doc scores the ppm fraction of
+    its token occurrences that are common (floor division) plus the
+    count of distinct common types it contains. Low common_ratio_ppm
+    flags gibberish / OCR noise / wrong-tokenizer docs.
+
+    Two corpus passes, both streaming:
+
+    1. df aggregate — per-batch partial df counts (distinct terms per
+       doc, pre-summed within the batch) -> ONE coarse shuffle on
+       hash(term) % num_partitions -> per-partition exact sum + the ppm
+       threshold filter (N is a parquet-metadata count, no scan). Only
+       terms above the threshold leave the partitions: at most
+       1e6/min_df_ppm * avg_distinct_per_doc terms corpus-wide, a tiny
+       driver collect at any corpus size.
+    2. score — the common set broadcast once via ray.put, one
+       vectorized membership pass per batch.
+    """
+    import zlib
+    from collections import Counter
+
+    import ray
+
+    P = int(num_partitions)
+    n_docs = ds.count()
+    if n_docs == 0:
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "common_ratio_ppm": pa.array([], pa.int64()),
+                    "n_common_types": pa.array([], pa.int64()),
+                }
+            )
+        )
+
+    def df_partial(batch: pa.Table) -> pa.Table:
+        cnt: Counter = Counter()
+        for t in batch.column("text").to_pylist():
+            cnt.update(set(_tokens(t)))
+        terms = sorted(cnt)
+        part = [zlib.crc32(w.encode("utf-8")) % P for w in terms]
+        return pa.table(
+            {
+                "term": pa.array(terms, pa.string()),
+                "df": pa.array([cnt[w] for w in terms], pa.int64()),
+                "part": pa.array(part, pa.int32()),
+            }
+        )
+
+    thr = n_docs * int(min_df_ppm)
+
+    def part_common(g: pa.Table) -> pa.Table:
+        t = g.group_by("term").aggregate([("df", "sum")])
+        df = t.column("df_sum").to_numpy()
+        keep = df * 1_000_000 >= thr
+        return pa.table(
+            {
+                "term": t.column("term").filter(pa.array(keep)),
+                "df": pa.array(df[keep], pa.int64()),
+            }
+        )
+
+    common_rows = (
+        ds.map_batches(df_partial, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(part_common, batch_format="pyarrow")
+        .take_all()
+    )
+    common_ref = ray.put(frozenset(r["term"] for r in common_rows))
+
+    def score(batch: pa.Table) -> pa.Table:
+        cs = ray.get(common_ref)
+        ratios, types = [], []
+        for t in batch.column("text").to_pylist():
+            toks = _tokens(t)
+            nt = len(toks)
+            if nt == 0:
+                ratios.append(0)
+                types.append(0)
+                continue
+            nc = 0
+            seen: set = set()
+            for w in toks:
+                if w in cs:
+                    nc += 1
+                    seen.add(w)
+            ratios.append(nc * 1_000_000 // nt)
+            types.append(len(seen))
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id").cast(pa.int64()),
+                "common_ratio_ppm": pa.array(ratios, pa.int64()),
+                "n_common_types": pa.array(types, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(score, batch_format="pyarrow")
+
+
 # ---------------------------------------------------------------------------
 # heavy hitters: bounded-memory sketch + exact recount (two passes)
 
