@@ -309,6 +309,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # sequence packing: doc -> fixed-capacity bin by ordered prefix sum
         return textstats.pack_bins(docs_ds(sf_dir), capacity=4096)
 
+    def q_curate(sf_dir):
+        # composed curation pipeline: fused lang/quality gates (one
+        # tokenization pass) + partition-bucketed exact content dedup
+        from textindex_ray.pipelines.curate import curate
+
+        return curate(
+            docs_ds(sf_dir), langs=("en",), min_tokens=24,
+            min_stop_ppm=10_000, max_punct_ppm=200_000,
+        )
+
     def q_common_score(sf_dir):
         # corpus-statistics rarity scoring: distributed df aggregate ->
         # broadcast common-token set -> per-doc ppm membership score
@@ -377,6 +387,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "length_quantiles": q_length_quantiles,
         "pack_bins": q_pack_bins,
         "common_token_score": q_common_score,
+        "curate": q_curate,
         "embedding_lsh_buckets": q_lsh_buckets,
         # stream-shaped (events log)
         "events_window_stats": q_events_window,
@@ -449,6 +460,7 @@ def oracle_sql() -> dict[str, str]:
         return ", ".join("'%s'" % w for w in ws)
 
     markers_all = sorted({w for s in LANG_MARKERS.values() for w in s})
+    de, en, fr = (inlist(LANG_MARKERS[k]) for k in ("de", "en", "fr"))
 
     sql = {}
     sql["doc_dict"] = f"""
@@ -580,6 +592,37 @@ WITH s AS (SELECT doc_id,
            FROM documents)
 SELECT doc_id, (excl // 4096)::BIGINT AS bin_id FROM s"""
 
+    # composed curation: conjunction of the verified per-operator
+    # oracles (lang CASE, integer-ppm quality floors, ws-normalized md5
+    # fingerprint keep-min); one agg CTE carries every gate signal
+    sql["curate"] = f"""
+WITH {_TOKS},
+agg AS (SELECT doc_id, count(*)::BIGINT AS n_tokens,
+               count(*) FILTER (WHERE term IN ({inlist(markers_all)}))::BIGINT AS n_stop,
+               count(*) FILTER (WHERE term IN ({de}))::BIGINT AS nde,
+               count(*) FILTER (WHERE term IN ({en}))::BIGINT AS nen,
+               count(*) FILTER (WHERE term IN ({fr}))::BIGINT AS nfr
+        FROM toks GROUP BY doc_id),
+sig AS (SELECT d.doc_id,
+               coalesce(a.n_tokens, 0)::BIGINT AS n_tokens,
+               CASE WHEN coalesce(nde, 0) > 0 AND nde >= nen AND nde >= nfr THEN 'de'
+                    WHEN coalesce(nen, 0) > 0 AND nen >= nfr THEN 'en'
+                    WHEN coalesce(nfr, 0) > 0 THEN 'fr'
+                    ELSE 'und' END AS lang_pred,
+               CASE WHEN coalesce(a.n_tokens, 0) = 0 THEN 0
+                    ELSE (a.n_stop * 1000000) // a.n_tokens END AS stop_ppm,
+               CASE WHEN length(d.text) = 0 THEN 0
+                    ELSE (length(regexp_replace(d.text, '[a-zA-Z0-9 \\t\\n\\r]', '', 'g')) * 1000000)
+                         // length(d.text) END AS punct_ppm,
+               md5(regexp_replace(lower(d.text), '\\s+', ' ', 'g')) AS fp
+        FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id),
+surv AS (SELECT * FROM sig
+         WHERE n_tokens >= 24 AND lang_pred IN ('en')
+           AND stop_ppm >= 10000 AND punct_ppm <= 200000),
+keep AS (SELECT fp, min(doc_id) AS doc_id FROM surv GROUP BY fp)
+SELECT s.doc_id, s.lang_pred, s.n_tokens
+FROM surv s JOIN keep k ON s.fp = k.fp AND s.doc_id = k.doc_id"""
+
     # corpus-statistics rarity scoring: a term is "common" when
     # df * 1e6 >= N * min_df_ppm; per doc, the ppm fraction of token
     # occurrences that are common (floor) + distinct common types
@@ -658,7 +701,6 @@ SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
 FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
 WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.9"""
 
-    de, en, fr = (inlist(LANG_MARKERS[k]) for k in ("de", "en", "fr"))
     sql["lang_id"] = f"""
 WITH {_TOKS},
 c AS (SELECT doc_id,

@@ -911,3 +911,61 @@ def test_common_token_score_exact(docs_ds, ray_session):
     )
     out = common_token_score(tiny, min_df_ppm=500_000).to_pandas()
     assert dict(zip(out.doc_id, out.common_ratio_ppm)) == {1: 0, 2: 1_000_000}
+
+
+def test_curate_pipeline(docs_ds, ray_session):
+    """curate == single-process gate conjunction + keep-min-per-
+    fingerprint; partition-count independent; planted exact dups keep
+    only the minimum surviving doc_id."""
+    import hashlib
+    import re as _re
+
+    import ray.data
+    from textindex_ray.functions.textstats import (
+        _ALL_STOP_MARKERS, _punct_count, _tokens, LANG_MARKERS)
+    from textindex_ray.pipelines.curate import curate
+
+    df = docs_ds.select_columns(["doc_id", "text"]).to_pandas()
+
+    def ref_row(did, t):
+        toks = _tokens(t)
+        nt = len(toks)
+        if nt < 24:
+            return None
+        best_lang, best_n = "und", 0
+        for lang in ("de", "en", "fr"):
+            n = sum(1 for w in toks if w in LANG_MARKERS[lang])
+            if n > best_n:
+                best_lang, best_n = lang, n
+        if best_lang != "en":
+            return None
+        if sum(1 for w in toks if w in _ALL_STOP_MARKERS) * 1_000_000 // nt < 10_000:
+            return None
+        if t and _punct_count(t) * 1_000_000 // len(t) > 200_000:
+            return None
+        fp = hashlib.md5(_re.sub(r"\s+", " ", t.lower()).encode()).hexdigest()
+        return (fp, int(did), best_lang, nt)
+
+    surv = [r for r in (ref_row(d, t) for d, t in zip(df.doc_id, df.text)) if r]
+    first = {}
+    for fp, did, lang, nt in sorted(surv):
+        first.setdefault(fp, (did, lang, nt))
+    want = {did: (lang, nt) for did, lang, nt in first.values()}
+
+    for np_ in (4, 32):
+        got = curate(docs_ds, num_partitions=np_).to_pandas()
+        gm = {int(r.doc_id): (r.lang_pred, int(r.n_tokens)) for r in got.itertuples()}
+        assert gm == want, np_
+
+    # planted dups: same content (modulo whitespace), different doc_id —
+    # only the minimum survives; a passing doc with distinct content stays
+    body = "the and is was you they with have this from all some " * 3
+    tiny = ray.data.from_arrow(
+        pa.table({
+            "doc_id": pa.array([7, 3, 5], pa.int64()),
+            "text": pa.array([body, body.replace(" ", "  "), body + "extra"],
+                             pa.string()),
+        })
+    )
+    out = curate(tiny).to_pandas()
+    assert sorted(out.doc_id.tolist()) == [3, 5]

@@ -1,0 +1,126 @@
+"""End-to-end training-data curation: the composed filter job a
+corpus runs before tokenize/pack.
+
+Composes the graded primitives — language ID, quality ratios, exact
+content dedup — into ONE fused pipeline:
+
+1. a single tokenization pass per batch computes every gate signal
+   (``lang_id_batch`` / ``quality_batch`` each re-tokenize; at corpus
+   scale the tokenizer IS the dominant cost, so the fused stage pays it
+   once) and drops failing docs immediately, so only survivors carry
+   any payload downstream;
+2. exact near-dup removal on the whitespace-normalized content
+   fingerprint, partition-bucketed exactly like
+   :func:`textindex_ray.functions.dedup.exact_dedup` (coarse
+   hash-prefix shuffle, per-partition sort + run-first) — no driver
+   state, no fine-grained Ray groupby.
+
+Gate semantics are identical to the individual operators (same
+``_tokens`` regex, same marker sets, same integer-ppm floor contracts),
+so the SQL oracle is the conjunction of the already-verified per-
+operator oracles.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+from typing import Iterable, Optional
+
+import numpy as np
+import pyarrow as pa
+
+
+def curate(
+    ds: "ray.data.Dataset",
+    *,
+    langs: Iterable[str] = ("en",),
+    min_tokens: int = 24,
+    max_tokens: Optional[int] = None,
+    min_stop_ppm: int = 10_000,
+    max_punct_ppm: int = 200_000,
+    num_partitions: int = 32,
+) -> "ray.data.Dataset":
+    """(doc_id, lang_pred, n_tokens) of curated survivors.
+
+    A doc survives when its predicted language is in ``langs``, its
+    token count is in ``[min_tokens, max_tokens]``, its stopword ratio
+    is at least ``min_stop_ppm`` and its punctuation ratio at most
+    ``max_punct_ppm`` (integer ppm, floor division — the oracle
+    contract), and it is the minimum doc_id among survivors sharing its
+    whitespace-normalized lowercase md5 fingerprint.
+    """
+    import pyarrow.compute as pc
+
+    from textindex_ray.functions.textstats import (
+        _ALL_STOP_MARKERS,
+        _punct_count,
+        _tokens,
+        LANG_MARKERS,
+    )
+
+    keep_langs = frozenset(langs)
+    P = int(num_partitions)
+    lang_order = ("de", "en", "fr")
+
+    def gate(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        texts = batch.column("text").to_pylist()
+        o_id: list = []
+        o_lang: list = []
+        o_nt: list = []
+        o_fp: list = []
+        o_part: list = []
+        for did, t in zip(ids, texts):
+            toks = _tokens(t)
+            nt = len(toks)
+            if nt < min_tokens or (max_tokens is not None and nt > max_tokens):
+                continue
+            best_lang, best_n = "und", 0
+            for lang in lang_order:  # fixed tie-break order (lang_id_batch)
+                n = sum(1 for w in toks if w in LANG_MARKERS[lang])
+                if n > best_n:
+                    best_lang, best_n = lang, n
+            if best_lang not in keep_langs:
+                continue
+            if sum(1 for w in toks if w in _ALL_STOP_MARKERS) * 1_000_000 // nt < min_stop_ppm:
+                continue
+            if t and _punct_count(t) * 1_000_000 // len(t) > max_punct_ppm:
+                continue
+            fp = hashlib.md5(
+                re.sub(r"\s+", " ", t.lower()).encode("utf-8")
+            ).hexdigest()
+            o_id.append(did)
+            o_lang.append(best_lang)
+            o_nt.append(nt)
+            o_fp.append(fp)
+            o_part.append(int(fp[:4], 16) % P)
+        return pa.table(
+            {
+                "doc_id": pa.array(o_id, pa.int64()),
+                "lang_pred": pa.array(o_lang, pa.string()),
+                "n_tokens": pa.array(o_nt, pa.int64()),
+                "fp": pa.array(o_fp, pa.string()),
+                "part": pa.array(o_part, pa.int32()),
+            }
+        )
+
+    def part_keep(g: pa.Table) -> pa.Table:
+        t = g.sort_by([("fp", "ascending"), ("doc_id", "ascending")])
+        fp = t.column("fp").combine_chunks()
+        n = len(fp)
+        if n == 0:
+            return t.select(["doc_id", "lang_pred", "n_tokens"])
+        eq = pc.equal(fp.slice(1, n - 1), fp.slice(0, n - 1)).to_numpy(
+            zero_copy_only=False
+        )
+        starts = np.concatenate(([0], np.flatnonzero(~eq) + 1))
+        return t.take(pa.array(starts)).select(
+            ["doc_id", "lang_pred", "n_tokens"]
+        )
+
+    return (
+        ds.map_batches(gate, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(part_keep, batch_format="pyarrow")
+    )
