@@ -309,6 +309,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # sequence packing: doc -> fixed-capacity bin by ordered prefix sum
         return textstats.pack_bins(docs_ds(sf_dir), capacity=4096)
 
+    def q_repetition(sf_dir):
+        # within-doc repetition signals (Gopher-rules analog)
+        return docs_ds(sf_dir).map_batches(
+            textstats.repetition_batch, batch_format="pyarrow"
+        )
+
     def q_curate(sf_dir):
         # composed curation pipeline: fused lang/quality gates (one
         # tokenization pass) + partition-bucketed exact content dedup
@@ -388,6 +394,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pack_bins": q_pack_bins,
         "common_token_score": q_common_score,
         "curate": q_curate,
+        "repetition": q_repetition,
         "embedding_lsh_buckets": q_lsh_buckets,
         # stream-shaped (events log)
         "events_window_stats": q_events_window,
@@ -591,6 +598,26 @@ WITH s AS (SELECT doc_id,
                                      ROWS UNBOUNDED PRECEDING) - n_chars AS excl
            FROM documents)
 SELECT doc_id, (excl // 4096)::BIGINT AS bin_id FROM s"""
+
+    # within-doc repetition: newline-split dup-line fraction + most
+    # frequent adjacent token pair over bigram slots (integer ppm)
+    sql["repetition"] = r"""
+WITH l AS (SELECT doc_id, string_split(text, chr(10)) AS ls,
+                  regexp_extract_all(lower(text), '\pL+') AS tk
+           FROM documents),
+idx AS (SELECT doc_id, tk, unnest(generate_series(1, len(tk) - 1)) AS i FROM l),
+bg AS (SELECT doc_id, tk[i] || ' ' || tk[i + 1] AS bg FROM idx),
+cnt AS (SELECT doc_id, bg, count(*) AS c FROM bg GROUP BY doc_id, bg),
+mx AS (SELECT doc_id, max(c) AS mc FROM cnt GROUP BY doc_id)
+SELECT l.doc_id,
+       len(l.ls)::BIGINT AS n_lines,
+       CASE WHEN len(l.ls) = 0 THEN 0
+            ELSE ((len(l.ls) - len(list_distinct(l.ls))) * 1000000)
+                 // len(l.ls) END::BIGINT AS dup_line_ppm,
+       CASE WHEN len(l.tk) < 2 THEN 0
+            ELSE (coalesce(m.mc, 0) * 1000000) // (len(l.tk) - 1)
+            END::BIGINT AS top_bigram_ppm
+FROM l LEFT JOIN mx m ON l.doc_id = m.doc_id"""
 
     # composed curation: conjunction of the verified per-operator
     # oracles (lang CASE, integer-ppm quality floors, ws-normalized md5

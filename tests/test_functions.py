@@ -969,3 +969,33 @@ def test_curate_pipeline(docs_ds, ray_session):
     )
     out = curate(tiny).to_pandas()
     assert sorted(out.doc_id.tolist()) == [3, 5]
+
+
+def test_repetition_signals(ray_session):
+    """repetition_batch pins the Gopher-rule edge cases: empty text
+    (0 lines — the SQL string_split('') contract), repeated lines,
+    stutter bigrams, single-token docs."""
+    import ray.data
+    from textindex_ray.functions.textstats import repetition_batch
+
+    docs = {
+        1: "",                                  # 0 lines, 0 bigrams
+        2: "word",                              # 1 line, <2 tokens
+        3: "spam\nspam\nspam\nham",             # 4 lines, 2 dup slots
+        4: "buy now buy now buy now and save",  # 'buy now' 3x of 7 slots
+        5: "a\nb\nc",                           # all distinct
+    }
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(sorted(docs), pa.int64()),
+        "text": pa.array([docs[k] for k in sorted(docs)], pa.string()),
+    }))
+    out = repetition_batch(ds.take_batch(10, batch_format="pyarrow"))
+    got = {r["doc_id"]: (r["n_lines"], r["dup_line_ppm"], r["top_bigram_ppm"])
+           for r in out.to_pylist()}
+    assert got == {
+        1: (0, 0, 0),
+        2: (1, 0, 0),
+        3: (4, 2 * 1_000_000 // 4, 2 * 1_000_000 // 3),  # 'spam spam' 2x/3
+        4: (1, 0, 3 * 1_000_000 // 7),
+        5: (3, 0, 1 * 1_000_000 // 2),
+    }

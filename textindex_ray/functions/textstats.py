@@ -134,6 +134,48 @@ def fingerprint_batch(batch: pa.Table) -> pa.Table:
     )
 
 
+def repetition_batch(batch: pa.Table) -> pa.Table:
+    """(doc_id, n_lines, dup_line_ppm, top_bigram_ppm): within-document
+    repetition signals — the Gopher-rules analog for boilerplate /
+    template / stutter detection.
+
+    - ``n_lines``: newline-split segment count; empty text -> 0 (SQL
+      ``string_split('')`` returns an empty list, and the contract
+      mirrors SQL).
+    - ``dup_line_ppm``: fraction of line slots occupied by a repeat of
+      an earlier-seen line, ``(n_lines - distinct_lines)`` ppm, floor.
+    - ``top_bigram_ppm``: occurrences of the most frequent adjacent
+      token pair over the ``n_tokens - 1`` bigram slots, ppm, floor;
+      0 when the doc has fewer than 2 tokens.
+
+    Integer ppm throughout (the oracle contract, see quality_batch).
+    """
+    from collections import Counter
+
+    texts = batch.column("text").to_pylist()
+    n_lines, dup_ppm, bg_ppm = [], [], []
+    for t in texts:
+        lines = t.split("\n") if t else []
+        nl = len(lines)
+        n_lines.append(nl)
+        dup_ppm.append((nl - len(set(lines))) * 1_000_000 // nl if nl else 0)
+        toks = _tokens(t)
+        nb = len(toks) - 1
+        if nb > 0:
+            mc = max(Counter(zip(toks, toks[1:])).values())
+            bg_ppm.append(mc * 1_000_000 // nb)
+        else:
+            bg_ppm.append(0)
+    return pa.table(
+        {
+            "doc_id": batch.column("doc_id").cast(pa.int64()),
+            "n_lines": pa.array(n_lines, pa.int64()),
+            "dup_line_ppm": pa.array(dup_ppm, pa.int64()),
+            "top_bigram_ppm": pa.array(bg_ppm, pa.int64()),
+        }
+    )
+
+
 def hash_split(train_ppm: int = 900_000):
     """Deterministic content-hash train/val split: a doc goes to
     'train' iff the first 8 hex chars of md5(text) mod 1e6 fall below
