@@ -302,6 +302,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return heavy_terms(docs_ds(sf_dir), min_ppm=5_000)
 
+    def q_heavy_bigrams(sf_dir):
+        from textindex_ray.functions.textstats import heavy_bigrams
+
+        return heavy_bigrams(docs_ds(sf_dir), min_ppm=1_000)
+
     def q_length_quantiles(sf_dir):
         return textstats.length_quantiles(docs_ds(sf_dir))
 
@@ -388,6 +393,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_count": q_token_count,
         "doc_fingerprint": q_fingerprint,
         "heavy_terms": q_heavy_terms,
+        "heavy_bigrams": q_heavy_bigrams,
         "hash_split": q_hash_split,
         "doc_redact": q_redact,
         "length_quantiles": q_length_quantiles,
@@ -801,6 +807,16 @@ tot AS (SELECT count(*)::BIGINT AS c FROM toks)
 SELECT term, count(*)::BIGINT AS cf
 FROM toks GROUP BY term
 HAVING count(*) * 1000000 >= (SELECT c FROM tot) * 5000"""
+
+    # collocation mining: heavy adjacent token pairs over bigram slots
+    sql["heavy_bigrams"] = r"""
+WITH l AS (SELECT regexp_extract_all(lower(text), '\pL+') AS tk FROM documents),
+idx AS (SELECT tk, unnest(generate_series(1, len(tk) - 1)) AS i FROM l),
+bg AS (SELECT tk[i] || ' ' || tk[i + 1] AS bigram FROM idx),
+tot AS (SELECT count(*)::BIGINT AS c FROM bg)
+SELECT bigram, count(*)::BIGINT AS cf
+FROM bg GROUP BY bigram
+HAVING count(*) * 1000000 >= (SELECT c FROM tot) * 1000"""
 
     sql["events_sessions"] = """
 WITH ordered AS (

@@ -999,3 +999,34 @@ def test_repetition_signals(ray_session):
         4: (1, 0, 3 * 1_000_000 // 7),
         5: (3, 0, 1 * 1_000_000 // 2),
     }
+
+
+def test_heavy_bigrams_exact(ray_session):
+    """heavy_bigrams == exact per-pair recount on a planted-collocation
+    corpus (3 heavy pairs + uniform tail), shared-plan with heavy_terms."""
+    from collections import Counter
+
+    import ray.data
+    from textindex_ray.functions.textstats import heavy_bigrams
+
+    rows = []
+    rng = np.random.default_rng(7)
+    for i in range(300):
+        toks = ["new", "york"] * 4 + ["machine", "learning"] * 3
+        toks += [
+            "t" + "".join(chr(97 + d) for d in rng.integers(0, 26, size=4))
+            for _ in range(30)
+        ]
+        rows.append({"doc_id": i, "text": " ".join(toks)})
+    ds = ray.data.from_items(rows)
+    got = heavy_bigrams(ds, min_ppm=50_000).to_pandas()
+
+    exact = Counter()
+    total = 0
+    for r in rows:
+        toks = r["text"].split()
+        exact.update(a + " " + b for a, b in zip(toks, toks[1:]))
+        total += len(toks) - 1
+    want = {b: c for b, c in exact.items() if c * 1_000_000 >= total * 50_000}
+    assert dict(zip(got["bigram"], got["cf"])) == want
+    assert {"new york", "machine learning"} <= set(want)

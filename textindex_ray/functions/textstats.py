@@ -527,8 +527,10 @@ def _mg_add(counters: dict, term: str, weight: int, k: int) -> None:
             counters[term] = weight - dec
 
 
-def heavy_terms(ds: "ray.data.Dataset", *, min_ppm: int = 5_000):
-    """EXACT corpus-wide heavy hitters (terms with cf/total >= min_ppm)
+def _heavy_exact(
+    ds: "ray.data.Dataset", key_col: str, keys_of, min_ppm: int
+) -> pa.Table:
+    """EXACT corpus-wide heavy hitters (keys with cf/total >= min_ppm)
     computed with bounded memory in two passes:
 
     1. sketch: per-batch Misra-Gries summaries of k = ceil(1e6/min_ppm)+1
@@ -537,12 +539,12 @@ def heavy_terms(ds: "ray.data.Dataset", *, min_ppm: int = 5_000):
        <= total/k < total*min_ppm/1e6) makes the merged counter set a
        SUPERSET of every true heavy hitter, at most k candidates.
     2. recount: candidates broadcast; one vectorized pass counts their
-       exact cf and the total token count; the final integer-ppm filter
+       exact cf and the total slot count; the final integer-ppm filter
        matches the SQL GROUP BY ... HAVING oracle exactly.
 
-    Returns a pa.Table (term, cf) — exact values, never approximations;
-    the sketch only bounds the candidate set. Tokens = the same
-    regex-word definition as the other textstats ops (SQL `\\pL+`).
+    ``keys_of(text) -> list[str]`` yields one key per counted slot.
+    Returns a pa.Table (key_col, cf) — exact values, never
+    approximations; the sketch only bounds the candidate set.
     """
     from collections import Counter
 
@@ -553,7 +555,7 @@ def heavy_terms(ds: "ray.data.Dataset", *, min_ppm: int = 5_000):
     def sketch(batch: pa.Table) -> pa.Table:
         counters: dict[str, int] = {}
         for t in batch.column("text").to_pylist():
-            for w, c in Counter(_tokens(t)).items():
+            for w, c in Counter(keys_of(t)).items():
                 _mg_add(counters, w, c, k)
         return pa.table(
             {
@@ -571,7 +573,7 @@ def heavy_terms(ds: "ray.data.Dataset", *, min_ppm: int = 5_000):
                 _mg_add(merged, t, int(c), k)
     cand = sorted(merged)
     if not cand:
-        return pa.table({"term": pa.array([], pa.string()),
+        return pa.table({key_col: pa.array([], pa.string()),
                          "cf": pa.array([], pa.int64())})
     cand_ref = ray.put(frozenset(cand))
 
@@ -580,9 +582,9 @@ def heavy_terms(ds: "ray.data.Dataset", *, min_ppm: int = 5_000):
         counts = Counter()
         total = 0
         for t in batch.column("text").to_pylist():
-            toks = _tokens(t)
-            total += len(toks)
-            for w in toks:
+            keys = keys_of(t)
+            total += len(keys)
+            for w in keys:
                 if w in cs:
                     counts[w] += 1
         terms = sorted(counts)
@@ -606,7 +608,28 @@ def heavy_terms(ds: "ray.data.Dataset", *, min_ppm: int = 5_000):
     keep = agg[agg["cf"].to_numpy() * 1_000_000 >= total * min_ppm].sort_values("term")
     return pa.table(
         {
-            "term": pa.array(keep["term"].tolist(), pa.string()),
+            key_col: pa.array(keep["term"].tolist(), pa.string()),
             "cf": pa.array(keep["cf"].to_numpy().astype("int64"), pa.int64()),
         }
     )
+
+
+def heavy_terms(ds: "ray.data.Dataset", *, min_ppm: int = 5_000):
+    """(term, cf) for every term with cf/total_tokens >= min_ppm —
+    exact two-pass MG-sketch + recount plan (:func:`_heavy_exact`).
+    Tokens = the same regex-word definition as the other textstats ops
+    (SQL ``\\pL+``)."""
+    return _heavy_exact(ds, "term", _tokens, min_ppm)
+
+
+def heavy_bigrams(ds: "ray.data.Dataset", *, min_ppm: int = 2_000):
+    """(bigram, cf) for every adjacent token pair ('a b' keys) whose
+    count over the corpus-wide bigram slots (sum of n_tokens - 1 per
+    doc) reaches min_ppm — the collocation-mining analog, exact via the
+    same two-pass MG-sketch + recount plan as :func:`heavy_terms`."""
+
+    def bigrams_of(t: str) -> list:
+        toks = _tokens(t)
+        return [a + " " + b for a, b in zip(toks, toks[1:])]
+
+    return _heavy_exact(ds, "bigram", bigrams_of, min_ppm)
