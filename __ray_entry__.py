@@ -373,6 +373,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_term_and": D.doc_term_and,
         "doc_wildcard_and": D.doc_wildcard_and,
         "doc_phrase": D.doc_phrase,
+        "doc_proximity": D.doc_proximity,
         "doc_bm25_hash_join": D.doc_bm25_hash_join,
         "doc_bm25_scan_filter_sort": D.doc_bm25_scan_filter_sort,
         "doc_bm25_customer": D.doc_bm25_customer,
@@ -789,6 +790,17 @@ FROM events GROUP BY event_type, (epoch_us(ts) // 3600000000)"""
     sql["doc_phrase"] = r"""
 SELECT doc_id FROM documents
 WHERE regexp_matches(lower(text), '\bhash\s+join\b')"""
+
+    # proximity: 'scan' and 'filter' within 4 word positions
+    sql["doc_proximity"] = r"""
+WITH l AS (SELECT doc_id, regexp_extract_all(lower(text), '\pL+') AS tk
+           FROM documents),
+idx AS (SELECT doc_id, tk, unnest(generate_series(1, len(tk))) AS i FROM l),
+pos AS (SELECT doc_id, tk[i] AS term, i FROM idx),
+a AS (SELECT doc_id, i FROM pos WHERE term = 'scan'),
+b AS (SELECT doc_id, i FROM pos WHERE term = 'filter')
+SELECT DISTINCT a.doc_id
+FROM a JOIN b ON a.doc_id = b.doc_id AND abs(a.i - b.i) <= 4"""
 
     sql["events_sliding_window"] = """
 WITH w AS (

@@ -1030,3 +1030,18 @@ def test_heavy_bigrams_exact(ray_session):
     want = {b: c for b, c in exact.items() if c * 1_000_000 >= total * 50_000}
     assert dict(zip(got["bigram"], got["cf"])) == want
     assert {"new york", "machine learning"} <= set(want)
+
+
+def test_min_token_gap_kernel():
+    """Positional gap kernel boundary cases (doc_proximity verify)."""
+    from textindex_ray.pipelines.documents import _min_token_gap
+
+    big = np.iinfo(np.int64).max
+    assert _min_token_gap(["a", "x", "b"], "a", "b") == 2
+    assert _min_token_gap(["a", "b"], "a", "b") == 1
+    assert _min_token_gap(["b", "x", "x", "a"], "a", "b") == 3  # order-free
+    assert _min_token_gap(["a", "x", "a", "b", "x", "a"], "a", "b") == 1
+    assert _min_token_gap(["a", "a"], "a", "b") == big
+    assert _min_token_gap([], "a", "b") == big
+    # same term twice: gap 0 at every shared position
+    assert _min_token_gap(["a", "x", "a"], "a", "a") == 0

@@ -242,6 +242,67 @@ def doc_phrase(sf_dir: str) -> pa.Table:
     return pa.table({"doc_id": pa.array(out["doc_id"].to_numpy(), pa.int64())})
 
 
+PROX = ("scan", "filter")
+PROX_K = 4
+
+
+def _min_token_gap(toks: list, t1: str, t2: str) -> int:
+    """Smallest |i - j| over positions of t1 and t2 in toks (a large
+    sentinel when either is absent). Nearest-neighbor gap via merge:
+    for each t1 position the closest t2 position is at its searchsorted
+    insertion point or one before it."""
+    big = np.iinfo(np.int64).max
+    p1 = np.flatnonzero(np.fromiter((w == t1 for w in toks), bool, len(toks)))
+    p2 = np.flatnonzero(np.fromiter((w == t2 for w in toks), bool, len(toks)))
+    if p1.size == 0 or p2.size == 0:
+        return big
+    j = np.searchsorted(p2, p1)
+    best = np.full(p1.shape, big, np.int64)
+    lo = j > 0
+    best[lo] = p1[lo] - p2[j[lo] - 1]
+    hi = j < p2.size
+    best[hi] = np.minimum(best[hi], p2[j[hi]] - p1[hi])
+    return int(best.min())
+
+
+def doc_proximity(sf_dir: str) -> pa.Table:
+    """Index-accelerated proximity filter: docs where 'scan' and
+    'filter' occur within PROX_K word positions of each other.
+
+    Same plan as :func:`doc_phrase`: the inverted index prunes to the
+    AND-candidate set, only candidate rows are scanned
+    (``read_parquet(filter=isin)``), and the positional check runs on
+    the word-run tokenization (which coincides with the engine
+    tokenizer on this charset — module docstring). Proximity hits ⊆
+    AND candidates, so the pruned scan is exact."""
+    r = documents_reader(sf_dir)
+    internal = r.find(list(PROX))
+    cand = sorted(int(x) for x in _map_ids(r, internal))
+    if not cand:
+        return pa.table({"doc_id": pa.array([], pa.int64())})
+    t1, t2 = PROX
+
+    def verify(batch: pa.Table) -> pa.Table:
+        import re
+
+        word_re = re.compile(r"[^\W\d_]+")
+        keep_ids = []
+        for did, t in zip(
+            batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
+        ):
+            if _min_token_gap(word_re.findall(t.lower()), t1, t2) <= PROX_K:
+                keep_ids.append(did)
+        return pa.table({"doc_id": pa.array(keep_ids, pa.int64())})
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text"],
+        filter=pc.field("doc_id").isin(cand),
+    )
+    out = ds.map_batches(verify, batch_format="pyarrow").to_pandas().sort_values("doc_id")
+    return pa.table({"doc_id": pa.array(out["doc_id"].to_numpy(), pa.int64())})
+
+
 def doc_bm25_hash_join(sf_dir: str) -> pa.Table:
     return _bm25(sf_dir, BM25_QUERIES["q_hash_join"])
 
