@@ -314,6 +314,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # sequence packing: doc -> fixed-capacity bin by ordered prefix sum
         return textstats.pack_bins(docs_ds(sf_dir), capacity=4096)
 
+    def q_shuffle_shards(sf_dir):
+        # deterministic distributed shuffle (training-export manifest)
+        return textstats.shuffle_shards(docs_ds(sf_dir), num_shards=16)
+
     def q_repetition(sf_dir):
         # within-doc repetition signals (Gopher-rules analog)
         return docs_ds(sf_dir).map_batches(
@@ -402,6 +406,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "common_token_score": q_common_score,
         "curate": q_curate,
         "repetition": q_repetition,
+        "shuffle_shards": q_shuffle_shards,
         "embedding_lsh_buckets": q_lsh_buckets,
         # stream-shaped (events log)
         "events_window_stats": q_events_window,
@@ -605,6 +610,16 @@ WITH s AS (SELECT doc_id,
                                      ROWS UNBOUNDED PRECEDING) - n_chars AS excl
            FROM documents)
 SELECT doc_id, (excl // 4096)::BIGINT AS bin_id FROM s"""
+
+    # deterministic shuffle: md5(decimal doc_id) keys, shard = first
+    # 8 hex mod 16, pos = rank of digest within shard
+    sql["shuffle_shards"] = """
+WITH k AS (SELECT doc_id, md5(doc_id::VARCHAR) AS h,
+                  ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 16 AS shard
+           FROM documents)
+SELECT doc_id, shard,
+       (row_number() OVER (PARTITION BY shard ORDER BY h, doc_id) - 1)::BIGINT AS pos
+FROM k"""
 
     # within-doc repetition: newline-split dup-line fraction + most
     # frequent adjacent token pair over bigram slots (integer ppm)

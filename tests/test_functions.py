@@ -1045,3 +1045,23 @@ def test_min_token_gap_kernel():
     assert _min_token_gap([], "a", "b") == big
     # same term twice: gap 0 at every shared position
     assert _min_token_gap(["a", "x", "a"], "a", "a") == 0
+
+
+def test_shuffle_shards_deterministic(docs_ds, ray_session):
+    """shuffle_shards is identical regardless of input block layout
+    (a seeded random_shuffle is not), positions are contiguous 0..n-1
+    per shard, and the assignment matches the docID-contract md5 math."""
+    import hashlib
+
+    from textindex_ray.functions.textstats import shuffle_shards
+
+    a = shuffle_shards(docs_ds, num_shards=16).to_pandas()
+    b = shuffle_shards(docs_ds.repartition(7), num_shards=16).to_pandas()
+    key = lambda df: df.sort_values(["shard", "pos"]).reset_index(drop=True)
+    assert key(a).equals(key(b))
+
+    for s, g in a.groupby("shard"):
+        assert sorted(g["pos"].tolist()) == list(range(len(g)))
+    for r in a.head(50).itertuples():
+        h = hashlib.md5(str(r.doc_id).encode()).hexdigest()
+        assert int(h[:8], 16) % 16 == r.shard

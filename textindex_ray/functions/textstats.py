@@ -204,6 +204,54 @@ def hash_split(train_ppm: int = 900_000):
     return fn
 
 
+def shuffle_shards(
+    ds: "ray.data.Dataset", *, num_shards: int = 16
+) -> "ray.data.Dataset":
+    """(doc_id, shard, pos): deterministic distributed shuffle for
+    training-data export — every doc gets a shard and a position that
+    are reproducible on any cluster size, batch size, or input order
+    (a seeded ``random_shuffle`` is NOT: Ray's shuffle order depends on
+    block layout).
+
+    Key = md5 of the decimal doc_id; shard = first-8-hex-digits mod
+    num_shards (the docID-contract trick, build.py); pos = rank of the
+    full hex digest within the shard (doc_id tiebreak). One coarse
+    shuffle on num_shards groups; the per-shard sort is a single Arrow
+    kernel inside the group. Writers consume this as the shard/order
+    manifest (one output file per shard => resumable export).
+    """
+    S = int(num_shards)
+
+    def key(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        hexes = [hashlib.md5(str(i).encode("ascii")).hexdigest() for i in ids]
+        shards = [int(h[:8], 16) % S for h in hexes]
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "h": pa.array(hexes, pa.string()),
+                "shard": pa.array(shards, pa.int64()),
+            }
+        )
+
+    def order(g: pa.Table) -> pa.Table:
+        t = g.sort_by([("h", "ascending"), ("doc_id", "ascending")])
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "shard": t.column("shard"),
+                "pos": pa.array(np.arange(t.num_rows, dtype=np.int64), pa.int64()),
+            }
+        )
+
+    return (
+        ds.select_columns(["doc_id"])
+        .map_batches(key, batch_format="pyarrow")
+        .groupby("shard")
+        .map_groups(order, batch_format="pyarrow")
+    )
+
+
 def redact(pattern: str = "[0-9]+", replacement: str = "#"):
     """Vectorized regex redaction (the PII-scrub stage shape): replace
     every match of ``pattern`` and report per doc the match count and
