@@ -283,6 +283,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ev = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"))
         return tumbling_window_stats(ev)
 
+    def q_events_distinct_users(sf_dir):
+        import ray.data
+        from textindex_ray.functions.events import window_distinct_users
+
+        ev = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"))
+        return window_distinct_users(ev)
+
     def q_events_sliding(sf_dir):
         import ray.data
         from textindex_ray.functions.events import sliding_window_stats
@@ -411,6 +418,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # stream-shaped (events log)
         "events_window_stats": q_events_window,
         "events_sliding_window": q_events_sliding,
+        "events_distinct_users": q_events_distinct_users,
         "events_window_topk": q_events_topk,
         "events_sessions": q_events_sessions,
         "events_asof": q_events_asof,
@@ -800,6 +808,14 @@ SELECT event_type,
        (epoch_us(ts) // 3600000000)::BIGINT AS window,
        count(*)::BIGINT AS n_events,
        sum(CAST(floor(value * 10000) AS BIGINT))::BIGINT AS sum_value_t4
+FROM events GROUP BY event_type, (epoch_us(ts) // 3600000000)"""
+
+    # exact per-window distinct users (partition-local count_distinct
+    # is global-exact because each (type, window) key is co-located)
+    sql["events_distinct_users"] = """
+SELECT event_type,
+       (epoch_us(ts) // 3600000000)::BIGINT AS window,
+       count(DISTINCT user_id)::BIGINT AS n_users
 FROM events GROUP BY event_type, (epoch_us(ts) // 3600000000)"""
 
     sql["doc_phrase"] = r"""

@@ -1065,3 +1065,37 @@ def test_shuffle_shards_deterministic(docs_ds, ray_session):
     for r in a.head(50).itertuples():
         h = hashlib.md5(str(r.doc_id).encode()).hexdigest()
         assert int(h[:8], 16) % 16 == r.shard
+
+
+def test_window_distinct_users_exact(ray_session):
+    """window_distinct_users == pandas nunique per (type, window) on a
+    synthetic stream with planted cross-batch repeat users, at multiple
+    partition counts (partition-local count_distinct is global-exact
+    because (type, window) keys are co-located)."""
+    import pandas as pd
+    import ray.data
+    from textindex_ray.functions.events import window_distinct_users
+
+    rng = np.random.default_rng(11)
+    n = 5000
+    ts = pd.to_datetime(
+        rng.integers(0, 6 * 3600_000_000, size=n), unit="us", utc=True
+    ).tz_localize(None).astype("datetime64[us]")  # match the table dtype
+    df = pd.DataFrame({
+        "event_id": np.arange(n, dtype=np.int64),
+        "user_id": rng.integers(0, 40, size=n).astype(np.int64),  # heavy repeats
+        "event_type": rng.choice(["click", "view", "error"], size=n),
+        "ts": ts,
+        "value": rng.random(n),
+    })
+    ds = ray.data.from_pandas(df)
+    want = (
+        df.assign(window=ts.astype("int64") // 3_600_000_000)
+        .groupby(["event_type", "window"])["user_id"].nunique()
+        .rename("n_users").reset_index()
+    )
+    wm = {(r.event_type, int(r.window)): int(r.n_users) for r in want.itertuples()}
+    for P in (4, 32):
+        got = window_distinct_users(ds, num_partitions=P).to_pandas()
+        gm = {(r.event_type, int(r.window)): int(r.n_users) for r in got.itertuples()}
+        assert gm == wm, P

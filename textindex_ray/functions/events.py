@@ -91,6 +91,45 @@ def tumbling_window_stats(
     )
 
 
+def window_distinct_users(
+    ds: "ray.data.Dataset", *, window_us: int = _HOUR_US, num_partitions: int = 32
+):
+    """(event_type, window, n_users): exact per-window distinct-user
+    counts (the COUNT DISTINCT analog for stream monitoring).
+
+    Exactness without a global distinct: the coarse partition keys on
+    (event_type, window) — see _window_partition — so every window's
+    full user multiset lands in ONE partition and the Arrow C++
+    count_distinct there equals the global answer. The shuffle payload
+    is (type, window, user_id) triples only; at higher cardinalities
+    swap the in-partition aggregate for a per-batch distinct-triple
+    pre-collapse (same key routing, smaller exchange)."""
+
+    def prep(b: pa.Table) -> pa.Table:
+        b = add_window(b, window_us=window_us)
+        return _window_partition(
+            b.select(["event_type", "window", "user_id"]), num_partitions
+        )
+
+    def part_agg(g: pa.Table) -> pa.Table:
+        t = g.group_by(["event_type", "window"]).aggregate(
+            [("user_id", "count_distinct")]
+        )
+        return pa.table(
+            {
+                "event_type": t.column("event_type"),
+                "window": t.column("window").cast(pa.int64()),
+                "n_users": t.column("user_id_count_distinct").cast(pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(part_agg, batch_format="pyarrow")
+    )
+
+
 def sliding_window_stats(
     ds: "ray.data.Dataset", *, size_windows: int = 2, window_us: int = _HOUR_US,
     num_partitions: int = 32,
