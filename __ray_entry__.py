@@ -272,6 +272,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
             textstats.redact("[0-9]+", "#"), batch_format="pyarrow"
         )
 
+    def q_knn_graph(sf_dir):
+        # distributed kNN graph over LSH-bucket cohabitants
+        res = similarity.knn_graph_lsh(
+            emb_ds(sf_dir), k=5, num_bands=8, planes_per_band=4
+        )
+        return res
+
     def q_lsh_buckets(sf_dir):
         res = similarity.rp_lsh_buckets(emb_ds(sf_dir), n_planes=8)
         return res
@@ -415,6 +422,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repetition": q_repetition,
         "shuffle_shards": q_shuffle_shards,
         "embedding_lsh_buckets": q_lsh_buckets,
+        "embedding_knn_graph": q_knn_graph,
         # stream-shaped (events log)
         "events_window_stats": q_events_window,
         "events_sliding_window": q_events_sliding,
@@ -913,6 +921,34 @@ FROM documents d LEFT JOIN v USING (doc_id)"""
     sql["embedding_lsh_buckets"] = (
         "SELECT vec_id, (%s)::BIGINT AS bucket FROM embeddings" % " + ".join(terms)
     )
+
+    # embedding_knn_graph: top-5 among banded-LSH cohabitants. Same
+    # inlined-hyperplane trick with the graph op's 8 bands x 4 planes
+    # (seed 42, rows b*4+i of the 32-plane matrix); candidate = shares
+    # >= 1 band bucket; rank by (floor(cos*1e6) desc, dst asc).
+    gplanes = np.random.default_rng(42).standard_normal((32, 64))
+    band_cols = []
+    for b in range(8):
+        bits = []
+        for i in range(4):
+            lit = "[" + ", ".join(repr(float(x)) for x in gplanes[b * 4 + i]) + "]"
+            bits.append(
+                "(CASE WHEN list_dot_product(embedding::DOUBLE[], %s) > 0 "
+                "THEN %d ELSE 0 END)" % (lit, 1 << i)
+            )
+        band_cols.append("(%s) AS b%d" % (" + ".join(bits), b))
+    join_cond = " OR ".join("a.b%d = b.b%d" % (b, b) for b in range(8))
+    sql["embedding_knn_graph"] = f"""
+WITH sig AS (SELECT vec_id, embedding, {", ".join(band_cols)} FROM embeddings),
+cand AS (SELECT a.vec_id AS src, b.vec_id AS dst,
+                floor(list_cosine_similarity(a.embedding::DOUBLE[],
+                                             b.embedding::DOUBLE[]) * 1000000)::BIGINT AS cos_ppm
+         FROM sig a JOIN sig b ON a.vec_id <> b.vec_id AND ({join_cond})),
+ranked AS (SELECT src, dst, cos_ppm,
+                  row_number() OVER (PARTITION BY src
+                                     ORDER BY cos_ppm DESC, dst) AS rn
+           FROM cand)
+SELECT src, dst, cos_ppm FROM ranked WHERE rn <= 5"""
 
     # minhash_lsh_pairs / corpus_* : not SQL-expressible (LSH banding,
     # HTML-grammar extraction) -> verified against committed goldens

@@ -1099,3 +1099,52 @@ def test_window_distinct_users_exact(ray_session):
         got = window_distinct_users(ds, num_partitions=P).to_pandas()
         gm = {(r.event_type, int(r.window)): int(r.n_users) for r in got.itertuples()}
         assert gm == wm, P
+
+
+def test_knn_graph_lsh(emb_ds, ray_session):
+    """knn_graph_lsh == single-process replay of the same semantics
+    (banded signatures -> cohabitant candidates -> (cos_ppm desc, dst)
+    top-k), at two partition counts; planted near-dups rank top-1."""
+    import ray.data
+    from textindex_ray.functions.similarity import knn_graph_lsh
+
+    df = emb_ds.to_pandas()
+    m = np.array(df["embedding"].tolist(), dtype=np.float64)
+    ids = df["vec_id"].to_numpy()
+    planes = np.random.default_rng(42).standard_normal((32, m.shape[1]))
+    signs = (m @ planes.T) > 0
+    w = 1 << np.arange(4, dtype=np.int64)
+    bands = np.stack(
+        [signs[:, b * 4 : (b + 1) * 4].astype(np.int64) @ w for b in range(8)],
+        axis=1,
+    )
+    norms = np.linalg.norm(m, axis=1)
+    norms[norms == 0] = 1.0
+    want = {}
+    for i in range(len(ids)):
+        cand = np.flatnonzero((bands == bands[i][None, :]).any(axis=1))
+        cand = cand[cand != i]
+        if cand.size == 0:
+            continue
+        dots = m[cand] @ m[i]
+        ppm = np.floor(dots / (norms[cand] * norms[i]) * 1e6).astype(np.int64)
+        order = sorted(zip(-ppm, ids[cand], ppm))[:5]
+        want[int(ids[i])] = [(int(d), int(p)) for _, d, p in order]
+
+    for fp in (4, 32):
+        got = knn_graph_lsh(emb_ds, k=5, fine_partitions=fp).to_pandas()
+        gm = {}
+        for r in got.sort_values(["src", "cos_ppm", "dst"],
+                                 ascending=[True, False, True]).itertuples():
+            gm.setdefault(int(r.src), []).append((int(r.dst), int(r.cos_ppm)))
+        assert gm == want, fp
+
+    # planted near-dup pair: its graph edge ranks top-1 both ways
+    rng = np.random.default_rng(5)
+    base = rng.standard_normal((50, 16))
+    rows = [{"vec_id": i, "embedding": base[i].tolist()} for i in range(50)]
+    rows.append({"vec_id": 99, "embedding": (base[0] + 1e-3).tolist()})
+    g = knn_graph_lsh(ray.data.from_items(rows), k=3).to_pandas()
+    top = g.sort_values(["src", "cos_ppm"], ascending=[True, False]).groupby("src").head(1)
+    t = dict(zip(top.src, top.dst))
+    assert t.get(99) == 0 and t.get(0) == 99

@@ -639,3 +639,163 @@ def rp_lsh_buckets(ds: "ray.data.Dataset", *, n_planes: int = 16, seed: int = 42
         )
 
     return ds.map_batches(bucketize, batch_format="pyarrow")
+
+
+def knn_graph_lsh(
+    ds: "ray.data.Dataset",
+    *,
+    k: int = 5,
+    num_bands: int = 8,
+    planes_per_band: int = 4,
+    seed: int = 42,
+    fine_partitions: int = 32,
+) -> "ray.data.Dataset":
+    """(src, dst, cos_ppm): top-k nearest neighbors for EVERY vector
+    among its LSH-bucket cohabitants — the distributed kNN-graph step
+    (embedding clustering / semantic-dedup graph construction).
+
+    Semantics (exactly what the SQL oracle replicates): dst is a
+    candidate for src iff they share at least one (band, bucket)
+    signature; neighbors rank by (cos_ppm desc, dst asc), truncated at
+    k. Recall vs the true kNN graph follows the banded-LSH formula
+    (lsh_dup_pairs docstring); at cluster scale raise planes_per_band
+    ~ log2(n / target_bucket_size) and num_bands to hold recall —
+    bucket size bounds the per-group compare cost, so no global
+    all-pairs ever happens.
+
+    Fully distributed: banded signatures per batch (broadcast-free,
+    planes regenerated per worker from the seed) -> coarse partition
+    colocating each (band, bucket) -> exact per-bucket pair cosines
+    (row-wise dot / norm product, the shape-independent per-pair form
+    DuckDB's list_cosine_similarity uses) -> cross-band dedup by
+    (src, dst) min -> per-src sort + head-k, both partition-bucketed.
+    """
+    total = num_bands * planes_per_band
+    state: dict = {}
+
+    def bucketize(batch: pa.Table) -> pa.Table:
+        m = _to_matrix(batch)
+        if "planes" not in state:
+            rng = np.random.default_rng(seed)
+            state["planes"] = rng.standard_normal((total, m.shape[1]))
+        signs = (m @ state["planes"].T) > 0
+        n = len(m)
+        weights = 1 << np.arange(planes_per_band, dtype=np.int64)
+        buckets = np.empty((n, num_bands), dtype=np.int64)
+        for b in range(num_bands):
+            chunk = signs[:, b * planes_per_band : (b + 1) * planes_per_band]
+            buckets[:, b] = chunk.astype(np.int64) @ weights
+        idx = np.repeat(np.arange(n), num_bands)
+        bands_col = np.tile(np.arange(num_bands, dtype=np.int64), n)
+        flat = buckets.ravel()
+        part = (
+            (flat.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+             ^ bands_col.astype(np.uint64) * np.uint64(0xC2B2AE3D27D4EB4F))
+            % np.uint64(fine_partitions)
+        ).astype(np.int32)
+        return pa.table(
+            {
+                "band": pa.array(bands_col.astype(np.int32), pa.int32()),
+                "bucket": pa.array(flat, pa.int64()),
+                "part": pa.array(part, pa.int32()),
+                "vec_id": batch.column("vec_id").take(pa.array(idx)),
+                "embedding": batch.column("embedding").take(pa.array(idx)),
+            }
+        )
+
+    _EMPTY = pa.table(
+        {"src": pa.array([], pa.int64()), "dst": pa.array([], pa.int64()),
+         "cos_ppm": pa.array([], pa.int64())}
+    )
+
+    def part_bucket_pairs(g: pa.Table) -> pa.Table:
+        n = g.num_rows
+        if n < 2:
+            return _EMPTY
+        t = g.sort_by([
+            ("band", "ascending"), ("bucket", "ascending"),
+            ("vec_id", "ascending"),
+        ])
+        band = t.column("band").to_numpy()
+        bucket = t.column("bucket").to_numpy()
+        ids = t.column("vec_id").to_numpy()
+        m = _to_matrix(t)
+        norms = np.linalg.norm(m, axis=1)
+        norms[norms == 0] = 1.0
+        same = (band[1:] == band[:-1]) & (bucket[1:] == bucket[:-1])
+        starts = np.concatenate(([0], np.flatnonzero(~same) + 1, [n]))
+        oa, ob, op = [], [], []
+        for st, en in zip(starts[:-1], starts[1:]):
+            if en - st < 2:
+                continue
+            iu, ju = np.triu_indices(en - st, k=1)
+            iu += st
+            ju += st
+            # per-pair cosine in DuckDB's own form: dot / (|a| * |b|)
+            dots = np.einsum("ij,ij->i", m[iu], m[ju])
+            ppm = np.floor(dots / (norms[iu] * norms[ju]) * 1e6).astype(np.int64)
+            oa.append(np.concatenate([ids[iu], ids[ju]]))
+            ob.append(np.concatenate([ids[ju], ids[iu]]))
+            op.append(np.concatenate([ppm, ppm]))
+        if not oa:
+            return _EMPTY
+        return pa.table(
+            {
+                "src": pa.array(np.concatenate(oa), pa.int64()),
+                "dst": pa.array(np.concatenate(ob), pa.int64()),
+                "cos_ppm": pa.array(np.concatenate(op), pa.int64()),
+            }
+        )
+
+    def add_pair_part(b: pa.Table) -> pa.Table:
+        a = b.column("src").to_numpy().astype(np.uint64)
+        bb = b.column("dst").to_numpy().astype(np.uint64)
+        h = a * np.uint64(0x9E3779B97F4A7C15) + bb * np.uint64(0xC2B2AE3D27D4EB4F)
+        return b.append_column(
+            "part",
+            pa.array((h % np.uint64(fine_partitions)).astype(np.int32), pa.int32()),
+        )
+
+    def part_pair_dedup(g: pa.Table) -> pa.Table:
+        t = g.select(["src", "dst", "cos_ppm"]).group_by(["src", "dst"]).aggregate(
+            [("cos_ppm", "min")]  # identical across bands: min is pure dedup
+        )
+        return pa.table(
+            {
+                "src": t.column("src").cast(pa.int64()),
+                "dst": t.column("dst").cast(pa.int64()),
+                "cos_ppm": t.column("cos_ppm_min").cast(pa.int64()),
+            }
+        )
+
+    def add_src_part(b: pa.Table) -> pa.Table:
+        a = b.column("src").to_numpy().astype(np.uint64)
+        h = (a * np.uint64(0x9E3779B97F4A7C15)) % np.uint64(fine_partitions)
+        return b.append_column("part", pa.array(h.astype(np.int32), pa.int32()))
+
+    def part_topk(g: pa.Table) -> pa.Table:
+        t = g.sort_by([
+            ("src", "ascending"), ("cos_ppm", "descending"), ("dst", "ascending")
+        ])
+        src = t.column("src").to_numpy()
+        n = len(src)
+        new = np.concatenate(([True], src[1:] != src[:-1]))
+        starts = np.flatnonzero(new)
+        rank = np.arange(n) - np.repeat(starts, np.diff(np.append(starts, n)))
+        keep = rank < k
+        return t.filter(pa.array(keep)).select(["src", "dst", "cos_ppm"])
+
+    pairs = (
+        ds.select_columns(["vec_id", "embedding"])
+        .map_batches(bucketize, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(part_bucket_pairs, batch_format="pyarrow")
+        .map_batches(add_pair_part, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(part_pair_dedup, batch_format="pyarrow")
+    )
+    return (
+        pairs.map_batches(add_src_part, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(part_topk, batch_format="pyarrow")
+    )
