@@ -246,8 +246,19 @@ def main() -> None:
     qm = np.array(t.column("embedding").to_pylist()[:5], dtype=np.float64)
     from textindex_ray.functions.similarity import knn_brute
 
+    def emb_full():
+        return ray.data.read_parquet(emb_path)
+
+    from textindex_ray.functions.similarity import knn_graph_lsh
+    from textindex_ray.pipelines.curate import curate
+
     sections = (
         ("exact_dedup", lambda: exact_dedup_groups(docs).count()),
+        ("curate", lambda: curate(docs).count()),
+        # planes_per_band sized to the corpus (bucket ~ n / 2^r; see
+        # knn_graph_lsh docstring) — r=6 puts ~30 vecs/bucket at sf0.1
+        ("knn_graph", lambda: knn_graph_lsh(
+            emb_full(), k=5, num_bands=8, planes_per_band=6).count()),
         ("simhash", lambda: docs.map_batches(
             simhash64_batch, batch_format="pyarrow").count()),
         ("quality", lambda: docs.map_batches(
