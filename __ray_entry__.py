@@ -290,6 +290,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ev = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"))
         return tumbling_window_stats(ev)
 
+    def q_events_quantiles(sf_dir):
+        import ray.data
+        from textindex_ray.functions.events import grouped_quantiles
+
+        ev = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"))
+        return grouped_quantiles(ev)
+
     def q_events_distinct_users(sf_dir):
         import ray.data
         from textindex_ray.functions.events import window_distinct_users
@@ -427,6 +434,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_window_stats": q_events_window,
         "events_sliding_window": q_events_sliding,
         "events_distinct_users": q_events_distinct_users,
+        "events_quantiles": q_events_quantiles,
         "events_window_topk": q_events_topk,
         "events_sessions": q_events_sessions,
         "events_asof": q_events_asof,
@@ -825,6 +833,19 @@ SELECT event_type,
        (epoch_us(ts) // 3600000000)::BIGINT AS window,
        count(DISTINCT user_id)::BIGINT AS n_users
 FROM events GROUP BY event_type, (epoch_us(ts) // 3600000000)"""
+
+    # per-group exact discrete quantiles (integer cum-count rule)
+    sql["events_quantiles"] = """
+WITH b AS (SELECT event_type, CAST(floor(value * 10000) AS BIGINT) AS v FROM events),
+c AS (SELECT event_type, v, count(*)::BIGINT AS cnt FROM b GROUP BY event_type, v),
+s AS (SELECT event_type, v,
+             sum(cnt) OVER (PARTITION BY event_type ORDER BY v) AS cum,
+             sum(cnt) OVER (PARTITION BY event_type) AS n
+      FROM c),
+q(q_ppm) AS (VALUES (500000), (900000), (990000))
+SELECT event_type, q_ppm::BIGINT AS q_ppm, min(v)::BIGINT AS value_t4
+FROM s JOIN q ON s.cum * 1000000 >= q.q_ppm * s.n
+GROUP BY event_type, q_ppm"""
 
     sql["doc_phrase"] = r"""
 SELECT doc_id FROM documents

@@ -1148,3 +1148,37 @@ def test_knn_graph_lsh(emb_ds, ray_session):
     top = g.sort_values(["src", "cos_ppm"], ascending=[True, False]).groupby("src").head(1)
     t = dict(zip(top.src, top.dst))
     assert t.get(99) == 0 and t.get(0) == 99
+
+
+def test_grouped_quantiles_exact(ray_session):
+    """grouped_quantiles == per-group integer cum-count quantile computed
+    directly, incl. a single-value group and a skewed group."""
+    import pandas as pd
+    import ray.data
+    from textindex_ray.functions.events import grouped_quantiles
+
+    rng = np.random.default_rng(13)
+    vals = np.concatenate([
+        rng.random(4000) * 3,          # 'click': smooth
+        np.full(500, 1.23456),         # 'ping': constant
+        np.repeat([0.1, 9.9], [1900, 100]),  # 'error': skewed tail
+    ])
+    types = ["click"] * 4000 + ["ping"] * 500 + ["error"] * 2000
+    df = pd.DataFrame({
+        "event_id": np.arange(len(vals), dtype=np.int64),
+        "user_id": np.zeros(len(vals), dtype=np.int64),
+        "event_type": types,
+        "ts": pd.to_datetime(np.arange(len(vals)), unit="s").astype("datetime64[us]"),
+        "value": vals,
+    })
+    got = grouped_quantiles(ray.data.from_pandas(df)).to_pandas()
+    gm = {(r.event_type, int(r.q_ppm)): int(r.value_t4) for r in got.itertuples()}
+
+    for et, g in df.groupby("event_type"):
+        v = np.sort(np.floor(g["value"].to_numpy() * 1e4).astype(np.int64))
+        n = v.size
+        for q in (500_000, 900_000, 990_000):
+            k = -(-q * n // 1_000_000)  # ceil
+            assert gm[(et, q)] == int(v[int(k) - 1]), (et, q)
+    assert gm[("ping", 500_000)] == 12345
+    assert gm[("error", 990_000)] == 99000  # the tail value
