@@ -272,6 +272,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
             textstats.redact("[0-9]+", "#"), batch_format="pyarrow"
         )
 
+    def q_tf_cosine(sf_dir):
+        # bag-of-words cosine pairs over a df-capped vocabulary
+        from textindex_ray.functions.dedup import tf_cosine_pairs
+
+        return tf_cosine_pairs(
+            docs_ds(sf_dir), max_df_ppm=800_000, min_cos_ppm=900_000
+        )
+
     def q_knn_graph(sf_dir):
         # distributed kNN graph over LSH-bucket cohabitants
         res = similarity.knn_graph_lsh(
@@ -407,6 +415,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash64": q_simhash,
         "minhash_lsh_pairs": q_minhash_pairs,
         "ngram_jaccard_pairs": q_ngram_pairs,
+        "tf_cosine_pairs": q_tf_cosine,
         "dup_clusters": q_dup_clusters,
         "dedup_keep": q_dedup_keep,
         # similarity search
@@ -634,6 +643,26 @@ WITH s AS (SELECT doc_id,
                                      ROWS UNBOUNDED PRECEDING) - n_chars AS excl
            FROM documents)
 SELECT doc_id, (excl // 4096)::BIGINT AS bin_id FROM s"""
+
+    # tf-cosine pairs: integer dot/norm partials; the one float step
+    # (sqrt + divide on exact int64s) is correctly-rounded IEEE in both
+    # engines, so floor ppm agrees bit-for-bit
+    sql["tf_cosine_pairs"] = f"""
+WITH {_TOKS},
+tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM toks GROUP BY doc_id, term),
+df AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
+n AS (SELECT count(*)::BIGINT AS n FROM documents),
+kept AS (SELECT tf.doc_id, tf.term, tf.tf FROM tf JOIN df USING (term), n
+         WHERE df.df * 1000000 <= n.n * 800000),
+nrm AS (SELECT doc_id, sum(tf * tf)::BIGINT AS n2 FROM kept GROUP BY doc_id),
+dt AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+              sum(a.tf * b.tf)::BIGINT AS dot
+       FROM kept a JOIN kept b ON a.term = b.term AND a.doc_id < b.doc_id
+       GROUP BY a.doc_id, b.doc_id)
+SELECT doc_a, doc_b,
+       floor(dt.dot * 1000000.0 / sqrt(na.n2 * nb.n2))::BIGINT AS cos_ppm
+FROM dt JOIN nrm na ON dt.doc_a = na.doc_id JOIN nrm nb ON dt.doc_b = nb.doc_id
+WHERE floor(dt.dot * 1000000.0 / sqrt(na.n2 * nb.n2)) >= 900000"""
 
     # deterministic shuffle: md5(decimal doc_id) keys, shard = first
     # 8 hex mod 16, pos = rank of digest within shard

@@ -1182,3 +1182,43 @@ def test_grouped_quantiles_exact(ray_session):
             assert gm[(et, q)] == int(v[int(k) - 1]), (et, q)
     assert gm[("ping", 500_000)] == 12345
     assert gm[("error", 990_000)] == 99000  # the tail value
+
+
+def test_tf_cosine_pairs_exact(docs_ds, ray_session):
+    """tf_cosine_pairs == single-process df-capped tf-cosine, identical
+    on the broadcast and forced partitioned-join paths and at two
+    partition counts (all partials are integer sums; the one float step
+    runs on exact int64s)."""
+    import math
+    from collections import Counter
+
+    from textindex_ray.functions.dedup import tf_cosine_pairs
+    from textindex_ray.functions.textstats import _tokens
+
+    df = docs_ds.select_columns(["doc_id", "text"]).to_pandas()
+    n = len(df)
+    tfs = {int(d): Counter(_tokens(t)) for d, t in zip(df.doc_id, df.text)}
+    dfc: Counter = Counter()
+    for c in tfs.values():
+        dfc.update(c.keys())
+    kept = {w for w, d in dfc.items() if d * 1_000_000 <= n * 800_000}
+    vecs = {d: {w: c for w, c in cnt.items() if w in kept} for d, cnt in tfs.items()}
+    n2 = {d: sum(c * c for c in v.values()) for d, v in vecs.items()}
+    want = {}
+    ids = sorted(vecs)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            if not n2[a] or not n2[b]:
+                continue
+            dot = sum(c * vecs[b].get(w, 0) for w, c in vecs[a].items())
+            ppm = math.floor(dot * 1e6 / math.sqrt(n2[a] * n2[b]))
+            if ppm >= 900_000:
+                want[(a, b)] = ppm
+
+    for kw in ({}, {"size_broadcast_limit": 0}, {"num_partitions": 4}):
+        got = tf_cosine_pairs(
+            docs_ds, max_df_ppm=800_000, min_cos_ppm=900_000, **kw
+        ).to_pandas()
+        gm = {(int(r.doc_a), int(r.doc_b)): int(r.cos_ppm) for r in got.itertuples()}
+        assert gm == want, kw
+    assert len(want) > 0

@@ -1033,3 +1033,244 @@ def ngram_jaccard_pairs_allpairs(
             "jaccard_ppm": pa.array(oj, pa.int64()),
         }
     )
+
+
+def tf_cosine_pairs(
+    ds: "ray.data.Dataset", *, max_df_ppm: int = 800_000,
+    min_cos_ppm: int = 900_000, num_partitions: int = 32,
+    size_broadcast_limit: int = 4_000_000, join_partitions: int = 4,
+) -> "ray.data.Dataset":
+    """EXACT term-frequency cosine similarity pairs over a df-capped
+    vocabulary — the bag-of-words near-dup / template detector, fully
+    distributed via the same term-inverted-index plan as
+    :func:`ngram_jaccard_pairs`.
+
+    Semantics: doc vector = per-term tf over terms whose document
+    frequency satisfies df*1e6 <= N*max_df_ppm (the df cap prunes
+    ubiquitous vocabulary — the standard mitigation for hot-term pair
+    explosion: a term in d docs emits C(d,2) partials, so the cap
+    bounds per-term work exactly like an LSH bucket size). Output
+    (doc_a, doc_b, cos_ppm), doc_a < doc_b,
+    cos_ppm = floor(dot*1e6 / sqrt(n2_a*n2_b)) >= min_cos_ppm.
+
+    Exactness/determinism: every partial (dot products, squared norms)
+    is an INTEGER sum, so partitioning never changes them; the single
+    float step (sqrt + divide on exact int64 inputs) is correctly
+    rounded IEEE in both numpy and DuckDB, so the ppm value is
+    partition- and engine-independent. (n2_a*n2_b must stay below
+    2^53 for the float sqrt to be exact-input — holds through ~1e7
+    weighted tokens per doc.)
+
+    Plan: per-batch per-doc tf rows partitioned by crc32(term) ->
+    per-partition term runs apply the df cap (a term lands wholly in
+    one partition, so its df is exact there) and emit locally-combined
+    integer pair-dot partials PLUS per-doc squared-norm partials ->
+    pair partials re-partitioned by pair hash and Arrow-summed ->
+    norms attached via the sizes broadcast / partitioned-join
+    short-circuit pattern of ngram_jaccard_pairs.
+    """
+    import zlib
+    from collections import Counter
+
+    import pyarrow.compute as pc
+
+    from textindex_ray.functions.textstats import _tokens
+
+    P = int(num_partitions)
+    n_docs = ds.count()
+    _EMPTY_COS = pa.table(
+        {"doc_a": pa.array([], pa.int64()), "doc_b": pa.array([], pa.int64()),
+         "cos_ppm": pa.array([], pa.int64())}
+    )
+    if n_docs == 0:
+        return ray.data.from_arrow(_EMPTY_COS)
+    df_thr = n_docs * int(max_df_ppm)  # keep term iff df*1e6 <= df_thr
+
+    def explode(batch: pa.Table) -> pa.Table:
+        out_d: list = []
+        out_t: list = []
+        out_f: list = []
+        out_p: list = []
+        for d, t in zip(
+            batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
+        ):
+            for w, c in Counter(_tokens(t)).items():
+                out_d.append(d)
+                out_t.append(w)
+                out_f.append(c)
+                out_p.append(zlib.crc32(w.encode("utf-8")) % P)
+        return pa.table(
+            {"doc_id": pa.array(out_d, pa.int64()),
+             "term": pa.array(out_t, pa.string()),
+             "tf": pa.array(out_f, pa.int64()),
+             "part": pa.array(out_p, pa.int32())}
+        )
+
+    _EMPTY_PART = pa.table(
+        {"doc_a": pa.array([], pa.int64()), "doc_b": pa.array([], pa.int64()),
+         "c": pa.array([], pa.int64())}
+    )
+
+    def part_pairs(g: pa.Table) -> pa.Table:
+        """Pair-dot partials + norm partials (doc_b == -1 marker rows)
+        of one term partition, df cap applied per term run."""
+        t = g.sort_by([("term", "ascending"), ("doc_id", "ascending")])
+        term = t.column("term").combine_chunks()
+        ids = t.column("doc_id").to_numpy()
+        tf = t.column("tf").to_numpy().astype(np.int64)
+        n = ids.size
+        if n == 0:
+            return _EMPTY_PART
+        eq = pc.equal(term.slice(1, n - 1), term.slice(0, n - 1)).to_numpy(
+            zero_copy_only=False
+        )
+        starts = np.concatenate(([0], np.flatnonzero(~eq) + 1, [n]))
+        oa, ob, oc = [], [], []
+        norm_acc: Counter = Counter()
+        for s, e in zip(starts[:-1], starts[1:]):
+            run = e - s
+            if run * 1_000_000 > df_thr:  # df cap (df == run length)
+                continue
+            seg_ids = ids[s:e]
+            seg_tf = tf[s:e]
+            for d, f in zip(seg_ids.tolist(), seg_tf.tolist()):
+                norm_acc[d] += f * f
+            if run < 2:
+                continue
+            iu, ju = np.triu_indices(run, k=1)
+            oa.append(seg_ids[iu])
+            ob.append(seg_ids[ju])
+            oc.append(seg_tf[iu] * seg_tf[ju])
+        parts = []
+        if oa:
+            tt = pa.table(
+                {"doc_a": pa.array(np.concatenate(oa), pa.int64()),
+                 "doc_b": pa.array(np.concatenate(ob), pa.int64()),
+                 "c": pa.array(np.concatenate(oc), pa.int64())}
+            )
+            cg = tt.group_by(["doc_a", "doc_b"]).aggregate([("c", "sum")])
+            parts.append(pa.table(
+                {"doc_a": cg.column("doc_a"), "doc_b": cg.column("doc_b"),
+                 "c": cg.column("c_sum").cast(pa.int64())}
+            ))
+        if norm_acc:
+            nd = sorted(norm_acc)
+            parts.append(pa.table(
+                {"doc_a": pa.array(nd, pa.int64()),
+                 "doc_b": pa.array([-1] * len(nd), pa.int64()),
+                 "c": pa.array([norm_acc[d] for d in nd], pa.int64())}
+            ))
+        if not parts:
+            return _EMPTY_PART
+        return pa.concat_tables(parts)
+
+    def add_pair_part(batch: pa.Table) -> pa.Table:
+        a = batch.column("doc_a").to_numpy().astype(np.uint64)
+        b = batch.column("doc_b").to_numpy().astype(np.uint64)
+        h = a * np.uint64(0x9E3779B97F4A7C15) + b * np.uint64(0xC2B2AE3D27D4EB4F)
+        return batch.append_column(
+            "part", pa.array((h % np.uint64(P)).astype(np.int32), pa.int32())
+        )
+
+    def part_sum(g: pa.Table) -> pa.Table:
+        cg = g.group_by(["doc_a", "doc_b"]).aggregate([("c", "sum")])
+        return pa.table(
+            {"doc_a": cg.column("doc_a"), "doc_b": cg.column("doc_b"),
+             "c": cg.column("c_sum").cast(pa.int64())}
+        )
+
+    combined = (
+        ds.select_columns(["doc_id", "text"])
+        .map_batches(explode, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(part_pairs, batch_format="pyarrow")
+        .map_batches(add_pair_part, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(part_sum, batch_format="pyarrow")
+    )
+    thr = int(min_cos_ppm)
+
+    # norms are ONE int64 per doc with any kept term: broadcast while they
+    # fit (ngram_jaccard_pairs pattern), partitioned joins above the limit
+    def split_mask(keep_norms: bool):
+        def fn(b: pa.Table) -> pa.Table:
+            m = pc.equal(b.column("doc_b"), -1)
+            return b.filter(m if keep_norms else pc.invert(m))
+        return fn
+
+    combined = combined.materialize()  # consumed by two branches
+    norms_ds = combined.map_batches(split_mask(True), batch_format="pyarrow")
+    pairs_ds = combined.map_batches(split_mask(False), batch_format="pyarrow")
+
+    nid_parts, nn_parts, too_big, total = [], [], False, 0
+    for bt in norms_ds.iter_batches(batch_format="pyarrow"):
+        total += bt.num_rows
+        if total > size_broadcast_limit:
+            too_big = True
+            break
+        nid_parts.append(bt.column("doc_a").to_numpy())
+        nn_parts.append(bt.column("c").to_numpy())
+
+    if not too_big:
+        if total == 0:
+            return ray.data.from_arrow(_EMPTY_COS)
+        nid = np.concatenate(nid_parts)
+        nn = np.concatenate(nn_parts).astype(np.int64)
+        order = np.argsort(nid)
+        ref = ray.put((nid[order], nn[order]))
+
+        def finish(batch: pa.Table) -> pa.Table:
+            ids_s, n2_s = ray.get(ref)
+            a = batch.column("doc_a").to_numpy()
+            b = batch.column("doc_b").to_numpy()
+            dot = batch.column("c").to_numpy().astype(np.int64)
+            n2a = n2_s[np.searchsorted(ids_s, a)]
+            n2b = n2_s[np.searchsorted(ids_s, b)]
+            ppm = np.floor(
+                dot.astype(np.float64) * 1e6
+                / np.sqrt((n2a * n2b).astype(np.float64))
+            ).astype(np.int64)
+            keep = ppm >= thr
+            return pa.table(
+                {"doc_a": pa.array(a[keep], pa.int64()),
+                 "doc_b": pa.array(b[keep], pa.int64()),
+                 "cos_ppm": pa.array(ppm[keep], pa.int64())}
+            )
+
+        return pairs_ds.map_batches(finish, batch_format="pyarrow")
+
+    # big-corpus path: partitioned hash joins (empty-side guard first)
+    pairs_ds = pairs_ds.materialize()
+    if pairs_ds.count() == 0:
+        return ray.data.from_arrow(_EMPTY_COS)
+    norms_j = norms_ds.map_batches(
+        lambda b: pa.table({"doc_id": b.column("doc_a"),
+                            "n2": b.column("c")}),
+        batch_format="pyarrow",
+    )
+    j1 = pairs_ds.join(
+        norms_j, join_type="inner", num_partitions=join_partitions,
+        on=("doc_a",), right_on=("doc_id",),
+    ).rename_columns({"n2": "n2_a"})
+    j2 = j1.join(
+        norms_j, join_type="inner", num_partitions=join_partitions,
+        on=("doc_b",), right_on=("doc_id",),
+    ).rename_columns({"n2": "n2_b"})
+
+    def finish_joined(batch: pa.Table) -> pa.Table:
+        a = batch.column("doc_a").to_numpy()
+        b = batch.column("doc_b").to_numpy()
+        dot = batch.column("c").to_numpy().astype(np.int64)
+        n2a = batch.column("n2_a").to_numpy().astype(np.int64)
+        n2b = batch.column("n2_b").to_numpy().astype(np.int64)
+        ppm = np.floor(
+            dot.astype(np.float64) * 1e6 / np.sqrt((n2a * n2b).astype(np.float64))
+        ).astype(np.int64)
+        keep = ppm >= thr
+        return pa.table(
+            {"doc_a": pa.array(a[keep], pa.int64()),
+             "doc_b": pa.array(b[keep], pa.int64()),
+             "cos_ppm": pa.array(ppm[keep], pa.int64())}
+        )
+
+    return j2.map_batches(finish_joined, batch_format="pyarrow")
