@@ -1,0 +1,105 @@
+"""`ray job submit` entry point: curated training-data export.
+
+Usage (cluster):
+    ray job submit --working-dir . -- python jobs/curate.py \
+        --docs /data/documents.parquet --out /data/curated \
+        [--langs en] [--min-tokens 24] [--min-stop-ppm 10000] \
+        [--max-punct-ppm 200000] [--shards 16]
+
+Runs the composed curation pipeline (fused language/quality gates +
+exact content dedup, pipelines/curate.py), assigns every survivor its
+deterministic export shard (md5 docID math, textstats.shuffle_shards
+contract), and writes hive-partitioned parquet `shard=K/` directories
+under `<out>/data/` — one partition per shard, so a re-run of a failed
+export can resume per shard. Idempotent: a `_COMMITTED` marker with the
+gate parameters is written last; a resubmit with the marker present is
+a no-op, and with DIFFERENT parameters it raises (the index build's
+resume contract).
+"""
+
+from __future__ import annotations
+
+import argparse
+import hashlib
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--docs", required=True, help="documents parquet (doc_id, text)")
+    ap.add_argument("--out", required=True)
+    ap.add_argument("--langs", default="en", help="comma-separated keep set")
+    ap.add_argument("--min-tokens", type=int, default=24)
+    ap.add_argument("--min-stop-ppm", type=int, default=10_000)
+    ap.add_argument("--max-punct-ppm", type=int, default=200_000)
+    ap.add_argument("--shards", type=int, default=16)
+    args = ap.parse_args(argv)
+
+    params = {
+        "langs": sorted(args.langs.split(",")),
+        "min_tokens": args.min_tokens,
+        "min_stop_ppm": args.min_stop_ppm,
+        "max_punct_ppm": args.max_punct_ppm,
+        "shards": args.shards,
+    }
+    marker = os.path.join(args.out, "_COMMITTED")
+    if os.path.exists(marker):
+        committed = json.load(open(marker))
+        if committed != params:
+            raise SystemExit(
+                "out dir committed with different parameters: %r vs %r"
+                % (committed, params)
+            )
+        print(json.dumps({"status": "already-committed", **params}))
+        return 0
+
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(include_dashboard=False, ignore_reinit_error=True,
+                 logging_level="ERROR")
+
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from textindex_ray.pipelines.curate import curate
+
+    docs = ray.data.read_parquet(args.docs, columns=["doc_id", "text"])
+    kept = curate(
+        docs,
+        langs=tuple(params["langs"]),
+        min_tokens=args.min_tokens,
+        min_stop_ppm=args.min_stop_ppm,
+        max_punct_ppm=args.max_punct_ppm,
+        keep_text=True,
+    )
+
+    S = args.shards
+
+    def add_shard(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_pylist()
+        sh = [
+            int(hashlib.md5(str(i).encode("ascii")).hexdigest()[:8], 16) % S
+            for i in ids
+        ]
+        return b.append_column("shard", pa.array(sh, pa.int64()))
+
+    data_dir = os.path.join(args.out, "data")
+    kept.map_batches(add_shard, batch_format="pyarrow").write_parquet(
+        data_dir, partition_cols=["shard"], min_rows_per_file=50_000
+    )
+
+    n = ray.data.read_parquet(data_dir).count()
+    with open(marker, "w") as f:
+        json.dump(params, f)
+    print(json.dumps({"status": "ok", "kept_docs": int(n), **params}))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

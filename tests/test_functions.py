@@ -1222,3 +1222,33 @@ def test_tf_cosine_pairs_exact(docs_ds, ray_session):
         gm = {(int(r.doc_a), int(r.doc_b)): int(r.cos_ppm) for r in got.itertuples()}
         assert gm == want, kw
     assert len(want) > 0
+
+
+def test_curate_cli_resumable(ray_session, tmp_path):
+    """jobs/curate.py: hive shard partitions, _COMMITTED no-op resume,
+    parameter-mismatch guard, and the export equals the library path."""
+    import json
+    import os
+    import sys
+
+    import pytest
+    import ray.data
+
+    sys.path.insert(0, os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))))
+    from jobs.curate import main
+    from textindex_ray.pipelines.curate import curate
+
+    out = str(tmp_path / "curated")
+    argv = ["--docs", "/root/testdata/sf0.001/documents.parquet", "--out", out]
+    assert main(argv) == 0
+    assert json.load(open(os.path.join(out, "_COMMITTED")))["min_tokens"] == 24
+    exported = ray.data.read_parquet(os.path.join(out, "data")).to_pandas()
+    lib = curate(ray.data.read_parquet(
+        "/root/testdata/sf0.001/documents.parquet")).to_pandas()
+    assert sorted(exported.doc_id) == sorted(lib.doc_id)
+    assert "text" in exported.columns and "shard" in exported.columns
+
+    assert main(argv) == 0  # committed: no-op
+    with pytest.raises(SystemExit):
+        main(argv + ["--min-tokens", "10"])  # param mismatch

@@ -40,8 +40,14 @@ def curate(
     min_stop_ppm: int = 10_000,
     max_punct_ppm: int = 200_000,
     num_partitions: int = 32,
+    keep_text: bool = False,
 ) -> "ray.data.Dataset":
-    """(doc_id, lang_pred, n_tokens) of curated survivors.
+    """(doc_id, lang_pred, n_tokens[, text]) of curated survivors.
+
+    ``keep_text=True`` carries the document text through for export
+    (jobs/curate.py); the dedup shuffle then moves survivor text — at
+    corpus scale prefer the id-only manifest (default) plus a pruned
+    re-read of the kept rows.
 
     A doc survives when its predicted language is in ``langs``, its
     token count is in ``[min_tokens, max_tokens]``, its stopword ratio
@@ -71,6 +77,7 @@ def curate(
         o_nt: list = []
         o_fp: list = []
         o_part: list = []
+        o_text: list = []
         for did, t in zip(ids, texts):
             toks = _tokens(t)
             nt = len(toks)
@@ -95,29 +102,34 @@ def curate(
             o_nt.append(nt)
             o_fp.append(fp)
             o_part.append(int(fp[:4], 16) % P)
-        return pa.table(
-            {
-                "doc_id": pa.array(o_id, pa.int64()),
-                "lang_pred": pa.array(o_lang, pa.string()),
-                "n_tokens": pa.array(o_nt, pa.int64()),
-                "fp": pa.array(o_fp, pa.string()),
-                "part": pa.array(o_part, pa.int32()),
-            }
-        )
+            if keep_text:
+                o_text.append(t)
+        cols = {
+            "doc_id": pa.array(o_id, pa.int64()),
+            "lang_pred": pa.array(o_lang, pa.string()),
+            "n_tokens": pa.array(o_nt, pa.int64()),
+            "fp": pa.array(o_fp, pa.string()),
+            "part": pa.array(o_part, pa.int32()),
+        }
+        if keep_text:
+            cols["text"] = pa.array(o_text, pa.string())
+        return pa.table(cols)
+
+    out_cols = ["doc_id", "lang_pred", "n_tokens"] + (
+        ["text"] if keep_text else []
+    )
 
     def part_keep(g: pa.Table) -> pa.Table:
         t = g.sort_by([("fp", "ascending"), ("doc_id", "ascending")])
         fp = t.column("fp").combine_chunks()
         n = len(fp)
         if n == 0:
-            return t.select(["doc_id", "lang_pred", "n_tokens"])
+            return t.select(out_cols)
         eq = pc.equal(fp.slice(1, n - 1), fp.slice(0, n - 1)).to_numpy(
             zero_copy_only=False
         )
         starts = np.concatenate(([0], np.flatnonzero(~eq) + 1))
-        return t.take(pa.array(starts)).select(
-            ["doc_id", "lang_pred", "n_tokens"]
-        )
+        return t.take(pa.array(starts)).select(out_cols)
 
     return (
         ds.map_batches(gate, batch_format="pyarrow")
