@@ -331,6 +331,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return heavy_terms(docs_ds(sf_dir), min_ppm=5_000)
 
+    def q_top_terms(sf_dir):
+        # per-doc tf-idf keyword extraction
+        return textstats.doc_top_terms(docs_ds(sf_dir), k=3)
+
     def q_heavy_bigrams(sf_dir):
         from textindex_ray.functions.textstats import heavy_bigrams
 
@@ -429,6 +433,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_fingerprint": q_fingerprint,
         "heavy_terms": q_heavy_terms,
         "heavy_bigrams": q_heavy_bigrams,
+        "doc_top_terms": q_top_terms,
         "hash_split": q_hash_split,
         "doc_redact": q_redact,
         "length_quantiles": q_length_quantiles,
@@ -908,6 +913,21 @@ tot AS (SELECT count(*)::BIGINT AS c FROM toks)
 SELECT term, count(*)::BIGINT AS cf
 FROM toks GROUP BY term
 HAVING count(*) * 1000000 >= (SELECT c FROM tot) * 5000"""
+
+    # per-doc tf-idf keywords: weight = tf * ln(N/df), term tie-break;
+    # equal (tf, df) weights are exactly equal in both engines, so the
+    # only libm-ln hazard is a ~1e-16 cross-pair ulp coincidence
+    sql["doc_top_terms"] = f"""
+WITH {_TOKS},
+tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM toks GROUP BY doc_id, term),
+df AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
+n AS (SELECT count(*)::BIGINT AS n FROM documents),
+ranked AS (SELECT tf.doc_id, tf.term,
+                  row_number() OVER (PARTITION BY tf.doc_id
+                                     ORDER BY tf.tf * ln(n.n / df.df) DESC,
+                                              tf.term) AS rk
+           FROM tf JOIN df USING (term), n)
+SELECT doc_id, term, rk::BIGINT AS "rank" FROM ranked WHERE rk <= 3"""
 
     # collocation mining: heavy adjacent token pairs over bigram slots
     sql["heavy_bigrams"] = r"""

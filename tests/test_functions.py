@@ -1252,3 +1252,44 @@ def test_curate_cli_resumable(ray_session, tmp_path):
     assert main(argv) == 0  # committed: no-op
     with pytest.raises(SystemExit):
         main(argv + ["--min-tokens", "10"])  # param mismatch
+
+
+def test_doc_top_terms_exact(docs_ds, ray_session):
+    """doc_top_terms == single-process tf*ln(N/df) ranking with term
+    tie-break, partition-independent; a doc whose terms all tie on
+    weight ranks them alphabetically."""
+    import math
+    from collections import Counter
+
+    import ray.data
+    from textindex_ray.functions.textstats import _tokens, doc_top_terms
+
+    df = docs_ds.select_columns(["doc_id", "text"]).to_pandas()
+    n = len(df)
+    tfs = {int(d): Counter(_tokens(t)) for d, t in zip(df.doc_id, df.text)}
+    dfc: Counter = Counter()
+    for c in tfs.values():
+        dfc.update(c.keys())
+    want = {}
+    for d, cnt in tfs.items():
+        if not cnt:
+            continue
+        ranked = sorted(
+            cnt.items(), key=lambda kv: (-kv[1] * math.log(n / dfc[kv[0]]), kv[0])
+        )[:3]
+        want[d] = [w for w, _ in ranked]
+
+    for P in (4, 32):
+        got = doc_top_terms(docs_ds, k=3, num_partitions=P).to_pandas()
+        gm = {}
+        for r in got.sort_values(["doc_id", "rank"]).itertuples():
+            gm.setdefault(int(r.doc_id), []).append(r.term)
+        assert gm == want, P
+
+    # all-tie doc: every term tf=1, same df -> alphabetical ranks
+    tiny = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([1], pa.int64()),
+        "text": pa.array(["zeta alpha mid"], pa.string()),
+    }))
+    out = doc_top_terms(tiny, k=3).to_pandas().sort_values("rank")
+    assert out.term.tolist() == ["alpha", "mid", "zeta"]

@@ -555,6 +555,128 @@ def common_token_score(
 # ---------------------------------------------------------------------------
 # heavy hitters: bounded-memory sketch + exact recount (two passes)
 
+def doc_top_terms(
+    ds: "ray.data.Dataset", *, k: int = 3, num_partitions: int = 32
+) -> "ray.data.Dataset":
+    """(doc_id, term, rank): per-document top-k tf-idf keywords —
+    weight = tf * ln(N/df), rank by (weight desc, term asc), rank 1..k.
+
+    Fully distributed, no vocabulary broadcast: per-doc tf rows
+    partition by crc32(term), each term run computes its exact df
+    in-partition and attaches it to the rows; rows re-partition by
+    doc hash and the per-doc top-k runs inside the partition.
+
+    Cross-engine determinism: equal (tf, df) pairs produce exactly
+    equal weights in any engine, so all systematic ties resolve by the
+    term tie-break; distinct (tf, df) weights colliding within one ulp
+    of each other (where libm ln disagreement could flip an order) is
+    a ~1e-16-probability coincidence, not a data pattern.
+    """
+    import math
+    import zlib
+    from collections import Counter
+
+    P = int(num_partitions)
+    n_docs = ds.count()
+    empty = pa.table(
+        {"doc_id": pa.array([], pa.int64()),
+         "term": pa.array([], pa.string()),
+         "rank": pa.array([], pa.int64())}
+    )
+    if n_docs == 0:
+        import ray
+
+        return ray.data.from_arrow(empty)
+
+    def explode(batch: pa.Table) -> pa.Table:
+        o_d: list = []
+        o_t: list = []
+        o_f: list = []
+        o_p: list = []
+        for d, t in zip(
+            batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
+        ):
+            for w, c in Counter(_tokens(t)).items():
+                o_d.append(d)
+                o_t.append(w)
+                o_f.append(c)
+                o_p.append(zlib.crc32(w.encode("utf-8")) % P)
+        return pa.table(
+            {"doc_id": pa.array(o_d, pa.int64()),
+             "term": pa.array(o_t, pa.string()),
+             "tf": pa.array(o_f, pa.int64()),
+             "part": pa.array(o_p, pa.int32())}
+        )
+
+    import pyarrow.compute as pc
+
+    def attach_df(g: pa.Table) -> pa.Table:
+        t = g.sort_by([("term", "ascending")])
+        term = t.column("term").combine_chunks()
+        n = len(term)
+        if n == 0:
+            return pa.table(
+                {"doc_id": pa.array([], pa.int64()),
+                 "term": pa.array([], pa.string()),
+                 "tf": pa.array([], pa.int64()),
+                 "df": pa.array([], pa.int64()),
+                 "part": pa.array([], pa.int32())}
+            )
+        eq = pc.equal(term.slice(1, n - 1), term.slice(0, n - 1)).to_numpy(
+            zero_copy_only=False
+        )
+        starts = np.concatenate(([0], np.flatnonzero(~eq) + 1, [n]))
+        df = np.empty(n, dtype=np.int64)
+        for s, e in zip(starts[:-1], starts[1:]):
+            df[s:e] = e - s
+        ids = t.column("doc_id").to_numpy().astype(np.uint64)
+        part2 = ((ids * np.uint64(0x9E3779B97F4A7C15)) % np.uint64(P)).astype(
+            np.int32
+        )
+        return pa.table(
+            {"doc_id": t.column("doc_id"),
+             "term": t.column("term"),
+             "tf": t.column("tf"),
+             "df": pa.array(df, pa.int64()),
+             "part": pa.array(part2, pa.int32())}
+        )
+
+    def part_topk(g: pa.Table) -> pa.Table:
+        tf = g.column("tf").to_numpy().astype(np.int64)
+        df = g.column("df").to_numpy().astype(np.int64)
+        ids = g.column("doc_id").to_numpy()
+        terms = g.column("term").to_pylist()
+        logs = {int(d): math.log(n_docs / d) for d in set(df.tolist())}
+        w = np.array([t * logs[int(d)] for t, d in zip(tf.tolist(), df.tolist())])
+        rows = sorted(
+            range(len(ids)), key=lambda i: (ids[i], -w[i], terms[i])
+        )
+        o_d, o_t, o_r = [], [], []
+        prev, r = None, 0
+        for i in rows:
+            d = int(ids[i])
+            r = r + 1 if d == prev else 1
+            prev = d
+            if r <= k:
+                o_d.append(d)
+                o_t.append(terms[i])
+                o_r.append(r)
+        return pa.table(
+            {"doc_id": pa.array(o_d, pa.int64()),
+             "term": pa.array(o_t, pa.string()),
+             "rank": pa.array(o_r, pa.int64())}
+        )
+
+    return (
+        ds.select_columns(["doc_id", "text"])
+        .map_batches(explode, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(attach_df, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(part_topk, batch_format="pyarrow")
+    )
+
+
 def _mg_add(counters: dict, term: str, weight: int, k: int) -> None:
     """Weighted Misra-Gries add: at most k counters survive."""
     if term in counters:
