@@ -1293,3 +1293,49 @@ def test_doc_top_terms_exact(docs_ds, ray_session):
     }))
     out = doc_top_terms(tiny, k=3).to_pandas().sort_values("rank")
     assert out.term.tolist() == ["alpha", "mid", "zeta"]
+
+
+def test_empty_input_schemas(ray_session):
+    """Every round-3 operator returns a schema-bearing empty result on a
+    0-row input (0-row Datasets lose their schema through groupby /
+    pandas conversion — the degenerate branch must short-circuit)."""
+    import pandas as pd
+    import ray.data
+    from textindex_ray.functions.dedup import tf_cosine_pairs
+    from textindex_ray.functions.events import (
+        grouped_quantiles, window_distinct_users)
+    from textindex_ray.functions.similarity import knn_graph_lsh
+    from textindex_ray.functions.textstats import (
+        common_token_score, doc_top_terms, shuffle_shards)
+    from textindex_ray.pipelines.curate import curate
+
+    docs = ray.data.from_arrow(pa.table(
+        {"doc_id": pa.array([], pa.int64()), "text": pa.array([], pa.string())}))
+    emb = ray.data.from_arrow(pa.table(
+        {"vec_id": pa.array([], pa.int64()),
+         "embedding": pa.array([], pa.list_(pa.float64()))}))
+    ev = ray.data.from_arrow(pa.table(
+        {"event_id": pa.array([], pa.int64()), "user_id": pa.array([], pa.int64()),
+         "event_type": pa.array([], pa.string()),
+         "ts": pa.array([], pa.timestamp("us")),
+         "value": pa.array([], pa.float64())}))
+
+    cases = {
+        "curate": (lambda: curate(docs), ["doc_id", "lang_pred", "n_tokens"]),
+        "tf_cosine": (lambda: tf_cosine_pairs(docs),
+                      ["doc_a", "doc_b", "cos_ppm"]),
+        "top_terms": (lambda: doc_top_terms(docs), ["doc_id", "term", "rank"]),
+        "shards": (lambda: shuffle_shards(docs), ["doc_id", "shard", "pos"]),
+        "common": (lambda: common_token_score(docs),
+                   ["doc_id", "common_ratio_ppm", "n_common_types"]),
+        "knn_graph": (lambda: knn_graph_lsh(emb), ["src", "dst", "cos_ppm"]),
+        "dusers": (lambda: window_distinct_users(ev),
+                   ["event_type", "window", "n_users"]),
+        "gquant": (lambda: grouped_quantiles(ev),
+                   ["event_type", "q_ppm", "value_t4"]),
+    }
+    for name, (fn, cols) in cases.items():
+        r = fn()
+        df = r.to_pandas()
+        assert len(df) == 0, name
+        assert list(df.columns) == cols, (name, list(df.columns))

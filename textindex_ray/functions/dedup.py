@@ -1083,7 +1083,9 @@ def tf_cosine_pairs(
          "cos_ppm": pa.array([], pa.int64())}
     )
     if n_docs == 0:
-        return ray.data.from_arrow(_EMPTY_COS)
+        # schema-preserving degenerate result (0-row Datasets lose
+        # their schema through pandas conversion)
+        return _EMPTY_COS
     df_thr = n_docs * int(max_df_ppm)  # keep term iff df*1e6 <= df_thr
 
     def explode(batch: pa.Table) -> pa.Table:
@@ -1213,7 +1215,7 @@ def tf_cosine_pairs(
 
     if not too_big:
         if total == 0:
-            return ray.data.from_arrow(_EMPTY_COS)
+            return _EMPTY_COS
         nid = np.concatenate(nid_parts)
         nn = np.concatenate(nn_parts).astype(np.int64)
         order = np.argsort(nid)
@@ -1242,7 +1244,7 @@ def tf_cosine_pairs(
     # big-corpus path: partitioned hash joins (empty-side guard first)
     pairs_ds = pairs_ds.materialize()
     if pairs_ds.count() == 0:
-        return ray.data.from_arrow(_EMPTY_COS)
+        return _EMPTY_COS
     norms_j = norms_ds.map_batches(
         lambda b: pa.table({"doc_id": b.column("doc_a"),
                             "n2": b.column("c")}),

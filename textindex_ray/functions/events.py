@@ -188,6 +188,13 @@ def window_distinct_users(
     swap the in-partition aggregate for a per-batch distinct-triple
     pre-collapse (same key routing, smaller exchange)."""
 
+    if ds.count() == 0:
+        return pa.table(
+            {"event_type": pa.array([], pa.string()),
+             "window": pa.array([], pa.int64()),
+             "n_users": pa.array([], pa.int64())}
+        )
+
     def prep(b: pa.Table) -> pa.Table:
         b = add_window(b, window_us=window_us)
         return _window_partition(

@@ -673,6 +673,15 @@ def knn_graph_lsh(
     total = num_bands * planes_per_band
     state: dict = {}
 
+    _EMPTY_G = pa.table(
+        {"src": pa.array([], pa.int64()), "dst": pa.array([], pa.int64()),
+         "cos_ppm": pa.array([], pa.int64())}
+    )
+    if ds.count() == 0:
+        # 0-row Datasets lose their schema through groupby/to_pandas;
+        # the schema-preserving degenerate result is the table itself
+        return _EMPTY_G
+
     def bucketize(batch: pa.Table) -> pa.Table:
         m = _to_matrix(batch)
         if "planes" not in state:

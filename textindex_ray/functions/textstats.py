@@ -221,6 +221,12 @@ def shuffle_shards(
     manifest (one output file per shard => resumable export).
     """
     S = int(num_shards)
+    if ds.count() == 0:
+        return pa.table(
+            {"doc_id": pa.array([], pa.int64()),
+             "shard": pa.array([], pa.int64()),
+             "pos": pa.array([], pa.int64())}
+        )
 
     def key(batch: pa.Table) -> pa.Table:
         ids = batch.column("doc_id").to_pylist()
@@ -391,10 +397,8 @@ def pack_bins(
 
     parts = base.map_batches(block_minmax, batch_format="pyarrow").take_all()
     if not parts:
-        return ray.data.from_arrow(
-            pa.table({"doc_id": pa.array([], pa.int64()),
-                      "bin_id": pa.array([], pa.int64())})
-        )
+        return pa.table({"doc_id": pa.array([], pa.int64()),
+                         "bin_id": pa.array([], pa.int64())})
     lo = min(p["lo"] for p in parts)
     hi = max(p["hi"] for p in parts)
     # deterministic equal-width boundaries over the observed id span
@@ -478,14 +482,14 @@ def common_token_score(
     P = int(num_partitions)
     n_docs = ds.count()
     if n_docs == 0:
-        return ray.data.from_arrow(
-            pa.table(
-                {
-                    "doc_id": pa.array([], pa.int64()),
-                    "common_ratio_ppm": pa.array([], pa.int64()),
-                    "n_common_types": pa.array([], pa.int64()),
-                }
-            )
+        # schema-preserving degenerate result (0-row Datasets lose
+        # their schema through pandas conversion)
+        return pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "common_ratio_ppm": pa.array([], pa.int64()),
+                "n_common_types": pa.array([], pa.int64()),
+            }
         )
 
     def df_partial(batch: pa.Table) -> pa.Table:
@@ -584,9 +588,7 @@ def doc_top_terms(
          "rank": pa.array([], pa.int64())}
     )
     if n_docs == 0:
-        import ray
-
-        return ray.data.from_arrow(empty)
+        return empty  # schema-preserving degenerate result
 
     def explode(batch: pa.Table) -> pa.Table:
         o_d: list = []

@@ -65,6 +65,15 @@ def curate(
         LANG_MARKERS,
     )
 
+    out_schema = pa.table(
+        {"doc_id": pa.array([], pa.int64()),
+         "lang_pred": pa.array([], pa.string()),
+         "n_tokens": pa.array([], pa.int64()),
+         **({"text": pa.array([], pa.string())} if keep_text else {})}
+    )
+    if ds.count() == 0:
+        return out_schema  # schema-preserving degenerate result
+
     keep_langs = frozenset(langs)
     P = int(num_partitions)
     lang_order = ("de", "en", "fr")
