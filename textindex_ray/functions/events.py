@@ -40,18 +40,37 @@ def _window_partition(batch: pa.Table, P: int) -> pa.Table:
     return batch.append_column("part", pa.array(part, pa.int32()))
 
 
-def _window_part_agg(g: pa.Table) -> pa.Table:
-    """Exact per-partition (event_type, window) aggregate: integer sums
-    are order-free, so this equals the global groupby bit-for-bit."""
-    t = g.group_by(["event_type", "window"]).aggregate(
+def _window_combine(batch: pa.Table) -> pa.Table:
+    """Per-batch combiner: collapse (event_type, window, value_t4) rows
+    to partial (n, s) sums BEFORE the shuffle — a hot window then ships
+    one partial row per batch instead of all its raw rows (integer sums
+    are order-free, so the final result is bit-identical)."""
+    t = batch.group_by(["event_type", "window"]).aggregate(
         [("value_t4", "count"), ("value_t4", "sum")]
     )
     return pa.table(
         {
             "event_type": t.column("event_type"),
             "window": t.column("window").cast(pa.int64()),
-            "n_events": t.column("value_t4_count").cast(pa.int64()),
-            "sum_value_t4": t.column("value_t4_sum").cast(pa.int64()),
+            "n": t.column("value_t4_count").cast(pa.int64()),
+            "s": t.column("value_t4_sum").cast(pa.int64()),
+        }
+    )
+
+
+def _window_part_agg(g: pa.Table) -> pa.Table:
+    """Exact per-partition (event_type, window) reduce over combiner
+    partials: integer sums are order-free, so this equals the global
+    groupby bit-for-bit."""
+    t = g.group_by(["event_type", "window"]).aggregate(
+        [("n", "sum"), ("s", "sum")]
+    )
+    return pa.table(
+        {
+            "event_type": t.column("event_type"),
+            "window": t.column("window").cast(pa.int64()),
+            "n_events": t.column("n_sum").cast(pa.int64()),
+            "sum_value_t4": t.column("s_sum").cast(pa.int64()),
         }
     )
 
@@ -81,7 +100,8 @@ def tumbling_window_stats(
     def prep(b: pa.Table) -> pa.Table:
         b = add_window(b, window_us=window_us)
         return _window_partition(
-            b.select(["event_type", "window", "value_t4"]), num_partitions
+            _window_combine(b.select(["event_type", "window", "value_t4"])),
+            num_partitions,
         )
 
     return (
@@ -197,9 +217,12 @@ def window_distinct_users(
 
     def prep(b: pa.Table) -> pa.Table:
         b = add_window(b, window_us=window_us)
-        return _window_partition(
-            b.select(["event_type", "window", "user_id"]), num_partitions
-        )
+        # per-batch distinct pre-collapse: a hot window ships at most
+        # its batch-distinct users, and distinct-of-distinct is exact
+        t = b.select(["event_type", "window", "user_id"]).group_by(
+            ["event_type", "window", "user_id"]
+        ).aggregate([])
+        return _window_partition(t, num_partitions)
 
     def part_agg(g: pa.Table) -> pa.Table:
         t = g.group_by(["event_type", "window"]).aggregate(
@@ -248,7 +271,9 @@ def sliding_window_stats(
 
     return (
         ds.map_batches(
-            lambda b: _window_partition(explode(b), num_partitions),
+            lambda b: _window_partition(
+                _window_combine(explode(b)), num_partitions
+            ),
             batch_format="pyarrow",
         )
         .groupby("part")
