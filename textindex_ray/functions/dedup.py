@@ -58,22 +58,36 @@ def exact_dedup_groups(
             hashlib.md5(t.encode("utf-8")).hexdigest()
             for t in batch.column("text").to_pylist()
         ]
-        part = pa.array([int(x[:4], 16) % P for x in h], pa.int32())
-        return pa.table(
+        t = pa.table(
             {"doc_id": batch.column("doc_id"),
-             "text_hash": pa.array(h, pa.string()),
+             "text_hash": pa.array(h, pa.string())}
+        )
+        # per-batch combiner: one (min, count) partial per distinct hash
+        # ships through the shuffle instead of one row per doc — exact,
+        # since min-of-mins and sum-of-counts are order-free
+        t = t.group_by("text_hash").aggregate(
+            [("doc_id", "min"), ("doc_id", "count")]
+        )
+        part = pa.array(
+            [int(x[:4], 16) % P for x in t.column("text_hash").to_pylist()],
+            pa.int32(),
+        )
+        return pa.table(
+            {"text_hash": t.column("text_hash"),
+             "min_id": t.column("doc_id_min").cast(pa.int64()),
+             "cnt": t.column("doc_id_count").cast(pa.int64()),
              "part": part}
         )
 
     def part_agg(g: pa.Table) -> pa.Table:
         t = g.group_by("text_hash").aggregate(
-            [("doc_id", "min"), ("doc_id", "count")]
+            [("min_id", "min"), ("cnt", "sum")]
         )
         return pa.table(
             {
                 "text_hash": t.column("text_hash"),
-                "keep_doc_id": t.column("doc_id_min").cast(pa.int64()),
-                "dup_count": t.column("doc_id_count").cast(pa.int64()),
+                "keep_doc_id": t.column("min_id_min").cast(pa.int64()),
+                "dup_count": t.column("cnt_sum").cast(pa.int64()),
             }
         )
 

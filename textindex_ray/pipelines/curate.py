@@ -122,7 +122,19 @@ def curate(
         }
         if keep_text:
             cols["text"] = pa.array(o_text, pa.string())
-        return pa.table(cols)
+        t = pa.table(cols)
+        # per-batch combiner: only the batch-minimum doc per fingerprint
+        # ships through the dedup shuffle (a smaller doc_id in the same
+        # batch already disqualifies the others globally — exact)
+        if t.num_rows > 1:
+            t = t.sort_by([("fp", "ascending"), ("doc_id", "ascending")])
+            fpc = t.column("fp").combine_chunks()
+            nn = len(fpc)
+            eq = pc.equal(fpc.slice(1, nn - 1), fpc.slice(0, nn - 1)).to_numpy(
+                zero_copy_only=False
+            )
+            t = t.take(pa.array(np.concatenate(([0], np.flatnonzero(~eq) + 1))))
+        return t
 
     out_cols = ["doc_id", "lang_pred", "n_tokens"] + (
         ["text"] if keep_text else []
