@@ -347,6 +347,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # sequence packing: doc -> fixed-capacity bin by ordered prefix sum
         return textstats.pack_bins(docs_ds(sf_dir), capacity=4096)
 
+    def q_chunks(sf_dir):
+        # context-window chunking (512 chars, 64 overlap)
+        return textstats.chunk_documents(
+            docs_ds(sf_dir), chunk_chars=512, overlap=64
+        )
+
     def q_shuffle_shards(sf_dir):
         # deterministic distributed shuffle (training-export manifest)
         return textstats.shuffle_shards(docs_ds(sf_dir), num_shards=16)
@@ -442,6 +448,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "curate": q_curate,
         "repetition": q_repetition,
         "shuffle_shards": q_shuffle_shards,
+        "doc_chunks": q_chunks,
         "embedding_lsh_buckets": q_lsh_buckets,
         "embedding_knn_graph": q_knn_graph,
         # stream-shaped (events log)
@@ -668,6 +675,19 @@ SELECT doc_a, doc_b,
        floor(dt.dot * 1000000.0 / sqrt(na.n2 * nb.n2))::BIGINT AS cos_ppm
 FROM dt JOIN nrm na ON dt.doc_a = na.doc_id JOIN nrm nb ON dt.doc_b = nb.doc_id
 WHERE floor(dt.dot * 1000000.0 / sqrt(na.n2 * nb.n2)) >= 900000"""
+
+    # context-window chunking: step = 512 - 64 = 448; chunk k starts at
+    # k*step (1-based substr), inclusive generate_series upper bound
+    sql["doc_chunks"] = """
+WITH d AS (SELECT doc_id, text, length(text) AS L FROM documents
+           WHERE length(text) > 0),
+k AS (SELECT doc_id, text,
+             unnest(generate_series(0, (L + 447) // 448 - 1)) AS chunk_id
+      FROM d)
+SELECT doc_id, chunk_id::BIGINT AS chunk_id,
+       substr(text, chunk_id * 448 + 1, 512) AS chunk,
+       length(substr(text, chunk_id * 448 + 1, 512))::BIGINT AS n_chars
+FROM k"""
 
     # deterministic shuffle: md5(decimal doc_id) keys, shard = first
     # 8 hex mod 16, pos = rank of digest within shard

@@ -1339,3 +1339,39 @@ def test_empty_input_schemas(ray_session):
         df = r.to_pandas()
         assert len(df) == 0, name
         assert list(df.columns) == cols, (name, list(df.columns))
+
+
+def test_chunk_documents_exact(ray_session):
+    """chunk_documents: overlap reconstruction, short-final-chunk, empty
+    text, and the boundary where len == step (one chunk, not two)."""
+    import ray.data
+    from textindex_ray.functions.textstats import chunk_documents
+
+    docs = {
+        1: "a" * 448,          # len == step: exactly 1 chunk
+        2: "b" * 449,          # one step past: 2 chunks, second short
+        3: "x" * 1200,         # 3 chunks; middle fully 512
+        4: "",                 # no chunks
+        5: "short",            # 1 short chunk
+    }
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(sorted(docs), pa.int64()),
+        "text": pa.array([docs[k] for k in sorted(docs)], pa.string()),
+    }))
+    out = chunk_documents(ds, chunk_chars=512, overlap=64).to_pandas()
+    g = {d: s.sort_values("chunk_id") for d, s in out.groupby("doc_id")}
+    assert 4 not in g
+    assert len(g[1]) == 1 and g[1].n_chars.tolist() == [448]
+    assert len(g[2]) == 2 and g[2].n_chars.tolist() == [449, 1]
+    assert len(g[3]) == 3 and g[3].n_chars.tolist() == [512, 512, 304]
+    assert g[5].chunk.tolist() == ["short"]
+    # overlap contract: consecutive chunks share the 64-char seam
+    c0, c1 = g[3].chunk.tolist()[:2]
+    assert c0[-64:] == c1[:64]
+    # full reconstruction: strip the overlap from every later chunk
+    rec = c0 + "".join(c[64:] for c in g[3].chunk.tolist()[1:])
+    assert rec == docs[3]
+
+    import pytest
+    with pytest.raises(ValueError):
+        chunk_documents(ds, chunk_chars=64, overlap=64)

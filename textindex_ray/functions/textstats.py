@@ -258,6 +258,49 @@ def shuffle_shards(
     )
 
 
+def chunk_documents(
+    ds: "ray.data.Dataset", *, chunk_chars: int = 512, overlap: int = 64
+) -> "ray.data.Dataset":
+    """(doc_id, chunk_id, chunk, n_chars): context-window document
+    chunking — fixed-size character chunks with overlap, the split step
+    before tokenize/pack in a training pipeline.
+
+    Chunk k covers [k*step, k*step + chunk_chars) with
+    step = chunk_chars - overlap; chunks start at every step offset
+    below len(text), so the final chunk may be short and empty texts
+    produce no chunks. Pure string slicing — exact in any engine
+    (SQL twin: substr over generate_series starts). Embarrassingly
+    parallel flat-map; no shuffle.
+    """
+    if overlap >= chunk_chars:
+        raise ValueError("overlap must be < chunk_chars")
+    step = chunk_chars - overlap
+
+    def explode(batch: pa.Table) -> pa.Table:
+        o_d: list = []
+        o_k: list = []
+        o_c: list = []
+        for d, t in zip(
+            batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
+        ):
+            for k in range((len(t) + step - 1) // step if t else 0):
+                o_d.append(d)
+                o_k.append(k)
+                o_c.append(t[k * step : k * step + chunk_chars])
+        return pa.table(
+            {
+                "doc_id": pa.array(o_d, pa.int64()),
+                "chunk_id": pa.array(o_k, pa.int64()),
+                "chunk": pa.array(o_c, pa.string()),
+                "n_chars": pa.array([len(c) for c in o_c], pa.int64()),
+            }
+        )
+
+    return ds.select_columns(["doc_id", "text"]).map_batches(
+        explode, batch_format="pyarrow"
+    )
+
+
 def redact(pattern: str = "[0-9]+", replacement: str = "#"):
     """Vectorized regex redaction (the PII-scrub stage shape): replace
     every match of ``pattern`` and report per doc the match count and
