@@ -399,6 +399,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return sessionize(ev).map_batches(shape, batch_format="pyarrow")
 
+    def q_events_range_join(sf_dir):
+        import ray.data
+        from textindex_ray.functions.events import range_join_count
+
+        ev = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"))
+        left = ev.filter(expr="event_type == 'error'")
+        right = ev.filter(expr="event_type == 'click'")
+        return range_join_count(left, right, band_us=86_400_000_000)
+
     def q_events_asof(sf_dir):
         import ray.data
         from textindex_ray.functions.events import asof_join
@@ -459,6 +468,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_window_topk": q_events_topk,
         "events_sessions": q_events_sessions,
         "events_asof": q_events_asof,
+        "events_range_join": q_events_range_join,
         # synthetic web-corpus pipeline (rows-only; pytest-verified vs oracle)
         "corpus_extract_stats": corpus_extract_stats,
         "corpus_bm25_topk": corpus_bm25,
@@ -772,6 +782,21 @@ FROM documents d LEFT JOIN per p ON d.doc_id = p.doc_id"""
     # as-of join: each click joined to the latest error at-or-before it
     # per user; window order (ts, side, event_id) fixes the tie semantics
     # (same-ts right rows match; among them the largest event_id wins)
+    # band join: per error, same-user clicks within +/- 24 h (inclusive;
+    # the synthetic stream is sparse per user — a 5-min band matches
+    # almost nothing, 24 h gives ~60% non-zero rows)
+    sql["events_range_join"] = """
+WITH l AS (SELECT event_id, user_id, epoch_us(ts) AS t FROM events
+           WHERE event_type = 'error'),
+r AS (SELECT user_id, epoch_us(ts) AS t FROM events
+      WHERE event_type = 'click'),
+j AS (SELECT l.event_id, count(*)::BIGINT AS n
+      FROM l JOIN r ON l.user_id = r.user_id
+       AND r.t BETWEEN l.t - 86400000000 AND l.t + 86400000000
+      GROUP BY l.event_id)
+SELECT l.event_id, l.user_id, coalesce(j.n, 0)::BIGINT AS n_matches
+FROM l LEFT JOIN j USING (event_id)"""
+
     sql["events_asof"] = """
 WITH u AS (
   SELECT user_id, ts, event_id, 0 AS side,

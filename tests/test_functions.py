@@ -1375,3 +1375,35 @@ def test_chunk_documents_exact(ray_session):
     import pytest
     with pytest.raises(ValueError):
         chunk_documents(ds, chunk_chars=64, overlap=64)
+
+
+def test_range_join_count(ray_session):
+    """range_join_count: inclusive band bounds, per-key isolation,
+    zero-match lefts kept, partition-count independence."""
+    import pandas as pd
+    import ray.data
+    from textindex_ray.functions.events import range_join_count
+
+    def mk(rows):
+        df = pd.DataFrame(rows, columns=["event_id", "user_id", "t", "event_type"])
+        df["ts"] = pd.to_datetime(df.pop("t"), unit="us").astype("datetime64[us]")
+        df["value"] = 0.0
+        return ray.data.from_pandas(df)
+
+    B = 100
+    left = mk([(1, 7, 1000, "error"),   # rights at 900 and 1100: both inclusive
+               (2, 7, 5000, "error"),   # nothing near
+               (3, 8, 1000, "error")])  # other user's rights don't count
+    right = mk([(10, 7, 900, "click"), (11, 7, 1100, "click"),
+                (12, 7, 899, "click"),  # one past the band
+                (13, 9, 1000, "click")])
+    for P in (1, 32):
+        out = range_join_count(left, right, band_us=B,
+                               num_partitions=P).to_pandas()
+        got = dict(zip(out.event_id, out.n_matches))
+        assert got == {1: 2, 2: 0, 3: 0}, P
+
+    # empty left short-circuits with schema
+    empty = range_join_count(mk([]).filter(expr="event_id > 0"), right)
+    df = empty.to_pandas()
+    assert len(df) == 0 and list(df.columns) == ["event_id", "user_id", "n_matches"]

@@ -338,6 +338,100 @@ def window_topk(
     )
 
 
+def range_join_count(
+    left: "ray.data.Dataset",
+    right: "ray.data.Dataset",
+    *,
+    by: str = "user_id",
+    band_us: int = 300_000_000,
+    num_partitions: int = 32,
+):
+    """Distributed range (band) join: for each left event, the COUNT of
+    right events with the same ``by`` key whose timestamp lies within
+    ``[left.ts - band_us, left.ts + band_us]`` (inclusive both ends).
+    Returns (event_id, user_id, n_matches) — n_matches 0 when nothing
+    falls in the band (left outer semantics).
+
+    Ray Data has no range join; same distributed sort-merge shape as
+    :func:`asof_join`: tag sides -> union -> ONE coarse shuffle on
+    hash(key) -> per-partition Arrow sort by (key, ts) -> per key run,
+    two vectorized searchsorted calls over the right-side timestamps
+    give every left event its band count. Work per partition is
+    sort + O((l + r) log r); nothing is broadcast or driver-side, so
+    the plan holds for two 100-TB logs (raise num_partitions until one
+    partition's rows fit a worker heap)."""
+    P = int(num_partitions)
+
+    def prep(side_val: int):
+        def fn(b: pa.Table) -> pa.Table:
+            uid = b.column(by).to_numpy().astype(np.uint64)
+            part = ((uid * np.uint64(0x9E3779B97F4A7C15)) % np.uint64(P)).astype(
+                np.int32
+            )
+            return pa.table(
+                {
+                    by: b.column(by).cast(pa.int64()),
+                    "ts_us": b.column("ts").cast(pa.int64()),
+                    "event_id": b.column("event_id").cast(pa.int64()),
+                    "side": pa.array(
+                        np.full(b.num_rows, side_val, np.int8), pa.int8()
+                    ),
+                    "part": pa.array(part, pa.int32()),
+                }
+            )
+
+        return fn
+
+    empty = pa.table(
+        {
+            "event_id": pa.array([], pa.int64()),
+            by: pa.array([], pa.int64()),
+            "n_matches": pa.array([], pa.int64()),
+        }
+    )
+    if left.count() == 0:
+        return empty
+
+    def merge(g: pa.Table) -> pa.Table:
+        t = g.sort_by([(by, "ascending"), ("ts_us", "ascending")])
+        uid = t.column(by).to_numpy()
+        side = t.column("side").to_numpy()
+        ts = t.column("ts_us").to_numpy()
+        eid = t.column("event_id").to_numpy()
+        n = uid.size
+        starts = np.concatenate(
+            ([0], np.flatnonzero(uid[1:] != uid[:-1]) + 1, [n])
+        )
+        o_e, o_u, o_n = [], [], []
+        for s, e in zip(starts[:-1], starts[1:]):
+            ls = side[s:e] == 0
+            if not ls.any():
+                continue
+            lt = ts[s:e][ls]
+            rt = ts[s:e][~ls]  # sorted (stable sort on ts within key)
+            lo = np.searchsorted(rt, lt - band_us, side="left")
+            hi = np.searchsorted(rt, lt + band_us, side="right")
+            o_e.append(eid[s:e][ls])
+            o_u.append(uid[s:e][ls])
+            o_n.append(hi - lo)
+        if not o_e:
+            return empty
+        return pa.table(
+            {
+                "event_id": pa.array(np.concatenate(o_e), pa.int64()),
+                by: pa.array(np.concatenate(o_u), pa.int64()),
+                "n_matches": pa.array(
+                    np.concatenate(o_n).astype(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    tagged = left.map_batches(prep(0), batch_format="pyarrow").union(
+        right.map_batches(prep(1), batch_format="pyarrow")
+    )
+    return tagged.groupby("part").map_groups(merge, batch_format="pyarrow")
+
+
 def asof_join(
     left: "ray.data.Dataset",
     right: "ray.data.Dataset",
