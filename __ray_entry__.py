@@ -399,6 +399,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return sessionize(ev).map_batches(shape, batch_format="pyarrow")
 
+    def q_events_funnel(sf_dir):
+        import ray.data
+        from textindex_ray.functions.events import funnel_stages
+
+        ev = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"))
+        # 1-hour conversion window: unbounded saturates (every user
+        # holds ~65 events of every type over the stream's span)
+        return funnel_stages(
+            ev, stages=("view", "click", "error"), within_us=3_600_000_000
+        )
+
     def q_events_range_join(sf_dir):
         import ray.data
         from textindex_ray.functions.events import range_join_count
@@ -469,6 +480,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sessions": q_events_sessions,
         "events_asof": q_events_asof,
         "events_range_join": q_events_range_join,
+        "events_funnel": q_events_funnel,
         # synthetic web-corpus pipeline (rows-only; pytest-verified vs oracle)
         "corpus_extract_stats": corpus_extract_stats,
         "corpus_bm25_topk": corpus_bm25,
@@ -782,6 +794,30 @@ FROM documents d LEFT JOIN per p ON d.doc_id = p.doc_id"""
     # as-of join: each click joined to the latest error at-or-before it
     # per user; window order (ts, side, event_id) fixes the tie semantics
     # (same-ts right rows match; among them the largest event_id wins)
+    # funnel: deepest strictly-increasing-ts stage chain per user
+    # (greedy earliest match == chained min-after-prev)
+    sql["events_funnel"] = """
+WITH u AS (SELECT DISTINCT user_id FROM events),
+s0 AS (SELECT user_id, min(epoch_us(ts)) AS t FROM events
+       WHERE event_type = 'view' GROUP BY user_id),
+s1 AS (SELECT e.user_id, min(epoch_us(e.ts)) AS t FROM events e
+       JOIN s0 ON e.user_id = s0.user_id
+       WHERE e.event_type = 'click' AND epoch_us(e.ts) > s0.t
+         AND epoch_us(e.ts) <= s0.t + 3600000000
+       GROUP BY e.user_id),
+s2 AS (SELECT e.user_id, min(epoch_us(e.ts)) AS t FROM events e
+       JOIN s1 ON e.user_id = s1.user_id
+       WHERE e.event_type = 'error' AND epoch_us(e.ts) > s1.t
+         AND epoch_us(e.ts) <= s1.t + 3600000000
+       GROUP BY e.user_id)
+SELECT u.user_id,
+       (CASE WHEN s2.user_id IS NOT NULL THEN 3
+             WHEN s1.user_id IS NOT NULL THEN 2
+             WHEN s0.user_id IS NOT NULL THEN 1
+             ELSE 0 END)::BIGINT AS stage_reached
+FROM u LEFT JOIN s0 USING (user_id) LEFT JOIN s1 USING (user_id)
+LEFT JOIN s2 USING (user_id)"""
+
     # band join: per error, same-user clicks within +/- 24 h (inclusive;
     # the synthetic stream is sparse per user — a 5-min band matches
     # almost nothing, 24 h gives ~60% non-zero rows)

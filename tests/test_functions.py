@@ -1407,3 +1407,41 @@ def test_range_join_count(ray_session):
     empty = range_join_count(mk([]).filter(expr="event_id > 0"), right)
     df = empty.to_pandas()
     assert len(df) == 0 and list(df.columns) == ["event_id", "user_id", "n_matches"]
+
+
+def test_funnel_stages(ray_session):
+    """funnel_stages: greedy earliest match, strict > ties, conversion
+    window, users missing stage 0, partition independence."""
+    import pandas as pd
+    import ray.data
+    from textindex_ray.functions.events import funnel_stages
+
+    rows = [
+        # user 1: full ordered funnel
+        (1, 1, 100, "view"), (2, 1, 200, "click"), (3, 1, 300, "error"),
+        # user 2: click BEFORE view only -> stuck at stage 1
+        (4, 2, 200, "view"), (5, 2, 100, "click"),
+        # user 3: click at the SAME ts as view -> strict > blocks it
+        (6, 3, 100, "view"), (7, 3, 100, "click"),
+        # user 4: no view at all -> stage 0
+        (8, 4, 100, "click"), (9, 4, 200, "error"),
+        # user 5: greedy trap — earliest view at 100, click at 150,
+        # error only before 150 -> depth 2 (greedy, not exhaustive)
+        (10, 5, 100, "view"), (11, 5, 150, "click"), (12, 5, 120, "error"),
+    ]
+    df = pd.DataFrame(rows, columns=["event_id", "user_id", "t", "event_type"])
+    df["ts"] = pd.to_datetime(df.pop("t"), unit="us").astype("datetime64[us]")
+    df["value"] = 0.0
+    ds = ray.data.from_pandas(df)
+
+    for P in (1, 32):
+        out = funnel_stages(ds, stages=("view", "click", "error"),
+                            num_partitions=P).to_pandas()
+        got = dict(zip(out.user_id, out.stage_reached))
+        assert got == {1: 3, 2: 1, 3: 1, 4: 0, 5: 2}, P
+
+    # conversion window: user 1's click at +100us fails a 50us window
+    out = funnel_stages(ds, stages=("view", "click", "error"),
+                        within_us=50).to_pandas()
+    got = dict(zip(out.user_id, out.stage_reached))
+    assert got[1] == 1

@@ -338,6 +338,96 @@ def window_topk(
     )
 
 
+def funnel_stages(
+    ds: "ray.data.Dataset",
+    *,
+    stages: tuple = ("view", "click", "error"),
+    within_us: int | None = None,
+    num_partitions: int = 32,
+):
+    """(user_id, stage_reached): ordered funnel progression per user —
+    greedy earliest match: stage 0 matches the user's earliest
+    stages[0] event, and each later stage matches its earliest event
+    STRICTLY after the previous match (and, when ``within_us`` is set,
+    at most within_us later — the conversion-window form). Greedy
+    matching is the standard funnel semantic; with a window it can
+    under-count vs an exhaustive search over all chains, which is the
+    documented industry behavior, and the SQL oracle replays the same
+    chained min-after-prev rule. stage_reached = 0 means the user
+    never emitted stages[0].
+
+    One coarse shuffle on hash(user_id); per-partition Arrow sort by
+    (user, ts) then a per-user searchsorted walk over the stage masks
+    (len(stages) lookups per user). Ties at the exact same timestamp do
+    NOT advance the funnel (strict >, mirrored by the SQL oracle's
+    chained ``> prev`` mins)."""
+    P = int(num_partitions)
+    stage_list = list(stages)
+
+    def prep(b: pa.Table) -> pa.Table:
+        uid = b.column("user_id").to_numpy().astype(np.uint64)
+        part = ((uid * np.uint64(0x9E3779B97F4A7C15)) % np.uint64(P)).astype(
+            np.int32
+        )
+        return pa.table(
+            {
+                "user_id": b.column("user_id").cast(pa.int64()),
+                "ts_us": b.column("ts").cast(pa.int64()),
+                "event_type": b.column("event_type"),
+                "part": pa.array(part, pa.int32()),
+            }
+        )
+
+    empty = pa.table(
+        {"user_id": pa.array([], pa.int64()),
+         "stage_reached": pa.array([], pa.int64())}
+    )
+    if ds.count() == 0:
+        return empty
+
+    def walk(g: pa.Table) -> pa.Table:
+        t = g.sort_by([("user_id", "ascending"), ("ts_us", "ascending")])
+        uid = t.column("user_id").to_numpy()
+        ts = t.column("ts_us").to_numpy()
+        et = t.column("event_type").to_pylist()
+        n = uid.size
+        if n == 0:
+            return empty
+        codes = np.full(n, -1, np.int8)
+        for k, name in enumerate(stage_list):
+            codes[np.fromiter((e == name for e in et), bool, n)] = k
+        starts = np.concatenate(
+            ([0], np.flatnonzero(uid[1:] != uid[:-1]) + 1, [n])
+        )
+        o_u, o_s = [], []
+        for s, e in zip(starts[:-1], starts[1:]):
+            seg_ts = ts[s:e]
+            seg_c = codes[s:e]
+            prev = -(1 << 62)
+            depth = 0
+            for k in range(len(stage_list)):
+                m = (seg_c == k) & (seg_ts > prev)
+                if within_us is not None and k > 0:
+                    m &= seg_ts <= prev + within_us
+                cand = seg_ts[m]
+                if cand.size == 0:
+                    break
+                prev = int(cand.min())
+                depth = k + 1
+            o_u.append(int(uid[s]))
+            o_s.append(depth)
+        return pa.table(
+            {"user_id": pa.array(o_u, pa.int64()),
+             "stage_reached": pa.array(o_s, pa.int64())}
+        )
+
+    return (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(walk, batch_format="pyarrow")
+    )
+
+
 def range_join_count(
     left: "ray.data.Dataset",
     right: "ray.data.Dataset",
