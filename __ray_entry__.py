@@ -399,6 +399,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return sessionize(ev).map_batches(shape, batch_format="pyarrow")
 
+    def q_events_anomaly(sf_dir):
+        import ray.data
+        from textindex_ray.functions.events import window_anomaly
+
+        ev = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"))
+        return window_anomaly(ev, k=3)
+
     def q_events_funnel(sf_dir):
         import ray.data
         from textindex_ray.functions.events import funnel_stages
@@ -481,6 +488,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_asof": q_events_asof,
         "events_range_join": q_events_range_join,
         "events_funnel": q_events_funnel,
+        "events_anomaly": q_events_anomaly,
         # synthetic web-corpus pipeline (rows-only; pytest-verified vs oracle)
         "corpus_extract_stats": corpus_extract_stats,
         "corpus_bm25_topk": corpus_bm25,
@@ -794,6 +802,24 @@ FROM documents d LEFT JOIN per p ON d.doc_id = p.doc_id"""
     # as-of join: each click joined to the latest error at-or-before it
     # per user; window order (ts, side, event_id) fixes the tie semantics
     # (same-ts right rows match; among them the largest event_id wins)
+    # trailing-window anomaly: rate vs the previous k present windows
+    # (row-based frame skips gaps identically in both engines)
+    sql["events_anomaly"] = """
+WITH w AS (SELECT event_type,
+                  (epoch_us(ts) // 3600000000)::BIGINT AS win,
+                  count(*)::BIGINT AS n_events
+           FROM events GROUP BY event_type, (epoch_us(ts) // 3600000000)),
+r AS (SELECT event_type, win, n_events,
+             sum(n_events) OVER (PARTITION BY event_type ORDER BY win
+                 ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING) AS trail,
+             count(*) OVER (PARTITION BY event_type ORDER BY win
+                 ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING) AS m
+      FROM w)
+SELECT event_type, win AS window, n_events,
+       CASE WHEN m = 0 THEN -1
+            ELSE (n_events * m * 1000000) // trail END::BIGINT AS anomaly_ppm
+FROM r"""
+
     # funnel: deepest strictly-increasing-ts stage chain per user
     # (greedy earliest match == chained min-after-prev)
     sql["events_funnel"] = """

@@ -1445,3 +1445,29 @@ def test_funnel_stages(ray_session):
                         within_us=50).to_pandas()
     got = dict(zip(out.user_id, out.stage_reached))
     assert got[1] == 1
+
+
+def test_window_anomaly(ray_session):
+    """window_anomaly: trailing-k row frame (gaps skipped), -1 for a
+    type's first window, exact integer ratio math."""
+    import pandas as pd
+    import ray.data
+    from textindex_ray.functions.events import window_anomaly
+
+    # type 'a': windows 0,1,2,4 (gap at 3) with counts 2,2,2,12
+    rows = []
+    eid = 0
+    for w, cnt in ((0, 2), (1, 2), (2, 2), (4, 12)):
+        for _ in range(cnt):
+            rows.append((eid, 1, w * 3_600_000_000 + eid, "a"))
+            eid += 1
+    df = pd.DataFrame(rows, columns=["event_id", "user_id", "t", "event_type"])
+    df["ts"] = pd.to_datetime(df.pop("t"), unit="us").astype("datetime64[us]")
+    df["value"] = 0.0
+    out = window_anomaly(ray.data.from_pandas(df), k=3).to_pandas()
+    got = {int(r.window): int(r.anomaly_ppm) for r in out.itertuples()}
+    assert got[0] == -1
+    assert got[1] == 2 * 1 * 1_000_000 // 2
+    assert got[2] == 2 * 2 * 1_000_000 // 4
+    # gap: window 4's trail is rows 1,2,3 of the PRESENT sequence
+    assert got[4] == 12 * 3 * 1_000_000 // 6  # 6x the trailing mean

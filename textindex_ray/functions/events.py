@@ -194,6 +194,57 @@ def grouped_quantiles(
     )
 
 
+def window_anomaly(
+    ds: "ray.data.Dataset",
+    *,
+    k: int = 3,
+    window_us: int = _HOUR_US,
+    num_partitions: int = 32,
+):
+    """(event_type, window, n_events, anomaly_ppm): each tumbling
+    window's event count compared against the trailing k PRESENT
+    windows of its type — the rate-spike detector.
+
+    anomaly_ppm = n_events * m * 1e6 // trail_sum where trail_sum/m are
+    the sum/count of the previous min(k, available) window rows
+    (SQL ``ROWS BETWEEN k PRECEDING AND 1 PRECEDING`` — row-based, so
+    gaps in the window sequence are skipped identically in both
+    engines); -1 for a type's first window. 1e6 = exactly the trailing
+    mean; integer floor math end-to-end.
+
+    Plan: the combiner-backed tumbling aggregate, then ONE tiny
+    groupby(event_type) (a handful of coarse groups) whose per-group
+    work is a numpy cumsum — the heavy lifting happened in the window
+    aggregate; this stage touches one row per (type, window)."""
+
+    stats = tumbling_window_stats(
+        ds, window_us=window_us, num_partitions=num_partitions
+    )
+
+    def score(g: pa.Table) -> pa.Table:
+        t = g.sort_by([("window", "ascending")])
+        n = t.column("n_events").to_numpy().astype(np.int64)
+        m = n.size
+        cum = np.concatenate(([0], np.cumsum(n)))
+        idx = np.arange(m)
+        lo = np.maximum(idx - k, 0)
+        trail = cum[idx] - cum[lo]
+        cnt = idx - lo
+        anom = np.full(m, -1, np.int64)
+        nz = cnt > 0
+        anom[nz] = n[nz] * cnt[nz] * 1_000_000 // trail[nz]
+        return pa.table(
+            {
+                "event_type": t.column("event_type"),
+                "window": t.column("window"),
+                "n_events": t.column("n_events"),
+                "anomaly_ppm": pa.array(anom, pa.int64()),
+            }
+        )
+
+    return stats.groupby("event_type").map_groups(score, batch_format="pyarrow")
+
+
 def window_distinct_users(
     ds: "ray.data.Dataset", *, window_us: int = _HOUR_US, num_partitions: int = 32
 ):
