@@ -347,6 +347,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # sequence packing: doc -> fixed-capacity bin by ordered prefix sum
         return textstats.pack_bins(docs_ds(sf_dir), capacity=4096)
 
+    def q_select_budget(sf_dir):
+        # greedy quality-ranked token-budget selection
+        return textstats.select_budget(docs_ds(sf_dir), budget_tokens=12_000)
+
     def q_chunks(sf_dir):
         # context-window chunking (512 chars, 64 overlap)
         return textstats.chunk_documents(
@@ -476,6 +480,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repetition": q_repetition,
         "shuffle_shards": q_shuffle_shards,
         "doc_chunks": q_chunks,
+        "select_budget": q_select_budget,
         "embedding_lsh_buckets": q_lsh_buckets,
         "embedding_knn_graph": q_knn_graph,
         # stream-shaped (events log)
@@ -705,6 +710,24 @@ SELECT doc_a, doc_b,
        floor(dt.dot * 1000000.0 / sqrt(na.n2 * nb.n2))::BIGINT AS cos_ppm
 FROM dt JOIN nrm na ON dt.doc_a = na.doc_id JOIN nrm nb ON dt.doc_b = nb.doc_id
 WHERE floor(dt.dot * 1000000.0 / sqrt(na.n2 * nb.n2)) >= 900000"""
+
+    # budget selection: greedy exclusive token prefix under the global
+    # (stop_ppm desc, doc_id) quality ordering
+    sql["select_budget"] = f"""
+WITH {_TOKS},
+agg AS (SELECT doc_id, count(*)::BIGINT AS n_tokens,
+               count(*) FILTER (WHERE term IN ({inlist(markers_all)}))::BIGINT AS n_stop
+        FROM toks GROUP BY doc_id),
+q AS (SELECT d.doc_id, coalesce(a.n_tokens, 0)::BIGINT AS n_tokens,
+             CASE WHEN coalesce(a.n_tokens, 0) = 0 THEN 0
+                  ELSE (a.n_stop * 1000000) // a.n_tokens END AS stop_ppm
+      FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id),
+s AS (SELECT doc_id, n_tokens,
+             sum(n_tokens) OVER (ORDER BY stop_ppm DESC, doc_id
+                                 ROWS UNBOUNDED PRECEDING) - n_tokens AS cum_before
+      FROM q)
+SELECT doc_id, cum_before::BIGINT AS cum_before FROM s
+WHERE cum_before < 12000"""
 
     # context-window chunking: step = 512 - 64 = 448; chunk k starts at
     # k*step (1-based substr), inclusive generate_series upper bound

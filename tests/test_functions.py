@@ -1471,3 +1471,37 @@ def test_window_anomaly(ray_session):
     assert got[2] == 2 * 2 * 1_000_000 // 4
     # gap: window 4's trail is rows 1,2,3 of the PRESENT sequence
     assert got[4] == 12 * 3 * 1_000_000 // 6  # 6x the trailing mean
+
+
+def test_select_budget_exact(docs_ds, ray_session):
+    """select_budget == single-process greedy prefix under the
+    (stop_ppm desc, doc_id) ordering, independent of num_ranges; the
+    straddling doc (prefix below, total above budget) is kept."""
+    from collections import Counter
+
+    from textindex_ray.functions.textstats import (
+        _ALL_STOP_MARKERS, _tokens, select_budget)
+
+    df = docs_ds.select_columns(["doc_id", "text"]).to_pandas()
+    rows = []
+    for d, t in zip(df.doc_id, df.text):
+        toks = _tokens(t)
+        nt = len(toks)
+        stop = (sum(1 for w in toks if w in _ALL_STOP_MARKERS)
+                * 1_000_000 // nt if nt else 0)
+        rows.append((int(d), nt, stop))
+    rows.sort(key=lambda r: (-r[2], r[0]))
+    want, acc = {}, 0
+    for d, nt, _ in rows:
+        if acc < 12_000:
+            want[d] = acc
+        acc += nt
+    for nr in (4, 32):
+        got = select_budget(docs_ds, budget_tokens=12_000,
+                            num_ranges=nr).to_pandas()
+        gm = {int(r.doc_id): int(r.cum_before) for r in got.itertuples()}
+        assert gm == want, nr
+    # the last kept doc straddles the budget (greedy fill)
+    last_doc = max(want, key=want.get)
+    nt_last = dict((d, nt) for d, nt, _ in rows)[last_doc]
+    assert want[last_doc] < 12_000 <= want[last_doc] + nt_last

@@ -722,6 +722,118 @@ def doc_top_terms(
     )
 
 
+def select_budget(
+    ds: "ray.data.Dataset",
+    *,
+    budget_tokens: int = 12_000,
+    num_ranges: int = 32,
+) -> "ray.data.Dataset":
+    """(doc_id, cum_before): greedy budget-capped data selection — rank
+    every document by quality (stopword ratio desc, doc_id tiebreak)
+    and keep docs while the EXCLUSIVE token prefix stays below
+    ``budget_tokens`` (the "select the best N tokens of the corpus"
+    step of a training-data pipeline; the last kept doc may overflow
+    the budget — standard greedy fill). cum_before = tokens consumed
+    by all better-ranked docs.
+
+    Distributed ordered prefix scan over an arbitrary sort key —
+    pack_bins's three-stage plan re-keyed: per-block key partials pick
+    range boundaries on (1e6 - stop_ppm); equal keys land in one range
+    (searchsorted side='right'), so the within-range
+    (key, doc_id)-sorted cumsum plus the driver's O(num_ranges) offset
+    cumsum reproduces the global ORDER BY prefix exactly. One coarse
+    shuffle; driver state is O(num_ranges)."""
+    import pyarrow.compute as pc
+
+    B = int(num_ranges)
+    budget = int(budget_tokens)
+
+    empty = pa.table(
+        {"doc_id": pa.array([], pa.int64()),
+         "cum_before": pa.array([], pa.int64())}
+    )
+
+    def gate(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_pylist()
+        o_nt, o_key = [], []
+        for t in b.column("text").to_pylist():
+            toks = _tokens(t)
+            nt = len(toks)
+            stop = (
+                sum(1 for w in toks if w in _ALL_STOP_MARKERS) * 1_000_000 // nt
+                if nt else 0
+            )
+            o_nt.append(nt)
+            o_key.append(1_000_000 - stop)  # ascending key == stop desc
+        return pa.table(
+            {"doc_id": pa.array(ids, pa.int64()),
+             "n_tokens": pa.array(o_nt, pa.int64()),
+             "key": pa.array(o_key, pa.int64())}
+        )
+
+    base = ds.select_columns(["doc_id", "text"]).map_batches(
+        gate, batch_format="pyarrow"
+    ).materialize()
+
+    def block_minmax(b: pa.Table) -> pa.Table:
+        k = b.column("key").to_numpy()
+        if k.size == 0:
+            return pa.table({"lo": pa.array([], pa.int64()),
+                             "hi": pa.array([], pa.int64())})
+        return pa.table({"lo": pa.array([int(k.min())], pa.int64()),
+                         "hi": pa.array([int(k.max())], pa.int64())})
+
+    parts = base.map_batches(block_minmax, batch_format="pyarrow").take_all()
+    if not parts:
+        return empty
+    lo = min(p["lo"] for p in parts)
+    hi = max(p["hi"] for p in parts)
+    bounds = np.linspace(lo, hi, B, endpoint=False)[1:].astype(np.int64)
+
+    def add_range(b: pa.Table) -> pa.Table:
+        k = b.column("key").to_numpy()
+        rid = np.searchsorted(bounds, k, side="right").astype(np.int32)
+        return b.append_column("range_id", pa.array(rid, pa.int32()))
+
+    ranged = base.map_batches(add_range, batch_format="pyarrow")
+
+    def range_sum(g: pa.Table) -> pa.Table:
+        s = pc.sum(g.column("n_tokens")).as_py() or 0
+        return pa.table(
+            {"range_id": pa.array([g.column("range_id")[0].as_py()], pa.int32()),
+             "s": pa.array([int(s)], pa.int64())}
+        )
+
+    sums = {
+        r["range_id"]: r["s"]
+        for r in ranged.groupby("range_id")
+        .map_groups(range_sum, batch_format="pyarrow")
+        .take_all()
+    }
+    offsets = {}
+    acc = 0
+    for rid in sorted(sums):
+        offsets[rid] = acc
+        acc += sums[rid]
+
+    def part_keep(g: pa.Table) -> pa.Table:
+        off = offsets[g.column("range_id")[0].as_py()]
+        if off >= budget:  # whole range past the budget
+            return empty
+        t = g.sort_by([("key", "ascending"), ("doc_id", "ascending")])
+        nt = t.column("n_tokens").to_numpy().astype(np.int64)
+        excl = np.cumsum(nt) - nt + off
+        keep = excl < budget
+        return pa.table(
+            {"doc_id": t.column("doc_id").filter(pa.array(keep)).cast(pa.int64()),
+             "cum_before": pa.array(excl[keep], pa.int64())}
+        )
+
+    return ranged.groupby("range_id").map_groups(
+        part_keep, batch_format="pyarrow"
+    )
+
+
 def _mg_add(counters: dict, term: str, weight: int, k: int) -> None:
     """Weighted Misra-Gries add: at most k counters survive."""
     if term in counters:
