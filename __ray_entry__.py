@@ -335,6 +335,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # per-doc tf-idf keyword extraction
         return textstats.doc_top_terms(docs_ds(sf_dir), k=3)
 
+    def q_cooccurrence(sf_dir):
+        from textindex_ray.functions.textstats import term_cooccurrence
+
+        return term_cooccurrence(docs_ds(sf_dir), min_ppm=5_000)
+
     def q_heavy_bigrams(sf_dir):
         from textindex_ray.functions.textstats import heavy_bigrams
 
@@ -471,6 +476,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "heavy_terms": q_heavy_terms,
         "heavy_bigrams": q_heavy_bigrams,
         "doc_top_terms": q_top_terms,
+        "term_cooccurrence": q_cooccurrence,
         "hash_split": q_hash_split,
         "doc_redact": q_redact,
         "length_quantiles": q_length_quantiles,
@@ -1058,6 +1064,19 @@ ranked AS (SELECT tf.doc_id, tf.term,
                                               tf.term) AS rk
            FROM tf JOIN df USING (term), n)
 SELECT doc_id, term, rk::BIGINT AS "rank" FROM ranked WHERE rk <= 3"""
+
+    # heavy-term co-occurrence: doc counts for every pair of heavy
+    # terms (same HAVING rule as heavy_terms)
+    sql["term_cooccurrence"] = f"""
+WITH {_TOKS},
+tot AS (SELECT count(*)::BIGINT AS c FROM toks),
+heavy AS (SELECT term FROM toks GROUP BY term
+          HAVING count(*) * 1000000 >= (SELECT c FROM tot) * 5000),
+pres AS (SELECT DISTINCT doc_id, term FROM toks
+         WHERE term IN (SELECT term FROM heavy))
+SELECT a.term AS term_a, b.term AS term_b, count(*)::BIGINT AS n_docs
+FROM pres a JOIN pres b ON a.doc_id = b.doc_id AND a.term < b.term
+GROUP BY a.term, b.term"""
 
     # collocation mining: heavy adjacent token pairs over bigram slots
     sql["heavy_bigrams"] = r"""

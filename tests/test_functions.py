@@ -1505,3 +1505,29 @@ def test_select_budget_exact(docs_ds, ray_session):
     last_doc = max(want, key=want.get)
     nt_last = dict((d, nt) for d, nt, _ in rows)[last_doc]
     assert want[last_doc] < 12_000 <= want[last_doc] + nt_last
+
+
+def test_term_cooccurrence_exact(ray_session):
+    """term_cooccurrence == exact doc-pair counts over the heavy set on
+    a planted corpus; non-heavy terms never appear."""
+    from collections import Counter
+    from itertools import combinations
+
+    import ray.data
+    from textindex_ray.functions.textstats import term_cooccurrence
+
+    rng = np.random.default_rng(17)
+    rows = []
+    for i in range(200):
+        toks = ["alpha", "beta"] * 5          # heavy pair, co-occur always
+        if i % 2 == 0:
+            toks += ["gamma"] * 8             # heavy, half the docs
+        toks += ["t" + "".join(chr(97 + d) for d in rng.integers(0, 26, 4))
+                 for _ in range(10)]          # uniform tail (non-heavy)
+        rng.shuffle(toks)
+        rows.append({"doc_id": i, "text": " ".join(toks)})
+    ds = ray.data.from_items(rows)
+    got = term_cooccurrence(ds, min_ppm=50_000).to_pandas()
+    gm = {(r.term_a, r.term_b): int(r.n_docs) for r in got.itertuples()}
+    assert gm == {("alpha", "beta"): 200, ("alpha", "gamma"): 100,
+                  ("beta", "gamma"): 100}

@@ -722,6 +722,78 @@ def doc_top_terms(
     )
 
 
+def term_cooccurrence(
+    ds: "ray.data.Dataset", *, min_ppm: int = 5_000, num_partitions: int = 32
+) -> "ray.data.Dataset":
+    """(term_a, term_b, n_docs): document co-occurrence counts between
+    HEAVY terms (cf/total >= min_ppm) — the PMI/collocation-matrix
+    input beyond adjacency (heavy_bigrams covers adjacent pairs).
+
+    The candidate vocabulary is the exact heavy-hitter set, which the
+    MG guarantee bounds at ~1e6/min_ppm terms REGARDLESS of corpus
+    size — so broadcasting it (ray.put once) is scale-safe by
+    construction. Per batch, each doc's present heavy terms emit
+    vectorized triu pairs, locally combined; one coarse pair-hash
+    shuffle finishes the exact counts.
+    """
+    import zlib
+
+    import ray
+
+    heavy = heavy_terms(ds, min_ppm=min_ppm)
+    terms = heavy.column("term").to_pylist()
+    empty = pa.table(
+        {"term_a": pa.array([], pa.string()),
+         "term_b": pa.array([], pa.string()),
+         "n_docs": pa.array([], pa.int64())}
+    )
+    if len(terms) < 2:
+        return empty
+    hv_ref = ray.put(frozenset(terms))
+    P = int(num_partitions)
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        hv = ray.get(hv_ref)
+        from collections import Counter
+
+        cnt: Counter = Counter()
+        for t in batch.column("text").to_pylist():
+            present = sorted({w for w in _tokens(t) if w in hv})
+            for i in range(len(present)):
+                for j in range(i + 1, len(present)):
+                    cnt[(present[i], present[j])] += 1
+        if not cnt:
+            return pa.table(
+                {"term_a": pa.array([], pa.string()),
+                 "term_b": pa.array([], pa.string()),
+                 "c": pa.array([], pa.int64()),
+                 "part": pa.array([], pa.int32())}
+            )
+        ks = sorted(cnt)
+        return pa.table(
+            {"term_a": pa.array([k[0] for k in ks], pa.string()),
+             "term_b": pa.array([k[1] for k in ks], pa.string()),
+             "c": pa.array([cnt[k] for k in ks], pa.int64()),
+             "part": pa.array(
+                 [zlib.crc32((a + "\x00" + b).encode("utf-8")) % P
+                  for a, b in ks], pa.int32())}
+        )
+
+    def part_sum(g: pa.Table) -> pa.Table:
+        t = g.group_by(["term_a", "term_b"]).aggregate([("c", "sum")])
+        return pa.table(
+            {"term_a": t.column("term_a"), "term_b": t.column("term_b"),
+             "n_docs": t.column("c_sum").cast(pa.int64())}
+        )
+
+    return (
+        ds.select_columns(["doc_id", "text"])
+        .map_batches(pairs, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(part_sum, batch_format="pyarrow")
+    )
+
+
 def select_budget(
     ds: "ray.data.Dataset",
     *,
