@@ -335,6 +335,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # per-doc tf-idf keyword extraction
         return textstats.doc_top_terms(docs_ds(sf_dir), k=3)
 
+    def q_stratified(sf_dir):
+        # per-language deterministic content-hash sampling: downsample
+        # dominant 'en' to 40%, keep all 'und'
+        return textstats.stratified_sample(
+            docs_ds(sf_dir), rates_ppm={"en": 400_000, "und": 1_000_000}
+        )
+
     def q_cooccurrence(sf_dir):
         from textindex_ray.functions.textstats import term_cooccurrence
 
@@ -477,6 +484,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "heavy_bigrams": q_heavy_bigrams,
         "doc_top_terms": q_top_terms,
         "term_cooccurrence": q_cooccurrence,
+        "stratified_sample": q_stratified,
         "hash_split": q_hash_split,
         "doc_redact": q_redact,
         "length_quantiles": q_length_quantiles,
@@ -1064,6 +1072,26 @@ ranked AS (SELECT tf.doc_id, tf.term,
                                               tf.term) AS rk
            FROM tf JOIN df USING (term), n)
 SELECT doc_id, term, rk::BIGINT AS "rank" FROM ranked WHERE rk <= 3"""
+
+    # stratified sampling: per-language md5(text) ppm thresholds (the
+    # docID-contract hash trick; content-keyed like hash_split)
+    sql["stratified_sample"] = f"""
+WITH {_TOKS},
+c AS (SELECT doc_id,
+             count(*) FILTER (WHERE term IN ({de})) AS nde,
+             count(*) FILTER (WHERE term IN ({en})) AS nen,
+             count(*) FILTER (WHERE term IN ({fr})) AS nfr
+      FROM toks GROUP BY doc_id),
+l AS (SELECT d.doc_id, d.text,
+             CASE WHEN coalesce(nde, 0) > 0 AND nde >= nen AND nde >= nfr THEN 'de'
+                  WHEN coalesce(nen, 0) > 0 AND nen >= nfr THEN 'en'
+                  WHEN coalesce(nfr, 0) > 0 THEN 'fr'
+                  ELSE 'und' END AS lang_pred
+      FROM documents d LEFT JOIN c ON d.doc_id = c.doc_id)
+SELECT doc_id, lang_pred FROM l
+WHERE ('0x' || substr(md5(text), 1, 8))::BIGINT % 1000000 <
+      CASE lang_pred WHEN 'en' THEN 400000 WHEN 'und' THEN 1000000
+           ELSE 0 END"""
 
     # heavy-term co-occurrence: doc counts for every pair of heavy
     # terms (same HAVING rule as heavy_terms)

@@ -1531,3 +1531,34 @@ def test_term_cooccurrence_exact(ray_session):
     gm = {(r.term_a, r.term_b): int(r.n_docs) for r in got.itertuples()}
     assert gm == {("alpha", "beta"): 200, ("alpha", "gamma"): 100,
                   ("beta", "gamma"): 100}
+
+
+def test_stratified_sample(docs_ds, ray_session):
+    """stratified_sample: per-stratum md5 thresholds, default 0 drops
+    unlisted strata, rate 1e6 keeps everything, dup texts sample
+    identically (content-keyed)."""
+    import hashlib
+
+    import ray.data
+    from textindex_ray.functions.textstats import stratified_sample
+
+    all_en = stratified_sample(
+        docs_ds, rates_ppm={"en": 1_000_000}).to_pandas()
+    assert set(all_en.lang_pred) <= {"en"}  # unlisted strata dropped
+
+    half = stratified_sample(
+        docs_ds, rates_ppm={"en": 500_000, "und": 500_000}).to_pandas()
+    df = docs_ds.select_columns(["doc_id", "text"]).to_pandas()
+    texts = dict(zip(df.doc_id, df.text))
+    for did in half.doc_id:
+        h = int(hashlib.md5(texts[did].encode()).hexdigest()[:8], 16) % 1_000_000
+        assert h < 500_000
+
+    # duplicate texts draw identically
+    tiny = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2], pa.int64()),
+        "text": pa.array(["the same english words here the and is"] * 2,
+                         pa.string()),
+    }))
+    out = stratified_sample(tiny, rates_ppm={"en": 500_000}).to_pandas()
+    assert len(out) in (0, 2)  # both or neither

@@ -722,6 +722,48 @@ def doc_top_terms(
     )
 
 
+def stratified_sample(
+    ds: "ray.data.Dataset",
+    *,
+    rates_ppm: dict | None = None,
+    default_ppm: int = 0,
+) -> "ray.data.Dataset":
+    """(doc_id, lang_pred) of sampled docs: deterministic per-stratum
+    content-hash sampling — each doc's stratum is its predicted
+    language, and it survives iff md5(text)-derived ppm < the stratum's
+    rate (the language-rebalancing step of corpus assembly; content-
+    keyed like hash_split, so exact duplicates sample identically and
+    the draw is reproducible on any cluster size). Strata without an
+    entry use ``default_ppm``. Embarrassingly parallel; no shuffle.
+    """
+    rates = dict(rates_ppm or {})
+
+    def fn(batch: pa.Table) -> pa.Table:
+        o_id, o_lang = [], []
+        for did, t in zip(
+            batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
+        ):
+            toks = _tokens(t)
+            best_lang, best_n = "und", 0
+            for lang in ("de", "en", "fr"):
+                n = sum(1 for w in toks if w in LANG_MARKERS[lang])
+                if n > best_n:
+                    best_lang, best_n = lang, n
+            rate = rates.get(best_lang, default_ppm)
+            h = int(hashlib.md5(t.encode("utf-8")).hexdigest()[:8], 16) % 1_000_000
+            if h < rate:
+                o_id.append(did)
+                o_lang.append(best_lang)
+        return pa.table(
+            {"doc_id": pa.array(o_id, pa.int64()),
+             "lang_pred": pa.array(o_lang, pa.string())}
+        )
+
+    return ds.select_columns(["doc_id", "text"]).map_batches(
+        fn, batch_format="pyarrow"
+    )
+
+
 def term_cooccurrence(
     ds: "ray.data.Dataset", *, min_ppm: int = 5_000, num_partitions: int = 32
 ) -> "ray.data.Dataset":
