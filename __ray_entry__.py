@@ -335,6 +335,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # per-doc tf-idf keyword extraction
         return textstats.doc_top_terms(docs_ds(sf_dir), k=3)
 
+    def q_lang_stats(sf_dir):
+        return textstats.lang_stats(docs_ds(sf_dir))
+
     def q_stratified(sf_dir):
         # per-language deterministic content-hash sampling: downsample
         # dominant 'en' to 40%, keep all 'und'
@@ -485,6 +488,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_top_terms": q_top_terms,
         "term_cooccurrence": q_cooccurrence,
         "stratified_sample": q_stratified,
+        "lang_stats": q_lang_stats,
         "hash_split": q_hash_split,
         "doc_redact": q_redact,
         "length_quantiles": q_length_quantiles,
@@ -1072,6 +1076,26 @@ ranked AS (SELECT tf.doc_id, tf.term,
                                               tf.term) AS rk
            FROM tf JOIN df USING (term), n)
 SELECT doc_id, term, rk::BIGINT AS "rank" FROM ranked WHERE rk <= 3"""
+
+    # per-language corpus report card (integer mean ppm, floor)
+    sql["lang_stats"] = f"""
+WITH {_TOKS},
+c AS (SELECT doc_id,
+             count(*) FILTER (WHERE term IN ({de})) AS nde,
+             count(*) FILTER (WHERE term IN ({en})) AS nen,
+             count(*) FILTER (WHERE term IN ({fr})) AS nfr,
+             count(*) AS nt
+      FROM toks GROUP BY doc_id),
+l AS (SELECT d.doc_id, coalesce(c.nt, 0) AS nt,
+             CASE WHEN coalesce(nde, 0) > 0 AND nde >= nen AND nde >= nfr THEN 'de'
+                  WHEN coalesce(nen, 0) > 0 AND nen >= nfr THEN 'en'
+                  WHEN coalesce(nfr, 0) > 0 THEN 'fr'
+                  ELSE 'und' END AS lang_pred
+      FROM documents d LEFT JOIN c ON d.doc_id = c.doc_id)
+SELECT lang_pred, count(*)::BIGINT AS n_docs,
+       sum(nt)::BIGINT AS sum_tokens,
+       ((sum(nt) * 1000000) // count(*))::BIGINT AS mean_tokens_ppm
+FROM l GROUP BY lang_pred"""
 
     # stratified sampling: per-language md5(text) ppm thresholds (the
     # docID-contract hash trick; content-keyed like hash_split)

@@ -1562,3 +1562,30 @@ def test_stratified_sample(docs_ds, ray_session):
     }))
     out = stratified_sample(tiny, rates_ppm={"en": 500_000}).to_pandas()
     assert len(out) in (0, 2)  # both or neither
+
+
+def test_lang_stats_exact(docs_ds, ray_session):
+    """lang_stats == pandas groupby over the single-process lang/token
+    computation (combiner partials must sum exactly)."""
+    from collections import Counter
+
+    from textindex_ray.functions.textstats import (
+        _tokens, LANG_MARKERS, lang_stats)
+
+    df = docs_ds.select_columns(["doc_id", "text"]).to_pandas()
+    nd, st = Counter(), Counter()
+    for t in df.text:
+        toks = _tokens(t)
+        best_lang, best_n = "und", 0
+        for lang in ("de", "en", "fr"):
+            n = sum(1 for w in toks if w in LANG_MARKERS[lang])
+            if n > best_n:
+                best_lang, best_n = lang, n
+        nd[best_lang] += 1
+        st[best_lang] += len(toks)
+
+    got = lang_stats(docs_ds).to_pandas()
+    gm = {r.lang_pred: (int(r.n_docs), int(r.sum_tokens), int(r.mean_tokens_ppm))
+          for r in got.itertuples()}
+    want = {l: (nd[l], st[l], st[l] * 1_000_000 // nd[l]) for l in nd}
+    assert gm == want

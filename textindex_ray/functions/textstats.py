@@ -722,6 +722,52 @@ def doc_top_terms(
     )
 
 
+def lang_stats(ds: "ray.data.Dataset") -> "ray.data.Dataset":
+    """(lang_pred, n_docs, sum_tokens, mean_tokens_ppm): the per-language
+    corpus report card. One fused tokenization pass emits per-batch
+    (lang, count, token-sum) combiner partials; the final groupby runs
+    over a handful of language rows (integer sums — order-free, exact;
+    mean as integer ppm, floor)."""
+    from collections import Counter
+
+    def partial(batch: pa.Table) -> pa.Table:
+        nd: Counter = Counter()
+        st: Counter = Counter()
+        for t in batch.column("text").to_pylist():
+            toks = _tokens(t)
+            best_lang, best_n = "und", 0
+            for lang in ("de", "en", "fr"):
+                n = sum(1 for w in toks if w in LANG_MARKERS[lang])
+                if n > best_n:
+                    best_lang, best_n = lang, n
+            nd[best_lang] += 1
+            st[best_lang] += len(toks)
+        ls = sorted(nd)
+        return pa.table(
+            {"lang_pred": pa.array(ls, pa.string()),
+             "n": pa.array([nd[l] for l in ls], pa.int64()),
+             "s": pa.array([st[l] for l in ls], pa.int64())}
+        )
+
+    def finish(g: pa.Table) -> pa.Table:
+        t = g.group_by("lang_pred").aggregate([("n", "sum"), ("s", "sum")])
+        n = t.column("n_sum").to_numpy().astype(np.int64)
+        s = t.column("s_sum").to_numpy().astype(np.int64)
+        return pa.table(
+            {"lang_pred": t.column("lang_pred"),
+             "n_docs": pa.array(n, pa.int64()),
+             "sum_tokens": pa.array(s, pa.int64()),
+             "mean_tokens_ppm": pa.array(s * 1_000_000 // n, pa.int64())}
+        )
+
+    return (
+        ds.select_columns(["doc_id", "text"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("lang_pred")
+        .map_groups(finish, batch_format="pyarrow")
+    )
+
+
 def stratified_sample(
     ds: "ray.data.Dataset",
     *,
