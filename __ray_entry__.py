@@ -184,6 +184,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # Jaccard (the dedup-pipeline operating point)
         return dedup.ngram_jaccard_pairs(docs_ds(sf_dir), k=5, min_ppm=500_000)
 
+    def q_containment(sf_dir):
+        # containment dedup: short-in-long quote/boilerplate pairs
+        return dedup.ngram_containment_pairs(
+            docs_ds(sf_dir), k=5, min_ppm=700_000
+        )
+
     def q_dup_clusters(sf_dir):
         # connected components (hash-to-min) over the exact near-dup
         # pair list; cluster_id = component-min doc_id
@@ -472,6 +478,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_lsh_pairs": q_minhash_pairs,
         "ngram_jaccard_pairs": q_ngram_pairs,
         "tf_cosine_pairs": q_tf_cosine,
+        "ngram_containment_pairs": q_containment,
         "dup_clusters": q_dup_clusters,
         "dedup_keep": q_dedup_keep,
         # similarity search
@@ -631,6 +638,26 @@ SELECT doc_a, doc_b,
        (inter * 1000000) // (sa.n + sb.n - inter) AS jaccard_ppm
 FROM pairs JOIN sizes sa ON doc_a = sa.doc_id JOIN sizes sb ON doc_b = sb.doc_id
 WHERE (inter * 1000000) >= 200000 * (sa.n + sb.n - inter)"""
+
+    # containment: same shingle plan, denominator min(|A|, |B|)
+    sql["ngram_containment_pairs"] = """
+WITH norm AS (SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
+              FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id, substr(t, i, 5) AS g
+  FROM (SELECT doc_id, t, unnest(range(1, greatest(length(t) - 3, 1))) AS i
+        FROM norm WHERE length(t) >= 5)
+  UNION
+  SELECT doc_id, t AS g FROM norm WHERE length(t) < 5 AND length(t) > 0),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*)::BIGINT AS inter
+  FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id),
+sizes AS (SELECT doc_id, count(*)::BIGINT AS n FROM sh GROUP BY doc_id)
+SELECT doc_a, doc_b,
+       (inter * 1000000) // least(sa.n, sb.n) AS containment_ppm
+FROM pairs JOIN sizes sa ON doc_a = sa.doc_id JOIN sizes sb ON doc_b = sb.doc_id
+WHERE (inter * 1000000) >= 700000 * least(sa.n, sb.n)"""
 
     # connected components over the exact >=0.5-Jaccard pair list:
     # min-label transitive closure as a recursive CTE (the component

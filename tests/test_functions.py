@@ -1589,3 +1589,36 @@ def test_lang_stats_exact(docs_ds, ray_session):
           for r in got.itertuples()}
     want = {l: (nd[l], st[l], st[l] * 1_000_000 // nd[l]) for l in nd}
     assert gm == want
+
+
+def test_ngram_containment_pairs(ray_session):
+    """Containment finds the short-doc-inside-long-doc pair that Jaccard
+    misses; jaccard mode is unchanged by the score refactor."""
+    import ray.data
+    from textindex_ray.functions.dedup import (
+        ngram_containment_pairs, ngram_jaccard_pairs)
+
+    short_doc = "the quick brown fox jumps over the lazy dog"
+    long_doc = (
+        "unrelated prefix filler words keep coming along here " * 10
+        + short_doc
+        + " and then a very different suffix stretches on and on " * 10
+    )
+    t = pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "text": pa.array([long_doc, short_doc,
+                          "entirely unrelated content here zzz"], pa.string()),
+    })
+    ds = ray.data.from_arrow(t)
+    cont = ngram_containment_pairs(ds, k=5, min_ppm=900_000).to_pandas()
+    assert set(zip(cont.doc_a, cont.doc_b)) == {(1, 2)}
+    assert int(cont.containment_ppm.iloc[0]) == 1_000_000  # full containment
+    # the same pair is NOT a >=0.9 jaccard dup (sizes differ wildly)
+    jac = ngram_jaccard_pairs(ds, k=5, min_ppm=900_000).to_pandas()
+    jpairs = set(zip(jac.doc_a, jac.doc_b)) if len(jac) else set()
+    assert (1, 2) not in jpairs
+    # forced-join path agrees
+    cont2 = ngram_containment_pairs(
+        ds, k=5, min_ppm=900_000, size_broadcast_limit=0).to_pandas()
+    assert cont.sort_values(["doc_a", "doc_b"]).reset_index(drop=True).equals(
+        cont2.sort_values(["doc_a", "doc_b"]).reset_index(drop=True))

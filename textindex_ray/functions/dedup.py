@@ -582,7 +582,7 @@ def simhash64_batch(batch: pa.Table) -> pa.Table:
 def ngram_jaccard_pairs(
     ds: "ray.data.Dataset", *, k: int = 5, min_ppm: int = 500_000,
     num_partitions: int = 32, size_broadcast_limit: int = 4_000_000,
-    join_partitions: int = 4,
+    join_partitions: int = 4, score: str = "jaccard",
 ) -> "ray.data.Dataset":
     """EXACT char-n-gram Jaccard pairs, fully distributed — the
     shingle-inverted-index plan (the same plan the SQL oracle's
@@ -604,6 +604,10 @@ def ngram_jaccard_pairs(
 
     Output (doc_a, doc_b, jaccard_ppm), doc_a < doc_b — identical rows
     to the all-pairs bitset verifier (pytest-gated equality).
+    ``score="containment"`` swaps the denominator for min(|A|, |B|)
+    (and the column for containment_ppm) — the quote/boilerplate
+    detector where a short doc embedded in a long one scores ~1e6 while
+    its Jaccard stays low; everything up to the finisher is shared.
 
     Both wide steps group on the COARSE hash partition (num_partitions
     groups), never on the fine key: Ray's sort-based groupby spends
@@ -620,6 +624,14 @@ def ngram_jaccard_pairs(
     """
     import zlib
 
+    if score not in ("jaccard", "containment"):
+        raise ValueError("score must be 'jaccard' or 'containment'")
+    containment = score == "containment"
+    out_col = "containment_ppm" if containment else "jaccard_ppm"
+    _empty_out = pa.table(
+        {"doc_a": pa.array([], pa.int64()), "doc_b": pa.array([], pa.int64()),
+         out_col: pa.array([], pa.int64())}
+    )
     shingle_k = k
     P = int(num_partitions)
 
@@ -737,7 +749,7 @@ def ngram_jaccard_pairs(
         if total == 0:
             # 0-row Datasets lose their schema on pandas conversion; the
             # schema-preserving degenerate result is the Arrow table itself
-            return _EMPTY_PAIRS
+            return _empty_out
         sid = np.concatenate(sid_parts)
         sn = np.concatenate(sn_parts).astype(np.int64)
         order = np.argsort(sid)
@@ -748,16 +760,16 @@ def ngram_jaccard_pairs(
             a = batch.column("doc_a").to_numpy()
             b = batch.column("doc_b").to_numpy()
             it = batch.column("inter").to_numpy().astype(np.int64)
-            union = np.maximum(
-                ns_s[np.searchsorted(ids_s, a)]
-                + ns_s[np.searchsorted(ids_s, b)] - it, 1
-            )
-            jac = it * 1_000_000 // union
+            na = ns_s[np.searchsorted(ids_s, a)]
+            nb = ns_s[np.searchsorted(ids_s, b)]
+            den = np.minimum(na, nb) if containment else na + nb - it
+            den = np.maximum(den, 1)
+            jac = it * 1_000_000 // den
             keep = jac >= thr
             return pa.table(
                 {"doc_a": pa.array(a[keep], pa.int64()),
                  "doc_b": pa.array(b[keep], pa.int64()),
-                 "jaccard_ppm": pa.array(jac[keep], pa.int64())}
+                 out_col: pa.array(jac[keep], pa.int64())}
             )
 
         return inter.map_batches(finish_broadcast, batch_format="pyarrow")
@@ -766,7 +778,7 @@ def ngram_jaccard_pairs(
     # an empty dataset loses its schema through Dataset.join)
     inter = inter.materialize()
     if inter.count() == 0:
-        return _EMPTY_PAIRS
+        return _empty_out
     sizes = src.map_batches(sizes_batch, batch_format="pyarrow")
     # join_partitions is deliberately separate from num_partitions: the
     # hash join spins an actor pool per partition and deadlocks when it
@@ -783,21 +795,32 @@ def ngram_jaccard_pairs(
 
     def finish(batch: pa.Table) -> pa.Table:
         it = batch.column("inter").to_numpy().astype(np.int64)
-        union = (
-            batch.column("n_a").to_numpy().astype(np.int64)
-            + batch.column("n_b").to_numpy().astype(np.int64)
-            - it
-        )
-        union = np.maximum(union, 1)
-        jac = it * 1_000_000 // union
+        na = batch.column("n_a").to_numpy().astype(np.int64)
+        nb = batch.column("n_b").to_numpy().astype(np.int64)
+        den = np.minimum(na, nb) if containment else na + nb - it
+        den = np.maximum(den, 1)
+        jac = it * 1_000_000 // den
         keep = jac >= thr
         return pa.table(
             {"doc_a": pa.array(batch.column("doc_a").to_numpy()[keep], pa.int64()),
              "doc_b": pa.array(batch.column("doc_b").to_numpy()[keep], pa.int64()),
-             "jaccard_ppm": pa.array(jac[keep], pa.int64())}
+             out_col: pa.array(jac[keep], pa.int64())}
         )
 
     return j2.map_batches(finish, batch_format="pyarrow")
+
+
+def ngram_containment_pairs(
+    ds: "ray.data.Dataset", *, k: int = 5, min_ppm: int = 900_000,
+    **kw,
+) -> "ray.data.Dataset":
+    """(doc_a, doc_b, containment_ppm): exact n-gram CONTAINMENT pairs —
+    inter * 1e6 // min(|A|, |B|) >= min_ppm. The quote/boilerplate
+    detector: a short doc embedded in a long one scores ~1e6 while its
+    Jaccard stays low. Same distributed shingle-inverted-index plan as
+    :func:`ngram_jaccard_pairs` (score="containment")."""
+    return ngram_jaccard_pairs(ds, k=k, min_ppm=min_ppm,
+                               score="containment", **kw)
 
 
 # all-pairs bitset form: small-scale verifier for the distributed plan
