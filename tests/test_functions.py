@@ -1622,3 +1622,54 @@ def test_ngram_containment_pairs(ray_session):
         ds, k=5, min_ppm=900_000, size_broadcast_limit=0).to_pandas()
     assert cont.sort_values(["doc_a", "doc_b"]).reset_index(drop=True).equals(
         cont2.sort_values(["doc_a", "doc_b"]).reset_index(drop=True))
+
+
+def test_chunk_reconstruction_property():
+    """Property: for any text and any (size, overlap), stripping the
+    overlap from every chunk after the first reconstructs the text, and
+    chunk starts advance by exactly step."""
+    from hypothesis import given, settings, strategies as st
+
+    from textindex_ray.functions.textstats import chunk_documents
+    import ray.data
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        st.text(alphabet="abc \n", max_size=400),
+        st.integers(min_value=2, max_value=64),
+        st.integers(min_value=0, max_value=32),
+    )
+    def prop(text, size, overlap):
+        if overlap >= size:
+            return
+        step = size - overlap
+        # pure-python replay of the kernel (no Ray session per example)
+        chunks = [text[k * step : k * step + size]
+                  for k in range((len(text) + step - 1) // step if text else 0)]
+        if text:
+            rec = chunks[0] + "".join(c[overlap:] for c in chunks[1:])
+            assert rec == text
+        else:
+            assert chunks == []
+
+    prop()
+
+
+def test_min_token_gap_property():
+    """Property: the searchsorted nearest-gap kernel equals the brute
+    O(n^2) minimum over all position pairs."""
+    from hypothesis import given, settings, strategies as st
+
+    from textindex_ray.pipelines.documents import _min_token_gap
+
+    @settings(max_examples=60, deadline=None)
+    @given(st.lists(st.sampled_from(["a", "b", "x"]), max_size=40))
+    def prop(toks):
+        got = _min_token_gap(toks, "a", "b")
+        p1 = [i for i, w in enumerate(toks) if w == "a"]
+        p2 = [i for i, w in enumerate(toks) if w == "b"]
+        want = (min(abs(i - j) for i in p1 for j in p2)
+                if p1 and p2 else np.iinfo(np.int64).max)
+        assert got == want
+
+    prop()
