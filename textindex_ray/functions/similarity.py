@@ -756,55 +756,44 @@ def knn_graph_lsh(
             }
         )
 
-    def add_pair_part(b: pa.Table) -> pa.Table:
-        a = b.column("src").to_numpy().astype(np.uint64)
-        bb = b.column("dst").to_numpy().astype(np.uint64)
-        h = a * np.uint64(0x9E3779B97F4A7C15) + bb * np.uint64(0xC2B2AE3D27D4EB4F)
-        return b.append_column(
-            "part",
-            pa.array((h % np.uint64(fine_partitions)).astype(np.int32), pa.int32()),
-        )
-
-    def part_pair_dedup(g: pa.Table) -> pa.Table:
-        t = g.select(["src", "dst", "cos_ppm"]).group_by(["src", "dst"]).aggregate(
-            [("cos_ppm", "min")]  # identical across bands: min is pure dedup
-        )
-        return pa.table(
-            {
-                "src": t.column("src").cast(pa.int64()),
-                "dst": t.column("dst").cast(pa.int64()),
-                "cos_ppm": t.column("cos_ppm_min").cast(pa.int64()),
-            }
-        )
-
     def add_src_part(b: pa.Table) -> pa.Table:
         a = b.column("src").to_numpy().astype(np.uint64)
         h = (a * np.uint64(0x9E3779B97F4A7C15)) % np.uint64(fine_partitions)
         return b.append_column("part", pa.array(h.astype(np.int32), pa.int32()))
 
-    def part_topk(g: pa.Table) -> pa.Table:
-        t = g.sort_by([
+    def part_dedup_topk(g: pa.Table) -> pa.Table:
+        """Cross-band (src, dst) dedup AND per-src head-k in ONE
+        partition pass — a pair lives wholly in its src's partition, so
+        partitioning by src alone serves both stages (one shuffle
+        instead of two; values are identical across bands, min is pure
+        dedup)."""
+        t = g.select(["src", "dst", "cos_ppm"]).group_by(["src", "dst"]).aggregate(
+            [("cos_ppm", "min")]
+        )
+        t = pa.table(
+            {
+                "src": t.column("src").cast(pa.int64()),
+                "dst": t.column("dst").cast(pa.int64()),
+                "cos_ppm": t.column("cos_ppm_min").cast(pa.int64()),
+            }
+        ).sort_by([
             ("src", "ascending"), ("cos_ppm", "descending"), ("dst", "ascending")
         ])
         src = t.column("src").to_numpy()
         n = len(src)
+        if n == 0:
+            return t
         new = np.concatenate(([True], src[1:] != src[:-1]))
         starts = np.flatnonzero(new)
         rank = np.arange(n) - np.repeat(starts, np.diff(np.append(starts, n)))
-        keep = rank < k
-        return t.filter(pa.array(keep)).select(["src", "dst", "cos_ppm"])
+        return t.filter(pa.array(rank < k))
 
-    pairs = (
+    return (
         ds.select_columns(["vec_id", "embedding"])
         .map_batches(bucketize, batch_format="pyarrow")
         .groupby("part")
         .map_groups(part_bucket_pairs, batch_format="pyarrow")
-        .map_batches(add_pair_part, batch_format="pyarrow")
+        .map_batches(add_src_part, batch_format="pyarrow")
         .groupby("part")
-        .map_groups(part_pair_dedup, batch_format="pyarrow")
-    )
-    return (
-        pairs.map_batches(add_src_part, batch_format="pyarrow")
-        .groupby("part")
-        .map_groups(part_topk, batch_format="pyarrow")
+        .map_groups(part_dedup_topk, batch_format="pyarrow")
     )
