@@ -10,11 +10,13 @@ Runs the composed curation pipeline (fused language/quality gates +
 exact content dedup, pipelines/curate.py), assigns every survivor its
 deterministic export shard (md5 docID math, textstats.shuffle_shards
 contract), and writes hive-partitioned parquet `shard=K/` directories
-under `<out>/data/` — one partition per shard, so a re-run of a failed
-export can resume per shard. Idempotent: a `_COMMITTED` marker with the
-gate parameters is written last; a resubmit with the marker present is
-a no-op, and with DIFFERENT parameters it raises (the index build's
-resume contract).
+under `<out>/data/`. A re-run after a mid-write crash WIPES
+`<out>/data/` first (only `_COMMITTED` marks success — uuid-named part
+files from a partial run would otherwise survive next to the fresh
+output and duplicate rows). Idempotent: the `_COMMITTED` marker with
+the gate parameters is written last; a resubmit with the marker
+present is a no-op, and with DIFFERENT parameters it raises (the index
+build's resume contract).
 """
 
 from __future__ import annotations
@@ -90,6 +92,12 @@ def main(argv=None) -> int:
         return b.append_column("shard", pa.array(sh, pa.int64()))
 
     data_dir = os.path.join(args.out, "data")
+    # Uncommitted leftovers from a crashed run would sit beside (and
+    # double-count with) this run's uuid-named part files: start clean.
+    if os.path.isdir(data_dir):
+        import shutil
+
+        shutil.rmtree(data_dir)
     kept.map_batches(add_shard, batch_format="pyarrow").write_parquet(
         data_dir, partition_cols=["shard"], min_rows_per_file=50_000
     )

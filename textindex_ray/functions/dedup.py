@@ -1096,7 +1096,12 @@ def tf_cosine_pairs(
     rounded IEEE in both numpy and DuckDB, so the ppm value is
     partition- and engine-independent. (n2_a*n2_b must stay below
     2^53 for the float sqrt to be exact-input — holds through ~1e7
-    weighted tokens per doc.)
+    weighted tokens per doc. The product is computed in float64 —
+    identical to the int64 product below 2^53, since both routes round
+    the same exact value — so docs past the bound degrade to a
+    correctly-rounded float product instead of silent int64 wraparound;
+    note DuckDB's BIGINT n2_a*n2_b raises past 2^63 where this path
+    still returns a float-rounded answer.)
 
     Plan: per-batch per-doc tf rows partitioned by crc32(term) ->
     per-partition term runs apply the df cap (a term lands wholly in
@@ -1113,8 +1118,10 @@ def tf_cosine_pairs(
 
     from textindex_ray.functions.textstats import _tokens
 
+    from textindex_ray.functions._util import probe_count
+
     P = int(num_partitions)
-    n_docs = ds.count()
+    ds, n_docs = probe_count(ds)
     _EMPTY_COS = pa.table(
         {"doc_a": pa.array([], pa.int64()), "doc_b": pa.array([], pa.int64()),
          "cos_ppm": pa.array([], pa.int64())}
@@ -1267,7 +1274,7 @@ def tf_cosine_pairs(
             n2b = n2_s[np.searchsorted(ids_s, b)]
             ppm = np.floor(
                 dot.astype(np.float64) * 1e6
-                / np.sqrt((n2a * n2b).astype(np.float64))
+                / np.sqrt(n2a.astype(np.float64) * n2b.astype(np.float64))
             ).astype(np.int64)
             keep = ppm >= thr
             return pa.table(
@@ -1303,7 +1310,8 @@ def tf_cosine_pairs(
         n2a = batch.column("n2_a").to_numpy().astype(np.int64)
         n2b = batch.column("n2_b").to_numpy().astype(np.int64)
         ppm = np.floor(
-            dot.astype(np.float64) * 1e6 / np.sqrt((n2a * n2b).astype(np.float64))
+            dot.astype(np.float64) * 1e6
+            / np.sqrt(n2a.astype(np.float64) * n2b.astype(np.float64))
         ).astype(np.int64)
         keep = ppm >= thr
         return pa.table(

@@ -532,6 +532,21 @@ def range_join_count(
     )
     if left.count() == 0:
         return empty
+    if right.limit(1).count() == 0:
+        # empty right side: every left event has a 0-count band (same
+        # maybe-empty union/groupby schema hazard asof_join guards)
+        def zero(b: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "event_id": b.column("event_id").cast(pa.int64()),
+                    by: b.column(by).cast(pa.int64()),
+                    "n_matches": pa.array(
+                        np.zeros(b.num_rows, np.int64), pa.int64()
+                    ),
+                }
+            )
+
+        return left.map_batches(zero, batch_format="pyarrow")
 
     def merge(g: pa.Table) -> pa.Table:
         t = g.sort_by([(by, "ascending"), ("ts_us", "ascending")])

