@@ -70,33 +70,51 @@ def test_merge_duplicate_urls_first_wins(ray_session, tmp_path):
 
 
 def test_merge_large_bounded_driver_memory(ray_session, tmp_path):
-    """Merging two multi-10k-doc indexes holds no per-doc Python dicts on
-    the driver: peak tracked driver allocation during merge stays within
-    a small constant + O(n_docs) numpy (the broadcast remap arrays), and
-    the merged index equals the single build over the union corpus."""
+    """Merging multi-10k-doc indexes holds NOTHING per-doc on the driver:
+    the remap relation lives in hive-partitioned parquet
+    (remap/data/src=K/), the group tasks return O(num_buckets) stats
+    rows, and no dense per-doc dl array is broadcast. Evidence: (a) the
+    absolute driver allocation peak is small, (b) doubling the source
+    sizes leaves the driver peak flat (O(buckets), not O(docs)), and
+    (c) the hive remap layout exists on disk."""
+    import os
     import tracemalloc
 
-    write_corpus(str(tmp_path / "ca"), 15000, seed=1, rows_per_file=4096)
-    write_corpus(str(tmp_path / "cb"), 15000, seed=2, rows_per_file=4096)
-    build_index(str(tmp_path / "ca"), str(tmp_path / "ia"), num_buckets=16)
-    build_index(str(tmp_path / "cb"), str(tmp_path / "ib"), num_buckets=16)
+    peaks = {}
+    for tag, n in (("s", 15000), ("l", 30000)):
+        write_corpus(str(tmp_path / f"ca{tag}"), n, seed=1, rows_per_file=4096)
+        write_corpus(str(tmp_path / f"cb{tag}"), n, seed=2, rows_per_file=4096)
+        build_index(str(tmp_path / f"ca{tag}"), str(tmp_path / f"ia{tag}"), num_buckets=16)
+        build_index(str(tmp_path / f"cb{tag}"), str(tmp_path / f"ib{tag}"), num_buckets=16)
+        tracemalloc.start()
+        merge_indexes(
+            [str(tmp_path / f"ia{tag}"), str(tmp_path / f"ib{tag}")],
+            str(tmp_path / f"im{tag}"),
+            num_buckets=16,
+        )
+        _, peaks[tag] = tracemalloc.get_traced_memory()
+        tracemalloc.stop()
 
-    tracemalloc.start()
-    merge_indexes(
-        [str(tmp_path / "ia"), str(tmp_path / "ib")],
-        str(tmp_path / "im"),
-        num_buckets=16,
-    )
-    _, peak = tracemalloc.get_traced_memory()
-    tracemalloc.stop()
-    # ~30k docs x ~24B x 4 columns ≈ 3MB of remap state; 64MB leaves room
-    # for pandas/pyarrow conversion overhead but rules out per-url dict
-    # + per-source docmap pylist materialization (the round-1 pattern)
-    assert peak < 64 * 1024 * 1024, peak
+    # absolute: the old driver-side pattern (to_pandas remap + per-url
+    # dicts) costs multi-MB even at this scale; O(buckets) stats rows
+    # plus Ray/pyarrow bookkeeping stay well under this
+    assert peaks["s"] < 32 * 1024 * 1024, peaks
+    # growth: 2x the docs must NOT grow the driver peak like O(docs)
+    # (the pre-round-4 remap_df alone grew by ~MBs here); allow slack
+    # for Ray block-metadata jitter
+    assert peaks["l"] < peaks["s"] + 6 * 1024 * 1024, peaks
+    # structural: hive remap parts exist for the winning source (a
+    # source whose every url loses first-source-wins writes no parts)
+    d = tmp_path / "iml" / "remap" / "data" / "src=0"
+    assert d.is_dir() and any(
+        f.endswith(".parquet") for f in os.listdir(d)
+    ), d
+    assert (tmp_path / "iml" / "remap" / "_COMMITTED").exists()
 
-    rm = IndexReader(str(tmp_path / "im"))
-    ra = IndexReader(str(tmp_path / "ia"))
-    rb = IndexReader(str(tmp_path / "ib"))
+    # correctness of the larger merge ("l" pair)
+    rm = IndexReader(str(tmp_path / "iml"))
+    ra = IndexReader(str(tmp_path / "ial"))
+    rb = IndexReader(str(tmp_path / "ibl"))
     dm_a = ra.docmap(columns=["url", "dl"])
     dm_b = rb.docmap(columns=["url", "dl"])
     urls_a = dict(zip(dm_a.column("url").to_pylist(), dm_a.column("dl").to_pylist()))

@@ -51,34 +51,124 @@ def _read_docmap(index_dir: str) -> pa.Table:
     return pq.read_table(_data(os.path.join(index_dir, "docmap")))
 
 
+# Worker-process cache of loaded remap slices, keyed
+# (remap_data_dir, src, old_bucket) -> (old_sorted, new, dl) numpy
+# arrays. Module-global so Ray's long-lived worker processes reuse
+# slices across map_batches tasks (the stages/extract pattern) without
+# an actor pool; bounded by _remap_cache_cap entries (oldest-first
+# eviction), so worker memory is O(cap x docs_per_bucket), never
+# O(corpus) unless the cap allows it.
+_REMAP_SLICES: dict = {}
+
+
+def _remap_lookup(
+    remap_data: str, si: int, ids: np.ndarray, cache_cap: int
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Vectorized old->new docID remap for one source's posting ids.
+
+    Returns (new_ids, dls, keep): keep[i] False means old id ids[i] has
+    no row in the merged docmap (a dropped duplicate / tombstoned doc).
+    Loads only the (src, old_bucket) remap slices the ids actually
+    touch — file-pruned via the hive src= layout + old_bucket filter —
+    and caches them per worker process.
+    """
+    b = (ids >> np.uint64(BUCKET_SHIFT)).astype(np.int64)
+    need = [int(x) for x in np.unique(b)] if ids.size else []
+    local: dict = {}
+    missing = []
+    for bu in need:
+        key = (remap_data, si, bu)
+        if key in _REMAP_SLICES:
+            local[bu] = _REMAP_SLICES[key]
+        else:
+            missing.append(bu)
+    if missing:
+        src_dir = os.path.join(remap_data, "src=%d" % si)
+        if os.path.isdir(src_dir):
+            t = pq.read_table(
+                src_dir,
+                columns=["old_id", "new_id", "dl", "old_bucket"],
+                filters=[("old_bucket", "in", missing)],
+            )
+        else:  # source contributed no surviving docs at all
+            t = pa.table(
+                {"old_id": pa.array([], pa.uint64()),
+                 "new_id": pa.array([], pa.uint64()),
+                 "dl": pa.array([], pa.uint32()),
+                 "old_bucket": pa.array([], pa.int64())}
+            )
+        ob = t.column("old_bucket").to_numpy()
+        old_a = t.column("old_id").to_numpy()
+        new_a = t.column("new_id").to_numpy()
+        dl_a = t.column("dl").to_numpy()
+        for bu in missing:
+            m = ob == bu
+            old = old_a[m].astype(np.uint64)
+            order = np.argsort(old)
+            sl = (
+                old[order],
+                new_a[m][order].astype(np.uint64),
+                dl_a[m][order].astype(np.uint32),
+            )
+            local[bu] = sl
+            _REMAP_SLICES[(remap_data, si, bu)] = sl
+        while len(_REMAP_SLICES) > cache_cap:
+            _REMAP_SLICES.pop(next(iter(_REMAP_SLICES)))
+    new = np.zeros(ids.size, np.uint64)
+    dl = np.zeros(ids.size, np.uint32)
+    keep = np.zeros(ids.size, bool)
+    for bu in need:
+        old_s, new_s, dl_s = local[bu]
+        if old_s.size == 0:
+            continue
+        m = b == bu
+        sub = ids[m]
+        pos = np.minimum(np.searchsorted(old_s, sub), old_s.size - 1)
+        k = old_s[pos] == sub
+        idx = np.flatnonzero(m)[k]
+        new[idx] = new_s[pos[k]]
+        dl[idx] = dl_s[pos[k]]
+        keep[idx] = True
+    return new, dl, keep
+
+
 def merge_indexes(index_dirs: list[str], out_dir: str, *, num_buckets: int = 64,
-                  chunk_size: int = 1024) -> dict:
+                  chunk_size: int = 1024,
+                  remap_cache_slices: int = 4096) -> dict:
     """Merge K indexes into out_dir. Returns the merged meta dict.
 
-    Distributed throughout — the driver never holds a per-url or per-doc
-    Python dict:
+    Distributed throughout — the driver never holds (or broadcasts)
+    anything per-doc; its footprint is O(num_buckets):
 
     1. docmap merge: union of source docmaps (tagged with source rank)
-       -> groupby(url) first-source-wins -> bucket by md5(url) ->
-       groupby(bucket) assigns ranks and writes each merged docmap part
-       atomically inside the group task (the build's pattern).
-    2. remap: the group tasks return compact (src, old_id, new_id, dl)
-       rows; per-source SORTED numpy remap arrays (old -> new) and one
-       dense per-bucket dl array are built from them and broadcast via
-       ray.put — posting decode tasks do vectorized searchsorted + array
-       gathers, no per-posting Python lookups.
-    3. postings: per-source chunk decode -> remap (dropped-duplicate docs
-       filtered by membership miss) -> union -> (term, doc_id) sort ->
-       re-encode.
+       -> bucket by md5(url) -> groupby(bucket) does first-source-wins
+       inside the group, assigns ranks, and atomically writes BOTH the
+       merged docmap part AND the bucket's remap parts
+       (src, old_id, new_id, dl, old_bucket) hive-laid-out as
+       ``remap/data/src=K/remap-<newbucket>.parquet`` — the group task
+       returns only a 1-row (bucket, n, total_dl) stats table, so the
+       driver collect is O(num_buckets).
+    2. postings: per-source chunk decode -> vectorized remap via
+       :func:`_remap_lookup` (dropped-duplicate docs filtered by
+       membership miss; dl attached from the same remap row, no dense
+       per-doc array anywhere) -> union -> (term, doc_id) sort ->
+       re-encode. Decode tasks load ONLY the (src, old_bucket) slices
+       their batches touch, cached per worker process: the final index
+       is term-major, so a common term's chunks sweep the doc-id space
+       and a worker warms toward its source's slice set, while
+       bucket-clustered inputs stay at a few slices — either way the
+       remap never transits the driver and IO is file/row-group pruned
+       by the hive src= + old_bucket layout.
     """
     import json
     import time
 
     os.makedirs(out_dir, exist_ok=True)
     docmap_dir = os.path.join(out_dir, "docmap")
+    remap_dir = os.path.join(out_dir, "remap")
     index_dir = os.path.join(out_dir, "index")
     dict_dir = os.path.join(out_dir, "dict")
-    for d in (docmap_dir, index_dir, dict_dir):
+    for d in (docmap_dir, remap_dir, index_dir, dict_dir):
         # reset: stale parts from a previous (crashed/different-source)
         # merge into the same out_dir must never mix with this run's
         _fresh(d)
@@ -122,6 +212,7 @@ def merge_indexes(index_dirs: list[str], out_dir: str, *, num_buckets: int = 64,
     won = alldm.map_batches(add_bucket, batch_format="pyarrow")
 
     dmdir = _data(docmap_dir)
+    rmdir = _data(remap_dir)
 
     def assign_bucket(g: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
@@ -154,101 +245,118 @@ def merge_indexes(index_dirs: list[str], out_dir: str, *, num_buckets: int = 64,
         tmp = os.path.join(dmdir, "docmap-%05d.parquet.tmp" % bucket)
         pq.write_table(docmap, tmp)
         os.replace(tmp, os.path.join(dmdir, "docmap-%05d.parquet" % bucket))
-        return pa.table(
+        # remap parts: compact fixed-width rows, hive-partitioned by
+        # source so a decode task's slice load reads only its source's
+        # files (old_bucket sorted within each file -> row-group pruning)
+        remap = pa.table(
             {
-                "src": g.column("src"),
+                "src": g.column("src").cast(pa.int32()),
                 "old_id": g.column("old_id").cast(pa.uint64()),
                 "new_id": pa.array(ids, pa.uint64()),
                 "dl": g.column("dl").cast(pa.uint32()),
             }
         )
+        srcs_here = np.unique(remap.column("src").to_numpy())
+        import pyarrow.compute as pc2
 
-    # compact remap relation: 4 fixed-width columns, no urls/doctypes
-    remap_df = (
+        for si in srcs_here.tolist():
+            sub = remap.filter(pc2.equal(remap.column("src"), si))
+            old_np = sub.column("old_id").to_numpy().astype(np.uint64)
+            order2 = np.argsort(old_np)
+            sub = sub.take(pa.array(order2)).append_column(
+                "old_bucket",
+                pa.array(
+                    (old_np[order2] >> np.uint64(BUCKET_SHIFT)).astype(np.int64),
+                    pa.int64(),
+                ),
+            ).drop_columns(["src"])
+            sdir = os.path.join(rmdir, "src=%d" % int(si))
+            os.makedirs(sdir, exist_ok=True)
+            tmp2 = os.path.join(sdir, "remap-%05d.parquet.tmp" % bucket)
+            pq.write_table(sub, tmp2)
+            os.replace(tmp2, os.path.join(sdir, "remap-%05d.parquet" % bucket))
+        return pa.table(
+            {
+                "bucket": pa.array([bucket], pa.int64()),
+                "n": pa.array([n], pa.int64()),
+                "total_dl": pa.array(
+                    [int(np.sum(g.column("dl").to_numpy().astype(np.int64)))],
+                    pa.int64(),
+                ),
+            }
+        )
+
+    # driver collect is one row per bucket (never per doc/url)
+    stats_df = (
         won.groupby("bucket")
         .map_groups(assign_bucket, batch_format="pyarrow")
         .to_pandas()
     )
     _commit(docmap_dir, {"phase": "merge-docmap", "sources": index_dirs})
+    _commit(remap_dir, {"phase": "merge-remap", "sources": index_dirs})
 
-    n_docs = len(remap_df)
-    total_dl = int(remap_df["dl"].sum()) if n_docs else 0
+    n_docs = int(stats_df["n"].sum()) if len(stats_df) else 0
+    total_dl = int(stats_df["total_dl"].sum()) if len(stats_df) else 0
     avgdl = total_dl / n_docs if n_docs else 0.0
 
-    # per-source sorted remap arrays (winners only; a source's dropped
-    # duplicates simply miss the membership probe)
-    remaps = []
-    src_arr = remap_df["src"].to_numpy()
-    old_arr = remap_df["old_id"].to_numpy().astype(np.uint64)
-    new_arr = remap_df["new_id"].to_numpy().astype(np.int64)
-    for si in range(len(index_dirs)):
-        m = src_arr == si
-        old, new = old_arr[m], new_arr[m]
-        order = np.argsort(old)
-        remaps.append((old[order], new[order]))
-
-    # dense per-bucket dl lookup (the reader's layout): position =
-    # bucket_offset[bucket] + local rank
-    shift = np.uint64(BUCKET_SHIFT)
-    mask = np.uint64((1 << BUCKET_SHIFT) - 1)
-    nid = remap_df["new_id"].to_numpy().astype(np.uint64)
-    dl_all = remap_df["dl"].to_numpy().astype(np.uint32)
-    bkt = (nid >> shift).astype(np.int64)
-    nb = int(bkt.max()) + 1 if n_docs else 1
-    counts = np.bincount(bkt, minlength=nb)
-    offs = np.concatenate(([0], np.cumsum(counts)[:-1]))
-    dense_dl = np.zeros(n_docs, dtype=np.uint32)
-    if n_docs:
-        dense_dl[offs[bkt] + (nid & mask).astype(np.int64)] = dl_all
-    dl_ref = ray.put((dense_dl, offs))
-
     # ---- postings: decode + remap per source, union, re-sort, re-encode ---
-    def make_decode_remap(old_ids: np.ndarray, new_ids: np.ndarray):
+    def make_decode_remap(si: int):
         def fn(batch: pa.Table) -> pa.Table:
-            dense, offsets = ray.get(dl_ref)
-            terms_out, ids_out, tfs_out = [], [], []
-            for term, docs_b, tfs_b in zip(
-                batch.column("term").to_pylist(),
-                batch.column("docs").to_pylist(),
-                batch.column("tfs").to_pylist(),
+            import pyarrow.compute as pc2
+
+            ids_l, tfs_l, lens = [], [], []
+            for docs_b, tfs_b in zip(
+                batch.column("docs").to_pylist(), batch.column("tfs").to_pylist()
             ):
                 ids = delta_decode(docs_b)
-                tfs = decode_tfs(tfs_b)
-                pos = np.searchsorted(old_ids, ids)
-                pos = np.minimum(pos, max(old_ids.size - 1, 0))
-                keep = old_ids.size > 0
-                keep = (old_ids[pos] == ids) if keep else np.zeros(ids.size, bool)
-                if keep.any():
-                    terms_out.extend([term] * int(keep.sum()))
-                    ids_out.append(new_ids[pos[keep]].astype(np.uint64))
-                    tfs_out.append(tfs[keep])
-            if not ids_out:
-                return pa.table(
-                    {"term": pa.array([], pa.string()),
-                     "doc_id": pa.array([], pa.uint64()),
-                     "tf": pa.array([], pa.uint32()),
-                     "dl": pa.array([], pa.uint32())}
-                )
-            ids_all = np.concatenate(ids_out)
-            b = (ids_all >> shift).astype(np.int64)
-            dls = dense[offsets[b] + (ids_all & mask).astype(np.int64)]
+                ids_l.append(ids)
+                tfs_l.append(decode_tfs(tfs_b))
+                lens.append(ids.size)
+            empty = pa.table(
+                {"term": pa.array([], pa.string()),
+                 "doc_id": pa.array([], pa.uint64()),
+                 "tf": pa.array([], pa.uint32()),
+                 "dl": pa.array([], pa.uint32())}
+            )
+            lens = np.asarray(lens, np.int64)
+            if lens.sum() == 0:
+                return empty
+            ids_all = np.concatenate(ids_l).astype(np.uint64)
+            tf_all = np.concatenate(tfs_l)
+            new_all, dl_all, keep = _remap_lookup(
+                rmdir, si, ids_all, remap_cache_slices
+            )
+            if not keep.any():
+                return empty
+            # surviving postings per chunk row -> repeat each term that
+            # many times (vectorized take on the Arrow column). reduceat
+            # needs nonempty segments: zero-length rows contribute no
+            # ids, so compute counts only over nonempty rows.
+            nz = lens > 0
+            offs = np.concatenate(([0], np.cumsum(lens[nz])))[:-1]
+            cnt_nz = np.add.reduceat(keep.astype(np.int64), offs)
+            cnt = np.zeros(lens.size, np.int64)
+            cnt[nz] = cnt_nz
+            row_idx = np.repeat(np.arange(lens.size), cnt)
             return pa.table(
                 {
-                    "term": pa.array(terms_out, pa.string()),
-                    "doc_id": pa.array(ids_all, pa.uint64()),
-                    "tf": pa.array(np.concatenate(tfs_out).astype(np.uint32), pa.uint32()),
-                    "dl": pa.array(dls, pa.uint32()),
+                    "term": pc2.take(
+                        batch.column("term").combine_chunks(), pa.array(row_idx)
+                    ),
+                    "doc_id": pa.array(new_all[keep], pa.uint64()),
+                    "tf": pa.array(tf_all[keep].astype(np.uint32), pa.uint32()),
+                    "dl": pa.array(dl_all[keep], pa.uint32()),
                 }
             )
 
         return fn
 
     parts = []
-    for (old, new), d in zip(remaps, index_dirs):
+    for si, d in enumerate(index_dirs):
         src = ray.data.read_parquet(
             _data(os.path.join(d, "index")), columns=["term", "docs", "tfs"]
         )
-        parts.append(src.map_batches(make_decode_remap(old, new), batch_format="pyarrow"))
+        parts.append(src.map_batches(make_decode_remap(si), batch_format="pyarrow"))
     postings = parts[0]
     for p in parts[1:]:
         postings = postings.union(p)
