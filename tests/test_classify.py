@@ -59,3 +59,49 @@ def test_decode_lossy_vectors():
     assert decode_lossy(b"a\xc3b") == "a�b"
     assert decode_lossy(b"\xed\xa0\x80") == "�" * 3
     assert decode_lossy("héllo".encode()) == "héllo"
+
+
+def test_classify_batch_vectorized_equals_scalar():
+    """The Arrow/numpy batch kernel is row-identical to classify_bytes on
+    edge inputs and random byte soup (incl. zero-length and all-ws rows,
+    prefix-at-boundary, control bytes around the sniff window)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from textindex_ray.kernel.classify import classify_bytes_batch
+
+    rng = np.random.default_rng(11)
+    cases = [
+        b"",
+        b" ",
+        b" \t\n\r",
+        b"<html>",
+        b"   <html>x",
+        b"\t<?xml version",
+        b"<Html>",
+        b"_<!DOCTYPE html>",
+        b"<!--ADULTSONLY",
+        b"<!--ADULTSONL",  # one byte short of the longest pattern
+        b"a\x00b",
+        b"\x00",
+        b" " * 256 + b"<html>",  # prefix entirely beyond the window
+        b" " * 250 + b"<html>",
+        b"a" * 256 + b"\x00",
+        b"a" * 255 + b"\x00",
+        b"<head",
+        b"<hea",
+        "hällo wörld".encode(),
+        b"<--x",
+    ]
+    for _ in range(300):
+        ln = int(rng.integers(0, 300))
+        cases.append(bytes(rng.integers(0, 256, ln, dtype=np.uint8)))
+        # ws-prefixed html-ish rows
+        cases.append(b" " * int(rng.integers(0, 20)) + b"<htm" + bytes(rng.integers(32, 127, 5, dtype=np.uint8)))
+    col = pa.array(cases, pa.binary())
+    got = classify_bytes_batch(col).to_pylist()
+    want = [classify_bytes(c) for c in cases]
+    assert got == want
+    # large_binary path too
+    got_l = classify_bytes_batch(col.cast(pa.large_binary())).to_pylist()
+    assert got_l == want

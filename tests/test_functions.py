@@ -324,6 +324,51 @@ def test_lsh_dup_pairs_empty(emb_ds):
     assert t.column_names == ["vec_a", "vec_b", "cos_ppm"]
 
 
+def test_pair_apis_dataset_form(ray_session, tmp_path):
+    """as_dataset=True returns a Dataset that sinks to parquet WITHOUT
+    driver transit and carries exactly the rows of the Table form —
+    for both lsh_dup_pairs and knn_brute; empty results keep the
+    contract schema in both forms."""
+    import ray.data
+    from textindex_ray.functions.similarity import knn_brute, lsh_dup_pairs
+
+    rng = np.random.default_rng(7)
+    base = rng.standard_normal((120, 32))
+    rows = [
+        {"vec_id": i, "embedding": base[i].astype(np.float32).tolist()}
+        for i in range(120)
+    ]
+    for j in range(12):
+        v = base[j] + 0.05 * rng.standard_normal(32)
+        rows.append({"vec_id": 200 + j, "embedding": v.astype(np.float32).tolist()})
+    ds = ray.data.from_items(rows)
+
+    tab = lsh_dup_pairs(ds, threshold_ppm=900_000)
+    pds = lsh_dup_pairs(ds, threshold_ppm=900_000, as_dataset=True)
+    out = str(tmp_path / "pairs")
+    pds.write_parquet(out)
+    back = (
+        ray.data.read_parquet(out).sort(["vec_a", "vec_b"]).to_pandas()
+    )
+    assert len(back) == tab.num_rows > 0
+    assert back["vec_a"].tolist() == tab.column("vec_a").to_pylist()
+    assert back["cos_ppm"].tolist() == tab.column("cos_ppm").to_pylist()
+
+    qm = base[:3]
+    kt = knn_brute(ds, qm, [0, 1, 2], k=5)
+    kd = knn_brute(ds, qm, [0, 1, 2], k=5, as_dataset=True).to_pandas()
+    assert kd["query_id"].tolist() == kt.column("query_id").to_pylist()
+    assert kd["vec_id"].tolist() == kt.column("vec_id").to_pylist()
+    assert kd["cos_ppm"].tolist() == kt.column("cos_ppm").to_pylist()
+
+    # empty-result Dataset form keeps the schema
+    eds = lsh_dup_pairs(
+        ds.filter(lambda r: False), threshold_ppm=900_000, as_dataset=True
+    )
+    assert eds.schema().names == ["vec_a", "vec_b", "cos_ppm"]
+    assert eds.count() == 0
+
+
 def test_knn_self_is_top1(emb_ds):
     import pyarrow.parquet as pq
 
@@ -1673,3 +1718,40 @@ def test_min_token_gap_property():
         assert got == want
 
     prop()
+
+
+def test_sampled_bounds_balance_skewed_ids(ray_session):
+    """Planted skew: 90% of doc_ids cluster in a tiny id range. Quantile
+    boundaries split the cluster by COUNT (max range ~ balanced), where
+    the old equal-width min/max split would pile ~90% of rows into one
+    range. pack_bins results stay exact regardless (boundaries affect
+    balance only)."""
+    import ray.data
+    from textindex_ray.functions._util import sampled_range_bounds
+    from textindex_ray.functions.textstats import pack_bins
+
+    ids = np.concatenate([
+        np.arange(9000),                       # dense cluster
+        np.arange(1000) * 10_000_000 + 10**9,  # sparse tail
+    ]).astype(np.int64)
+    sizes = np.full(ids.size, 7, np.int64)
+    ds = ray.data.from_arrow(
+        pa.table({"doc_id": pa.array(ids), "n_chars": pa.array(sizes)})
+    ).repartition(8)
+
+    B = 16
+    bounds = sampled_range_bounds(ds, "doc_id", B)
+    rid = np.searchsorted(bounds, ids, side="right")
+    counts = np.bincount(rid, minlength=B)
+    assert counts.max() <= ids.size / B * 3, counts.tolist()
+    # the old equal-width split really does collapse on this input
+    wide = np.linspace(ids.min(), ids.max(), B, endpoint=False)[1:]
+    wid = np.searchsorted(wide, ids, side="right")
+    assert np.bincount(wid, minlength=B).max() > ids.size * 0.8
+
+    # exactness: bin_id == global doc_id-ordered exclusive prefix//cap
+    got = pack_bins(ds, capacity=100).to_pandas().sort_values("doc_id")
+    order = np.argsort(ids)
+    excl = np.cumsum(sizes[order]) - sizes[order]
+    want = excl // 100
+    assert got["bin_id"].to_numpy().tolist() == want.tolist()

@@ -31,3 +31,39 @@ def probe_count(ds):
         return ds, int(n)
     ds = ds.materialize()
     return ds, ds.count()
+
+
+def sampled_range_bounds(ds, col: str, num_ranges: int, per_block: int = 256):
+    """Deterministic sampled-quantile range boundaries over ``ds[col]``.
+
+    Each block contributes up to ``per_block`` evenly spaced values of
+    its sorted column (a tiny driver collect, O(blocks x per_block));
+    the boundaries are the 1/B..(B-1)/B quantiles of the concatenated
+    sample — skew-robust where equal-width min/max splits collapse
+    (clustered ids, quality-sorted keys), at the cost of one extra tiny
+    pass. Ties across a boundary are safe for callers that assign with
+    ``searchsorted(bounds, v, side="right")``: equal values land in one
+    range. Returns an ascending int64 array of B-1 boundaries (possibly
+    with duplicates under extreme skew -> some ranges empty, which
+    offset cumsum callers already tolerate), or None when the dataset
+    has no rows.
+    """
+    import numpy as np
+    import pyarrow as pa
+
+    def block_sample(b: "pa.Table") -> "pa.Table":
+        v = b.column(col).to_numpy()
+        if v.size == 0:
+            return pa.table({"sid": pa.array([], pa.int64())})
+        s = np.sort(v.astype(np.int64))
+        idx = np.linspace(0, s.size - 1, min(per_block, s.size)).astype(np.int64)
+        return pa.table({"sid": pa.array(s[idx], pa.int64())})
+
+    rows = ds.map_batches(block_sample, batch_format="pyarrow").take_all()
+    sample = np.array([r["sid"] for r in rows], dtype=np.int64)
+    if sample.size == 0:
+        return None
+    B = int(num_ranges)
+    return np.quantile(
+        sample, np.arange(1, B) / B, method="nearest"
+    ).astype(np.int64)

@@ -50,18 +50,60 @@ def _partial_topk(s: np.ndarray, k: int) -> np.ndarray:
     return np.arange(s.size)
 
 
-def _topk_reduce(partials: "ray.data.Dataset", k: int) -> pa.Table:
-    """Final reduce: tiny table (<= ties+k rows per query per block);
-    ranked by the RAW cosine (floored ppm would mis-rank near-tied
-    boundary candidates vs the SQL oracle), ppm emitted only as the
-    display value."""
-    t = partials.to_pandas()
-    t = t.sort_values(["query_id", "cos", "vec_id"], ascending=[True, False, True])
-    t = t.groupby("query_id", sort=True).head(k).reset_index(drop=True)
-    t["cos_ppm"] = np.floor(t["cos"].to_numpy() * 1_000_000).astype(np.int64)
-    return pa.Table.from_pandas(
-        t[["query_id", "vec_id", "cos_ppm"]], preserve_index=False
+_EMPTY_KNN = pa.table(
+    {"query_id": pa.array([], pa.int64()),
+     "vec_id": pa.array([], pa.int64()),
+     "cos_ppm": pa.array([], pa.int64())}
+)
+
+
+def _topk_reduce_ds(partials: "ray.data.Dataset", k: int) -> "ray.data.Dataset":
+    """Distributed final reduce: every candidate row of one query_id
+    colocates in its group (per-block partials are <= ties+k rows per
+    query, so group sizes are blocks x k, never the corpus); the group
+    task ranks by the RAW cosine (floored ppm would mis-rank near-tied
+    boundary candidates vs the SQL oracle) and emits floor-ppm only as
+    the display value. Output ordered (query_id, cos desc, vec_id) —
+    parquet-sinkable without driver transit; result size is nq x k."""
+
+    def per_query(g: pa.Table) -> pa.Table:
+        order = np.lexsort(
+            (g.column("vec_id").to_numpy(), -g.column("cos").to_numpy())
+        )[:k]
+        return g.take(pa.array(order))
+
+    def to_ppm(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "query_id": b.column("query_id").cast(pa.int64()),
+                "vec_id": b.column("vec_id").cast(pa.int64()),
+                "cos_ppm": pa.array(
+                    np.floor(b.column("cos").to_numpy() * 1_000_000).astype(
+                        np.int64
+                    ),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    # global ordering identical to the historical pandas reduce: raw
+    # cosine ranks (ppm ties must not permute rows), then drop to ppm
+    return (
+        partials.groupby("query_id")
+        .map_groups(per_query, batch_format="pyarrow")
+        .sort(["query_id", "cos", "vec_id"], descending=[False, True, False])
+        .map_batches(to_ppm, batch_format="pyarrow")
     )
+
+
+def _topk_reduce(partials: "ray.data.Dataset", k: int) -> pa.Table:
+    """Table wrapper over :func:`_topk_reduce_ds` (grading / small
+    results): the collect is bounded by nq x k rows."""
+    tabs = [t for t in ray.get(_topk_reduce_ds(partials, k).to_arrow_refs())
+            if t.num_rows]
+    if not tabs:
+        return _EMPTY_KNN
+    return pa.concat_tables(tabs).combine_chunks()
 
 
 def _pair_cos_ppm(mn: np.ndarray, iu: np.ndarray, ju: np.ndarray) -> np.ndarray:
@@ -82,6 +124,7 @@ def knn_brute(
     query_ids: list[int],
     *,
     k: int = 10,
+    as_dataset: bool = False,
 ) -> pa.Table:
     """Exact cosine top-k for each query vector.
 
@@ -116,6 +159,8 @@ def knn_brute(
         )
 
     partials = ds.map_batches(score, batch_format="pyarrow")
+    if as_dataset:
+        return _topk_reduce_ds(partials, k)
     return _topk_reduce(partials, k)
 
 
@@ -155,9 +200,15 @@ def lsh_dup_pairs(
     planes_per_band: int = 8,
     seed: int = 42,
     fine_partitions: int = 32,
+    as_dataset: bool = False,
 ) -> pa.Table:
     """Embedding near-dup pairs via banded random-hyperplane LSH with
     exact per-bucket verification — the scale path for cosine_dup_pairs.
+
+    ``as_dataset=True`` returns the (vec_a, vec_b)-sorted pair relation
+    as a Dataset — distributed sort, parquet-sinkable without driver
+    transit (the pair set is O(n) near the dup-heavy end of a crawl);
+    the default Table form is the grading/small-result convenience.
 
     Pipeline: per-batch banded sign signatures (each vector lands in
     ``num_bands`` buckets of ``planes_per_band``-bit keys) -> coarse
@@ -283,21 +334,18 @@ def lsh_dup_pairs(
         .map_batches(add_vpair_part, batch_format="pyarrow")
         .groupby("part")
         .map_groups(part_pair_min, batch_format="pyarrow")
-    )
-    t = pairs.to_pandas()
-    if len(t) == 0:
-        return pa.table(
-            {"vec_a": pa.array([], pa.int64()), "vec_b": pa.array([], pa.int64()),
-             "cos_ppm": pa.array([], pa.int64())}
+    ).materialize()  # consumed by count probe + sort; pair relation only
+    if pairs.count() == 0:
+        # 0-row Datasets lose their schema through sort/pandas
+        return (
+            ray.data.from_arrow(_EMPTY_VPAIRS) if as_dataset else _EMPTY_VPAIRS
         )
-    t = t.sort_values(["vec_a", "vec_b"]).reset_index(drop=True)
-    return pa.table(
-        {
-            "vec_a": pa.array(t["vec_a"].to_numpy(), pa.int64()),
-            "vec_b": pa.array(t["vec_b"].to_numpy(), pa.int64()),
-            "cos_ppm": pa.array(t["cos_ppm"].to_numpy(), pa.int64()),
-        }
-    )
+    out = pairs.sort(["vec_a", "vec_b"])  # distributed, no driver transit
+    if as_dataset:
+        return out
+    return pa.concat_tables(
+        [t for t in ray.get(out.to_arrow_refs()) if t.num_rows]
+    ).combine_chunks()
 
 
 def knn_lsh(
@@ -309,6 +357,7 @@ def knn_lsh(
     num_bands: int = 32,
     planes_per_band: int = 4,
     seed: int = 42,
+    as_dataset: bool = False,
 ) -> pa.Table:
     """Approximate cosine top-k via banded RP-LSH candidate pruning.
 
@@ -368,6 +417,8 @@ def knn_lsh(
         )
 
     partials = ds.map_batches(score, batch_format="pyarrow")
+    if as_dataset:
+        return _topk_reduce_ds(partials, k)
     return _topk_reduce(partials, k)
 
 
@@ -433,6 +484,7 @@ def knn_ivf(
     *,
     k: int = 10,
     nprobe: int = 2,
+    as_dataset: bool = False,
 ) -> pa.Table:
     """IVF approximate cosine top-k: each query probes its ``nprobe``
     nearest centroids' cells; each batch assigns its vectors to cells on
@@ -472,6 +524,8 @@ def knn_ivf(
         )
 
     partials = ds.map_batches(score, batch_format="pyarrow")
+    if as_dataset:
+        return _topk_reduce_ds(partials, k)
     return _topk_reduce(partials, k)
 
 
@@ -566,6 +620,7 @@ def knn_ivf_persisted(
     *,
     k: int = 10,
     nprobe: int = 2,
+    as_dataset: bool = False,
 ) -> pa.Table:
     """IVF approximate cosine top-k over a persisted cell layout: reads
     ONLY the union of the queries' ``nprobe`` nearest cells (IO pruning),
@@ -607,6 +662,8 @@ def knn_ivf_persisted(
 
     ds = ivf_probed_dataset(index_dir, probes)
     partials = ds.map_batches(score, batch_format="pyarrow")
+    if as_dataset:
+        return _topk_reduce_ds(partials, k)
     return _topk_reduce(partials, k)
 
 

@@ -428,25 +428,14 @@ def pack_bins(
 
     # stage 1: range boundaries from per-block id partials (driver gets
     # one tiny row per block)
-    def block_minmax(b: pa.Table) -> pa.Table:
-        ids = b.column("doc_id").to_numpy()
-        if ids.size == 0:
-            return pa.table({"lo": pa.array([], pa.int64()),
-                             "hi": pa.array([], pa.int64()),
-                             "cnt": pa.array([], pa.int64())})
-        return pa.table({"lo": pa.array([int(ids.min())], pa.int64()),
-                         "hi": pa.array([int(ids.max())], pa.int64()),
-                         "cnt": pa.array([int(ids.size)], pa.int64())})
+    # deterministic sampled-quantile boundaries (skew-robust: clustered
+    # doc_id ranges get split by count, not by id span)
+    from textindex_ray.functions._util import sampled_range_bounds
 
-    parts = base.map_batches(block_minmax, batch_format="pyarrow").take_all()
-    if not parts:
+    bounds = sampled_range_bounds(base, "doc_id", B)
+    if bounds is None:
         return pa.table({"doc_id": pa.array([], pa.int64()),
                          "bin_id": pa.array([], pa.int64())})
-    lo = min(p["lo"] for p in parts)
-    hi = max(p["hi"] for p in parts)
-    # deterministic equal-width boundaries over the observed id span
-    # (doc_ids are md5-bucket-prefixed, so width-uniform ~= count-uniform)
-    bounds = np.linspace(lo, hi, B, endpoint=False)[1:].astype(np.int64)
 
     def add_range(b: pa.Table) -> pa.Table:
         ids = b.column("doc_id").to_numpy()
@@ -939,20 +928,14 @@ def select_budget(
         gate, batch_format="pyarrow"
     ).materialize()
 
-    def block_minmax(b: pa.Table) -> pa.Table:
-        k = b.column("key").to_numpy()
-        if k.size == 0:
-            return pa.table({"lo": pa.array([], pa.int64()),
-                             "hi": pa.array([], pa.int64())})
-        return pa.table({"lo": pa.array([int(k.min())], pa.int64()),
-                         "hi": pa.array([int(k.max())], pa.int64())})
+    # sampled-quantile boundaries: the quality key is NOT span-uniform
+    # (stop ratios cluster), so equal-width splits would pile most rows
+    # into few ranges; quantiles split by count
+    from textindex_ray.functions._util import sampled_range_bounds
 
-    parts = base.map_batches(block_minmax, batch_format="pyarrow").take_all()
-    if not parts:
+    bounds = sampled_range_bounds(base, "key", B)
+    if bounds is None:
         return empty
-    lo = min(p["lo"] for p in parts)
-    hi = max(p["hi"] for p in parts)
-    bounds = np.linspace(lo, hi, B, endpoint=False)[1:].astype(np.int64)
 
     def add_range(b: pa.Table) -> pa.Table:
         k = b.column("key").to_numpy()

@@ -20,16 +20,23 @@ import hashlib
 import numpy as np
 import pyarrow as pa
 
-from textindex_ray.kernel.classify import classify_bytes, decode_lossy, DOCTYPE_HTML, DOCTYPE_IGNORE
+from textindex_ray.kernel.classify import (
+    classify_bytes,
+    classify_bytes_batch,
+    decode_lossy,
+    DOCTYPE_HTML,
+    DOCTYPE_IGNORE,
+)
 from textindex_ray.kernel.html_extract import extract_html_text
 from textindex_ray.kernel.txt_tokenize import tokenize_counts
 
 
 def classify_batch(batch: pa.Table) -> pa.Table:
-    """Add a ``doctype`` column (html/text/ignore) from the raw bytes (O2)."""
-    html_col = batch.column("html")
-    doctypes = [classify_bytes(v) for v in html_col.to_pylist()]
-    return batch.append_column("doctype", pa.array(doctypes, pa.string()))
+    """Add a ``doctype`` column (html/text/ignore) from the raw bytes (O2),
+    vectorized (Arrow binary slice + numpy prefix/control scans)."""
+    return batch.append_column(
+        "doctype", classify_bytes_batch(batch.column("html"))
+    )
 
 
 def url_bucket(urls, num_buckets: int) -> np.ndarray:
