@@ -194,8 +194,13 @@ def main() -> None:
         for q in bm25_qset:
             reader.bm25_topk_wand(q, 10)
 
+    def run_auto():
+        for q in bm25_qset:
+            reader.bm25_topk_auto(q, 10)
+
     for name, fn in (
-        ("boolean_find", run_find), ("bm25_brute", run_brute), ("bm25_wand", run_wand)
+        ("boolean_find", run_find), ("bm25_brute", run_brute),
+        ("bm25_wand", run_wand), ("bm25_auto", run_auto),
     ):
         all_reps[name] = _timed(fn, reps)
         queries[name] = min(all_reps[name])
@@ -228,6 +233,12 @@ def main() -> None:
         lambda: sreader.bm25_topk_wand(skew_q, 10), reps
     )
     queries["bm25_wand_skewed"] = min(all_reps["bm25_wand_skewed"])
+    # adaptive scorer: must track the better path on each query set
+    # (uniform vocab -> brute, skewed idf -> WAND)
+    all_reps["bm25_auto_skewed"] = _timed(
+        lambda: sreader.bm25_topk_auto(skew_q, 10), reps
+    )
+    queries["bm25_auto_skewed"] = min(all_reps["bm25_auto_skewed"])
 
     # ---- documents-table ops (dedup + knn + textstats) --------------------
     docs = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"))
@@ -324,6 +335,62 @@ def scaling() -> None:
     tp_lo = runs[lo]["docs_per_sec"]
     tp_hi = runs[hi]["docs_per_sec"]
     eff = (tp_hi / tp_lo) / (hi / lo)
+
+    # ---- serving at scale: term-range-sharded batch eval on the hi-run
+    # index (the cluster serving design: one reader actor per term range,
+    # see batch_eval.evaluate_queries_sharded) vs the single reader, on
+    # the same query batch — results must agree, both times reported
+    serving = None
+    idx = "/tmp/ti_bench/idx-sf%s-%d-cpus%d" % (runs[hi]["sf"], docs, hi)
+    if os.path.exists(os.path.join(idx, "meta.json")):
+        import pyarrow as pa
+
+        import ray
+        import ray.data
+
+        ray.init(address="local",
+                 num_cpus=int(os.environ.get("RAY_GRAFT_CPUS", "32")),
+                 include_dashboard=False, ignore_reinit_error=True,
+                 logging_level="ERROR")
+        from ray.data import DataContext
+
+        DataContext.get_current().enable_progress_bars = False
+        from textindex_ray.query.batch_eval import (
+            evaluate_queries,
+            evaluate_queries_sharded,
+        )
+
+        qterms = [["alpha", "beta"], ["lorem", "ipsum"],
+                  ["gamma", "delta", "epsilon"], ["zebra", "sphinx"],
+                  ["haus", "baum", "wald"], ["maison", "arbre"],
+                  ["alpha"], ["quartz", "ipsum"]]
+        qt = pa.table({
+            "qid": pa.array(range(len(qterms)), pa.int32()),
+            "kind": pa.array(["bm25"] * len(qterms)),
+            "terms": pa.array(qterms, pa.list_(pa.string())),
+            "k": pa.array([10] * len(qterms), pa.int32()),
+        })
+        qds = ray.data.from_arrow(qt)
+        t0 = time.perf_counter()
+        single = {r["qid"]: r for r in
+                  evaluate_queries(idx, qds).iter_rows()}
+        t_single = round(time.perf_counter() - t0, 3)
+        t0 = time.perf_counter()
+        sharded = {r["qid"]: r for r in
+                   evaluate_queries_sharded(idx, qds, n_shards=4).iter_rows()}
+        t_sharded = round(time.perf_counter() - t0, 3)
+        assert all(
+            list(single[q]["doc_ids"]) == list(sharded[q]["doc_ids"])
+            and list(single[q]["scores"]) == list(sharded[q]["scores"])
+            for q in single
+        ), "sharded eval != single reader"
+        serving = {
+            "queries": len(qterms),
+            "single_reader_sec": t_single,
+            "sharded_4_sec": t_sharded,
+        }
+        ray.shutdown()
+
     print(json.dumps({
         "cpus_lo": lo,
         "cpus_hi": hi,
@@ -334,6 +401,7 @@ def scaling() -> None:
         "scaling_efficiency": round(eff, 3),
         "docs": runs[hi]["docs"],
         "sf": runs[hi]["sf"],
+        "serving_sharded": serving,
     }))
 
 

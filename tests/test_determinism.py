@@ -98,3 +98,47 @@ def test_wand_prunes_on_skewed_terms(ray_session, tmp_path):
     np.testing.assert_allclose(sc_w, sc_b, rtol=0, atol=0)
     st = r.last_wand_stats
     assert st["chunks_decoded"] < st["chunks_total"], st
+
+
+def test_bm25_auto_selection(ray_session, tmp_path):
+    """bm25_topk_auto picks WAND exactly when idf contrast + volume make
+    pruning pay, and is result-identical to both scorers either way."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    n = 4000
+    texts = []
+    for i in range(n):
+        # 'common'/'filler' are vocab-uniform (similar large dfs);
+        # 'raregem' is the idf-contrast partner. Repeat rows so total
+        # df clears the auto path's volume floor.
+        t = "common filler words everywhere always " * 6
+        if i % 500 == 0:
+            t += " raregem"
+        texts.append(t)
+    table = pa.table(
+        {
+            "url": pa.array(["u://%06d" % i for i in range(n)]),
+            "html": pa.array([t.encode() for t in texts], pa.binary()),
+        }
+    )
+    cdir = tmp_path / "c"
+    cdir.mkdir()
+    pq.write_table(table, str(cdir / "p.parquet"))
+    out = str(tmp_path / "i")
+    build_index(str(cdir), out, num_buckets=4, chunk_size=64)
+    r = IndexReader(out)
+
+    for q, expect in (
+        (["raregem", "common"], "wand"),   # high df spread, big volume
+        (["common", "filler"], "brute"),   # uniform dfs -> no pruning
+        (["raregem"], "brute"),            # single term
+        (["nosuchterm", "common"], "brute"),  # absent term drops out
+    ):
+        ia, sa = r.bm25_topk_auto(q, 5, min_postings=1000)
+        assert r.last_scorer == expect, (q, r.last_scorer)
+        ib, sb = r.bm25_topk(q, 5)
+        iw, sw = r.bm25_topk_wand(q, 5)
+        assert ia.tolist() == ib.tolist() == iw.tolist(), q
+        np.testing.assert_allclose(sa, sb, rtol=0, atol=0)
+        np.testing.assert_allclose(sa, sw, rtol=0, atol=0)

@@ -375,6 +375,35 @@ class IndexReader:
         order = np.lexsort((ids, -scores))[:k]
         return ids[order], scores[order]
 
+    def bm25_topk_auto(self, terms: list[str], k: int = 10, *,
+                       min_postings: int = 65536):
+        """Pick the scorer from the query terms' df spread; rank- and
+        score-identical either way (both paths share the kernel and
+        accumulation order).
+
+        Block-max WAND only wins when pruning can fire — a rare
+        (high-idf) term must be able to push the kth-score threshold
+        above common terms' chunk upper bounds. On a vocab-uniform
+        query (all dfs similar) nothing ever prunes and WAND's window
+        bookkeeping is pure overhead (455 vs 371 ms/query at 1.5 M
+        docs, BASELINE.md), while on skewed queries WAND is ~2x faster.
+        Decision: WAND iff >= 2 matching terms, max_df/min_df >= 32
+        (idf contrast exists), and total df is big enough for pruning
+        to pay (> ``min_postings``; at fewer postings brute is
+        single-digit ms and never worth WAND's window bookkeeping). Sets ``last_scorer`` to the choice
+        ("wand"/"brute") for tests/diagnostics.
+        """
+        dfs = [d for d in (self.df(t) for t in set(terms)) if d > 0]
+        use_wand = (
+            len(dfs) >= 2
+            and max(dfs) >= 32 * min(dfs)
+            and sum(dfs) > min_postings
+        )
+        self.last_scorer = "wand" if use_wand else "brute"
+        if use_wand:
+            return self.bm25_topk_wand(terms, k)
+        return self.bm25_topk(terms, k)
+
     # -- block-max WAND -----------------------------------------------------
 
     def bm25_topk_wand(self, terms: list[str], k: int = 10):
