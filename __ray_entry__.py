@@ -170,6 +170,39 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def q_exact_dedup(sf_dir):
         return dedup.exact_dedup_groups(docs_ds(sf_dir))
 
+    def _mm_ids(sf_dir):
+        import ray.data
+
+        return ray.data.read_parquet(
+            os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"]
+        )
+
+    def q_multimodal_image(sf_dir):
+        # REAL decode round-trip: md5-derived pixels -> PNG encode in
+        # corpus -> actor-pool decode -> exact integer pixel sums
+        # (functions/multimodal.py tier 2; oracle computes the same sums
+        # straight from the md5 hex)
+        from textindex_ray.functions import multimodal as M
+
+        return (
+            _mm_ids(sf_dir)
+            .map_batches(M.md5_image_payload_batch, batch_format="pyarrow",
+                         batch_size=128)
+            .map_batches(M.ImageIntStats, concurrency=2,
+                         batch_format="pyarrow", batch_size=128)
+        )
+
+    def q_multimodal_audio(sf_dir):
+        from textindex_ray.functions import multimodal as M
+
+        return (
+            _mm_ids(sf_dir)
+            .map_batches(M.md5_audio_payload_batch, batch_format="pyarrow",
+                         batch_size=128)
+            .map_batches(M.AudioIntStats, concurrency=2,
+                         batch_format="pyarrow", batch_size=128)
+        )
+
     def q_simhash(sf_dir):
         return docs_ds(sf_dir).map_batches(dedup.simhash64_batch, batch_format="pyarrow")
 
@@ -493,14 +526,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_top_terms": q_top_terms,
         "term_cooccurrence": q_cooccurrence,
         "stratified_sample": q_stratified,
-        "lang_stats": q_lang_stats,
+        "multimodal_audio": q_multimodal_audio,
         "hash_split": q_hash_split,
         "doc_redact": q_redact,
         "length_quantiles": q_length_quantiles,
         "pack_bins": q_pack_bins,
         "common_token_score": q_common_score,
         "curate": q_curate,
-        "repetition": q_repetition,
+        "multimodal_image": q_multimodal_image,
         "doc_chunks": q_chunks,
         "select_budget": q_select_budget,
         "embedding_lsh_buckets": q_lsh_buckets,
@@ -516,6 +549,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_range_join": q_events_range_join,
         "events_funnel": q_events_funnel,
         "events_anomaly": q_events_anomaly,
+        "repetition": q_repetition,
+        "lang_stats": q_lang_stats,
         # --- driver grades only the FIRST 50 keys of this dict: the
         # entries below are ordered past the window deliberately —
         # sibling-covered SQL twins (doc_bm25_hash_join grades the same
@@ -879,6 +914,18 @@ FROM documents d LEFT JOIN per p ON d.doc_id = p.doc_id"""
     # (same-ts right rows match; among them the largest event_id wins)
     # trailing-window anomaly: rate vs the previous k present windows
     # (row-based frame skips gaps identically in both engines)
+    sql["multimodal_image"] = """
+WITH h AS (SELECT doc_id, md5(doc_id::VARCHAR) AS x FROM documents)
+SELECT doc_id, 8::BIGINT AS width, 8::BIGINT AS height,
+       4*(('0x'||substr(x,1,2))::BIGINT + ('0x'||substr(x,3,2))::BIGINT + ('0x'||substr(x,5,2))::BIGINT + ('0x'||substr(x,7,2))::BIGINT + ('0x'||substr(x,9,2))::BIGINT + ('0x'||substr(x,11,2))::BIGINT + ('0x'||substr(x,13,2))::BIGINT + ('0x'||substr(x,15,2))::BIGINT + ('0x'||substr(x,17,2))::BIGINT + ('0x'||substr(x,19,2))::BIGINT + ('0x'||substr(x,21,2))::BIGINT + ('0x'||substr(x,23,2))::BIGINT + ('0x'||substr(x,25,2))::BIGINT + ('0x'||substr(x,27,2))::BIGINT + ('0x'||substr(x,29,2))::BIGINT + ('0x'||substr(x,31,2))::BIGINT) AS px_sum
+FROM h"""
+
+    sql["multimodal_audio"] = """
+WITH h AS (SELECT doc_id, md5(doc_id::VARCHAR) AS x FROM documents)
+SELECT doc_id, 16::BIGINT AS n_samples, 1::BIGINT AS n_channels,
+       256*(('0x'||substr(x,1,2))::BIGINT + ('0x'||substr(x,3,2))::BIGINT + ('0x'||substr(x,5,2))::BIGINT + ('0x'||substr(x,7,2))::BIGINT + ('0x'||substr(x,9,2))::BIGINT + ('0x'||substr(x,11,2))::BIGINT + ('0x'||substr(x,13,2))::BIGINT + ('0x'||substr(x,15,2))::BIGINT + ('0x'||substr(x,17,2))::BIGINT + ('0x'||substr(x,19,2))::BIGINT + ('0x'||substr(x,21,2))::BIGINT + ('0x'||substr(x,23,2))::BIGINT + ('0x'||substr(x,25,2))::BIGINT + ('0x'||substr(x,27,2))::BIGINT + ('0x'||substr(x,29,2))::BIGINT + ('0x'||substr(x,31,2))::BIGINT) - 524288 AS samp_sum
+FROM h"""
+
     sql["events_anomaly"] = """
 WITH w AS (SELECT event_type,
                   (epoch_us(ts) // 3600000000)::BIGINT AS win,

@@ -684,6 +684,60 @@ def test_multimodal_decoder_import_guard(monkeypatch):
     assert pcm2.shape == (8,) and float(pcm2[0]) == 0.5  # channel downmix
 
 
+def test_multimodal_stdlib_tier_real_decode():
+    """Tier-2 REAL decode (no third-party libs): the built-in PNG codec
+    round-trips gray and RGB->luma exactly (all five scanline filters
+    covered by the codec unit checks in-module), stdlib WAV PCM16
+    round-trips int16-exact, and decode_image/decode_audio route PNG /
+    RIFF payloads to the real tier instead of the stub."""
+    from textindex_ray.functions import multimodal as mm
+
+    rng = np.random.default_rng(5)
+    img = rng.integers(0, 256, (11, 7)).astype(np.uint8)
+    png = mm.encode_png_gray(img)
+    assert png[:8] == b"\x89PNG\r\n\x1a\n"
+    back = mm.decode_image(png)  # routes to _decode_png (no PIL here)
+    assert back.dtype == np.float32 and (back == img).all()
+    # stub would have produced an 8x8 hash image — shape proves real tier
+    assert back.shape == (11, 7)
+
+    s = (rng.integers(0, 256, 33).astype(np.int32) * 256 - 32768).astype(np.int16)
+    wav = mm.encode_wav_pcm16(s, 8000)
+    data, sr = mm.decode_wav_pcm16(wav)
+    assert sr == 8000 and (data[:, 0] == s).all()
+    pcm = mm.decode_audio(wav, 16_000)  # routes to the wave tier
+    assert pcm.shape == (33,)
+    np.testing.assert_array_equal(pcm, s.astype(np.float32) / 32768.0)
+
+    # PIL-formula luma for RGB type-2 PNGs: build one by hand
+    import struct
+    import zlib
+
+    def chunk(t, d):
+        return (struct.pack(">I", len(d)) + t + d
+                + struct.pack(">I", zlib.crc32(t + d) & 0xFFFFFFFF))
+
+    rgb = rng.integers(0, 256, (4, 5, 3)).astype(np.uint8)
+    raw = b"".join(b"\x00" + rgb[y].tobytes() for y in range(4))
+    png_rgb = (b"\x89PNG\r\n\x1a\n"
+               + chunk(b"IHDR", struct.pack(">IIBBBBB", 5, 4, 8, 2, 0, 0, 0))
+               + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b""))
+    luma = mm.decode_image(png_rgb)
+    r64 = rgb.astype(np.int64)
+    want = ((19595 * r64[:, :, 0] + 38470 * r64[:, :, 1]
+             + 7471 * r64[:, :, 2] + 0x8000) >> 16)
+    assert (luma == want).all()
+
+    # graded-stage failure containment: corrupt payloads -> -1 rows
+    t = pa.table({"doc_id": pa.array([1, 2], pa.int64()),
+                  "payload": pa.array(
+                      [png, b"\x89PNG\r\n\x1a\ngarbage"], pa.binary()
+                  )})
+    r = mm.ImageIntStats()(t)
+    assert r.column("px_sum")[0].as_py() == int(img.astype(np.int64).sum())
+    assert r.column("px_sum")[1].as_py() == -1
+
+
 def test_dup_clusters_union_find_equivalence(ray_session):
     """dup_clusters == union-find ground truth on a random graph, a
     worst-diameter chain, and the empty pair list."""
