@@ -97,13 +97,20 @@ def _topk_reduce_ds(partials: "ray.data.Dataset", k: int) -> "ray.data.Dataset":
 
 
 def _topk_reduce(partials: "ray.data.Dataset", k: int) -> pa.Table:
-    """Table wrapper over :func:`_topk_reduce_ds` (grading / small
-    results): the collect is bounded by nq x k rows."""
-    tabs = [t for t in ray.get(_topk_reduce_ds(partials, k).to_arrow_refs())
-            if t.num_rows]
-    if not tabs:
-        return _EMPTY_KNN
-    return pa.concat_tables(tabs).combine_chunks()
+    """Driver-side final reduce for the Table form: collects the partial
+    candidates (bounded by blocks x (k+ties) x nq rows — per-block
+    top-k already ran inside score) and ranks in pandas. Semantically
+    identical to :func:`_topk_reduce_ds` (tested); the Dataset form
+    exists for parquet sinking at scale, but routing the small graded
+    result through two extra Ray shuffles costs seconds of scheduling
+    per call, so the wrapper keeps the one-pass collect."""
+    t = partials.to_pandas()
+    t = t.sort_values(["query_id", "cos", "vec_id"], ascending=[True, False, True])
+    t = t.groupby("query_id", sort=True).head(k).reset_index(drop=True)
+    t["cos_ppm"] = np.floor(t["cos"].to_numpy() * 1_000_000).astype(np.int64)
+    return pa.Table.from_pandas(
+        t[["query_id", "vec_id", "cos_ppm"]], preserve_index=False
+    )
 
 
 def _pair_cos_ppm(mn: np.ndarray, iu: np.ndarray, ju: np.ndarray) -> np.ndarray:
