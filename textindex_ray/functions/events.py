@@ -259,7 +259,10 @@ def window_distinct_users(
     swap the in-partition aggregate for a per-batch distinct-triple
     pre-collapse (same key routing, smaller exchange)."""
 
-    if ds.count() == 0:
+    from textindex_ray.functions._util import probe_count
+
+    ds, _n = probe_count(ds)
+    if _n == 0:
         return pa.table(
             {"event_type": pa.array([], pa.string()),
              "window": pa.array([], pa.int64()),
@@ -429,11 +432,14 @@ def funnel_stages(
             }
         )
 
+    from textindex_ray.functions._util import probe_count
+
     empty = pa.table(
         {"user_id": pa.array([], pa.int64()),
          "stage_reached": pa.array([], pa.int64())}
     )
-    if ds.count() == 0:
+    ds, _n = probe_count(ds)
+    if _n == 0:
         return empty
 
     def walk(g: pa.Table) -> pa.Table:

@@ -220,8 +220,11 @@ def shuffle_shards(
     kernel inside the group. Writers consume this as the shard/order
     manifest (one output file per shard => resumable export).
     """
+    from textindex_ray.functions._util import probe_count
+
     S = int(num_shards)
-    if ds.count() == 0:
+    ds, _shs_n = probe_count(ds)
+    if _shs_n == 0:
         return pa.table(
             {"doc_id": pa.array([], pa.int64()),
              "shard": pa.array([], pa.int64()),

@@ -71,7 +71,12 @@ def curate(
          "n_tokens": pa.array([], pa.int64()),
          **({"text": pa.array([], pa.string())} if keep_text else {})}
     )
-    if ds.count() == 0:
+    # lineage-safe probe: metadata count for bare reads, materialize-once
+    # for derived inputs (the count()-then-reconsume double execution)
+    from textindex_ray.functions._util import probe_count
+
+    ds, _n = probe_count(ds)
+    if _n == 0:
         return out_schema  # schema-preserving degenerate result
 
     keep_langs = frozenset(langs)
