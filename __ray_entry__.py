@@ -212,6 +212,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def q_ngram_pairs(sf_dir):
         return dedup.ngram_jaccard_pairs(docs_ds(sf_dir), k=5, min_ppm=200_000)
 
+    def q_decontaminate(sf_dir):
+        # eval-leakage gate: benchmark = the deterministic doc_id %% 37
+        # subset of the same table (no external data); exact distinct-
+        # shingle hit counts per doc (functions/dedup.py::decontaminate)
+        import numpy as _np
+
+        def _bench_filter(b):
+            ids = b.column("doc_id").to_numpy()
+            return b.filter(_pa.array(ids % 37 == 0))
+
+        import pyarrow as _pa
+
+        d = docs_ds(sf_dir)
+        bench = d.map_batches(_bench_filter, batch_format="pyarrow")
+        return dedup.decontaminate(d, bench, k=5)
+
     def _cluster_pairs(sf_dir):
         # tighter threshold than the pair query: clusters over >=0.5
         # Jaccard (the dedup-pipeline operating point)
@@ -534,7 +550,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "common_token_score": q_common_score,
         "curate": q_curate,
         "multimodal_image": q_multimodal_image,
-        "doc_chunks": q_chunks,
+        "decontaminate": q_decontaminate,
         "select_budget": q_select_budget,
         "embedding_lsh_buckets": q_lsh_buckets,
         "embedding_knn_graph": q_knn_graph,
@@ -549,6 +565,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_range_join": q_events_range_join,
         "events_funnel": q_events_funnel,
         "events_anomaly": q_events_anomaly,
+        "doc_chunks": q_chunks,
         "repetition": q_repetition,
         "lang_stats": q_lang_stats,
         # --- driver grades only the FIRST 50 keys of this dict: the
@@ -914,6 +931,26 @@ FROM documents d LEFT JOIN per p ON d.doc_id = p.doc_id"""
     # (same-ts right rows match; among them the largest event_id wins)
     # trailing-window anomaly: rate vs the previous k present windows
     # (row-based frame skips gaps identically in both engines)
+    sql["decontaminate"] = """
+WITH norm AS (SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
+              FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id, substr(t, i, 5) AS g
+  FROM (SELECT doc_id, t, unnest(range(1, greatest(length(t) - 3, 1))) AS i
+        FROM norm WHERE length(t) >= 5)
+  UNION
+  SELECT doc_id, t AS g FROM norm WHERE length(t) < 5 AND length(t) > 0),
+bench AS (SELECT DISTINCT g FROM sh WHERE doc_id % 37 = 0),
+hits AS (SELECT s.doc_id, count(b.g)::BIGINT AS n_hits, count(*)::BIGINT AS n
+         FROM sh s LEFT JOIN bench b ON s.g = b.g
+         GROUP BY s.doc_id)
+SELECT d.doc_id,
+       COALESCE(h.n_hits, 0)::BIGINT AS n_hits,
+       COALESCE(h.n, 0)::BIGINT AS n_shingles,
+       COALESCE(CASE WHEN h.n = 0 THEN 0
+                     ELSE (h.n_hits * 1000000) // h.n END, 0)::BIGINT AS hit_ppm
+FROM documents d LEFT JOIN hits h USING (doc_id)"""
+
     sql["multimodal_image"] = """
 WITH h AS (SELECT doc_id, md5(doc_id::VARCHAR) AS x FROM documents)
 SELECT doc_id, 8::BIGINT AS width, 8::BIGINT AS height,

@@ -357,37 +357,47 @@ def scaling() -> None:
         DataContext.get_current().enable_progress_bars = False
         from textindex_ray.query.batch_eval import (
             evaluate_queries,
+            evaluate_queries_doc_sharded,
             evaluate_queries_sharded,
         )
 
         qterms = [["alpha", "beta"], ["lorem", "ipsum"],
                   ["gamma", "delta", "epsilon"], ["zebra", "sphinx"],
                   ["haus", "baum", "wald"], ["maison", "arbre"],
-                  ["alpha"], ["quartz", "ipsum"]]
+                  ["alpha"], ["quartz", "ipsum"]] * 4
         qt = pa.table({
             "qid": pa.array(range(len(qterms)), pa.int32()),
-            "kind": pa.array(["bm25"] * len(qterms)),
+            "kind": pa.array(["bm25_topk"] * len(qterms)),
             "terms": pa.array(qterms, pa.list_(pa.string())),
             "k": pa.array([10] * len(qterms), pa.int32()),
         })
         qds = ray.data.from_arrow(qt)
+        # warm the worker pool untimed (fresh-session actor spin-up)
+        _ = {r["qid"] for r in evaluate_queries_doc_sharded(
+            idx, qds.limit(1), n_shards=4).iter_rows()}
         t0 = time.perf_counter()
         single = {r["qid"]: r for r in
                   evaluate_queries(idx, qds).iter_rows()}
         t_single = round(time.perf_counter() - t0, 3)
         t0 = time.perf_counter()
+        docsh = {r["qid"]: r for r in evaluate_queries_doc_sharded(
+            idx, qds, n_shards=4).iter_rows()}
+        t_doc = round(time.perf_counter() - t0, 3)
+        t0 = time.perf_counter()
         sharded = {r["qid"]: r for r in
                    evaluate_queries_sharded(idx, qds, n_shards=4).iter_rows()}
-        t_sharded = round(time.perf_counter() - t0, 3)
-        assert all(
-            list(single[q]["doc_ids"]) == list(sharded[q]["doc_ids"])
-            and list(single[q]["scores"]) == list(sharded[q]["scores"])
-            for q in single
-        ), "sharded eval != single reader"
+        t_term = round(time.perf_counter() - t0, 3)
+        for name, got in (("doc", docsh), ("term", sharded)):
+            assert all(
+                list(single[q]["doc_ids"]) == list(got[q]["doc_ids"])
+                and list(single[q]["scores"]) == list(got[q]["scores"])
+                for q in single
+            ), "%s-sharded eval != single reader" % name
         serving = {
             "queries": len(qterms),
             "single_reader_sec": t_single,
-            "sharded_4_sec": t_sharded,
+            "doc_sharded_4_sec": t_doc,
+            "term_sharded_4_sec": t_term,
         }
         ray.shutdown()
 

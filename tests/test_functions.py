@@ -1809,3 +1809,43 @@ def test_sampled_bounds_balance_skewed_ids(ray_session):
     excl = np.cumsum(sizes[order]) - sizes[order]
     want = excl // 100
     assert got["bin_id"].to_numpy().tolist() == want.tolist()
+
+
+def test_decontaminate_paths_agree(ray_session):
+    """Broadcast and partitioned decontamination plans are bit-identical
+    (incl. zero-shingle docs emitting 0/0/0), and counts match a direct
+    per-doc set-intersection ground truth."""
+    import ray.data
+    from textindex_ray.functions.dedup import _shingles, decontaminate
+
+    rng = np.random.default_rng(13)
+    words = ["alpha", "beta", "gamma", "delta", "zzz", "leak", "probe"]
+    rows = []
+    for i in range(120):
+        n = int(rng.integers(0, 12))
+        rows.append({"doc_id": i, "text": " ".join(rng.choice(words, n))})
+    rows.append({"doc_id": 900, "text": ""})      # zero-shingle doc
+    rows.append({"doc_id": 901, "text": "abc"})   # short-text single shingle
+    ds = ray.data.from_items(rows)
+    bench_rows = [r for r in rows if r["doc_id"] % 7 == 0]
+    bench = ray.data.from_items(bench_rows)
+
+    a = (
+        decontaminate(ds, bench, k=5)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    b = (
+        decontaminate(ds, bench, k=5, bench_broadcast_limit=3)  # force partitioned
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    assert a.equals(b), (a.compare(b) if len(a) == len(b) else (len(a), len(b)))
+
+    bset = set()
+    for r in bench_rows:
+        bset |= _shingles(r["text"], 5)
+    got = dict(zip(a.doc_id, zip(a.n_hits, a.n_shingles, a.hit_ppm)))
+    assert len(got) == len(rows)
+    for r in rows:
+        sh = _shingles(r["text"], 5)
+        h, n = sum(1 for g in sh if g in bset), len(sh)
+        assert got[r["doc_id"]] == (h, n, (h * 1_000_000) // n if n else 0), r

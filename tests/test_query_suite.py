@@ -115,3 +115,69 @@ def test_suite_sharded_identical(suite):
                 got[qid]["scores"], base[qid]["scores"], rtol=0, atol=0,
                 err_msg=str((n_shards, seg, qid)),
             )
+
+
+def test_suite_doc_sharded_identical(suite):
+    """Doc-range-sharded evaluation (the serving partition) ==
+    full-index evaluation, rank AND float64 score identical: each doc's
+    complete score is computed inside one shard with global stats, so
+    the k-row-per-shard merge is exact. Several shard counts, incl. 1."""
+    import ray.data
+
+    from textindex_ray.query.batch_eval import (
+        evaluate_queries,
+        evaluate_queries_doc_sharded,
+    )
+
+    index_path, oracle = suite
+    qds = ray.data.from_arrow(queries_table())
+    base = {r["qid"]: r for r in evaluate_queries(index_path, qds).iter_rows()}
+    for n_shards in (1, 3, 8):
+        got = {
+            r["qid"]: r
+            for r in evaluate_queries_doc_sharded(
+                index_path, qds, n_shards=n_shards
+            ).iter_rows()
+        }
+        assert set(got) == set(base), n_shards
+        for qid in base:
+            assert got[qid]["doc_ids"] == base[qid]["doc_ids"], (n_shards, qid)
+            np.testing.assert_allclose(
+                got[qid]["scores"], base[qid]["scores"], rtol=0, atol=0,
+                err_msg=str((n_shards, qid)),
+            )
+
+
+def test_doc_sharded_with_tombstones(suite, tmp_path):
+    """Doc-sharded evaluation respects tombstones identically (mask
+    applies inside every shard's reader)."""
+    import shutil
+
+    import ray.data
+
+    from textindex_ray.index.delete import delete_docs
+    from textindex_ray.query.batch_eval import (
+        evaluate_queries,
+        evaluate_queries_doc_sharded,
+    )
+    from textindex_ray.query.engine import IndexReader
+
+    index_path, _ = suite
+    idx = str(tmp_path / "idx_tomb_ds")
+    shutil.copytree(index_path, idx)
+    r = IndexReader(idx)
+    victims = r.urls_for(r.find(["alpha"])[:3])
+    for u in victims:
+        assert delete_docs(idx, u) == 1
+
+    qds = ray.data.from_arrow(queries_table())
+    base = {r2["qid"]: r2 for r2 in evaluate_queries(idx, qds).iter_rows()}
+    shard = {
+        r2["qid"]: r2
+        for r2 in evaluate_queries_doc_sharded(idx, qds, n_shards=3).iter_rows()
+    }
+    for qid in base:
+        assert shard[qid]["doc_ids"] == base[qid]["doc_ids"], qid
+        np.testing.assert_allclose(
+            shard[qid]["scores"], base[qid]["scores"], rtol=0, atol=0
+        )

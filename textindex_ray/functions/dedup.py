@@ -1321,3 +1321,190 @@ def tf_cosine_pairs(
         )
 
     return j2.map_batches(finish_joined, batch_format="pyarrow")
+
+
+def decontaminate(
+    ds: "ray.data.Dataset",
+    bench: "ray.data.Dataset",
+    *,
+    k: int = 5,
+    num_partitions: int = 32,
+    bench_broadcast_limit: int = 4_000_000,
+) -> "ray.data.Dataset":
+    """Benchmark decontamination: per training document, the EXACT count
+    of its distinct char k-shingles that appear anywhere in the
+    benchmark set — the eval-leakage gate of a training-data pipeline.
+    Output (doc_id, n_hits, n_shingles, hit_ppm) for EVERY input doc
+    (zero-shingle docs emit 0/0/0); hit_ppm = n_hits*1e6 // n_shingles.
+    All-integer, so the SQL oracle (shingle CTE + LEFT JOIN on the
+    benchmark's distinct shingles) matches bit-for-bit.
+
+    Two plans, picked by benchmark size:
+
+    - broadcast (eval sets are small — the common case): the
+      benchmark's distinct shingles are streamed into one driver set,
+      ``ray.put`` once, and each doc batch counts membership locally —
+      one pass over each side, no shuffle. EXACT byte-string
+      membership, not hashes: a 64-bit hash collision would inflate a
+      count and break oracle identity.
+    - partitioned (benchmark above ``bench_broadcast_limit`` shingles):
+      both sides explode to (g, part=crc32(g)%P) rows (doc side keeps
+      doc_id; zero-shingle docs emit one PAD row so they surface in the
+      output); groupby(part) builds the partition's benchmark set and
+      emits per-doc (hits, total) partials; a second doc-hash
+      groupby sums partials. Two coarse shuffles, no driver state —
+      the 100-TB shape. Bit-identical to the broadcast path (pytest).
+    """
+    import zlib
+
+    out_schema = pa.table(
+        {"doc_id": pa.array([], pa.int64()),
+         "n_hits": pa.array([], pa.int64()),
+         "n_shingles": pa.array([], pa.int64()),
+         "hit_ppm": pa.array([], pa.int64())}
+    )
+    from textindex_ray.functions._util import probe_count
+
+    ds, n_docs = probe_count(ds)
+    if n_docs == 0:
+        return out_schema
+    P = int(num_partitions)
+
+    def bench_shingles(batch: pa.Table) -> pa.Table:
+        out: set = set()
+        for t in batch.column("text").to_pylist():
+            out |= _shingles(t, k)
+        return pa.table({"g": pa.array(sorted(out), pa.binary())})
+
+    bset: set = set()
+    too_big = False
+    for bt in bench.map_batches(
+        bench_shingles, batch_format="pyarrow"
+    ).iter_batches(batch_format="pyarrow"):
+        bset.update(bt.column("g").to_pylist())
+        if len(bset) > bench_broadcast_limit:
+            too_big = True
+            break
+
+    if not too_big:
+        ref = ray.put(bset)
+
+        def count_hits(batch: pa.Table) -> pa.Table:
+            bs = ray.get(ref)
+            ids, hits, tot, ppm = [], [], [], []
+            for d, t in zip(
+                batch.column("doc_id").to_pylist(),
+                batch.column("text").to_pylist(),
+            ):
+                sh = _shingles(t, k)
+                h = sum(1 for g in sh if g in bs)
+                n = len(sh)
+                ids.append(d)
+                hits.append(h)
+                tot.append(n)
+                ppm.append((h * 1_000_000) // n if n else 0)
+            return pa.table(
+                {"doc_id": pa.array(ids, pa.int64()),
+                 "n_hits": pa.array(hits, pa.int64()),
+                 "n_shingles": pa.array(tot, pa.int64()),
+                 "hit_ppm": pa.array(ppm, pa.int64())}
+            )
+
+        return ds.select_columns(["doc_id", "text"]).map_batches(
+            count_hits, batch_format="pyarrow"
+        )
+
+    # partitioned path: explode both sides, membership inside partitions
+    del bset
+
+    def explode_docs(batch: pa.Table) -> pa.Table:
+        out_d, out_g, out_p, out_pad = [], [], [], []
+        for d, t in zip(
+            batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
+        ):
+            sh = _shingles(t, k)
+            if not sh:
+                # PAD row: zero-shingle docs must still reach a
+                # partition to emit their (0, 0) partial
+                out_d.append(d)
+                out_g.append(b"")
+                out_p.append(0)
+                out_pad.append(True)
+                continue
+            out_d.extend([d] * len(sh))
+            out_g.extend(sh)
+            out_p.extend(zlib.crc32(s) % P for s in sh)
+            out_pad.extend([False] * len(sh))
+        return pa.table(
+            {"doc_id": pa.array(out_d, pa.int64()),
+             "g": pa.array(out_g, pa.binary()),
+             "part": pa.array(out_p, pa.int32()),
+             "pad": pa.array(out_pad, pa.bool_()),
+             "side": pa.array([0] * len(out_d), pa.int8())}
+        )
+
+    def explode_bench(batch: pa.Table) -> pa.Table:
+        out: set = set()
+        for t in batch.column("text").to_pylist():
+            out |= _shingles(t, k)
+        gs = sorted(out)
+        return pa.table(
+            {"doc_id": pa.array([-1] * len(gs), pa.int64()),
+             "g": pa.array(gs, pa.binary()),
+             "part": pa.array([zlib.crc32(s) % P for s in gs], pa.int32()),
+             "pad": pa.array([False] * len(gs), pa.bool_()),
+             "side": pa.array([1] * len(gs), pa.int8())}
+        )
+
+    tagged = ds.select_columns(["doc_id", "text"]).map_batches(
+        explode_docs, batch_format="pyarrow"
+    ).union(bench.map_batches(explode_bench, batch_format="pyarrow"))
+
+    def part_partials(g: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        side = g.column("side").to_numpy()
+        bench_set = set(g.filter(pa.array(side == 1)).column("g").to_pylist())
+        dd = g.filter(pa.array(side == 0))
+        ids = dd.column("doc_id").to_numpy()
+        pads = dd.column("pad").to_numpy(zero_copy_only=False)
+        gs = dd.column("g").to_pylist()
+        hit = np.fromiter(
+            (gg in bench_set for gg in gs), np.int64, len(gs)
+        ) if len(gs) else np.empty(0, np.int64)
+        tot = (~pads).astype(np.int64)
+        hit = hit * tot  # pad rows count nothing
+        t = pa.table(
+            {"doc_id": pa.array(ids, pa.int64()),
+             "h": pa.array(hit, pa.int64()),
+             "n": pa.array(tot, pa.int64())}
+        ).group_by(["doc_id"]).aggregate([("h", "sum"), ("n", "sum")])
+        ids2 = t.column("doc_id").to_numpy().astype(np.uint64)
+        dpart = (
+            (ids2 * np.uint64(0x9E3779B97F4A7C15)) % np.uint64(P)
+        ).astype(np.int32)
+        return pa.table(
+            {"doc_id": t.column("doc_id").cast(pa.int64()),
+             "h": t.column("h_sum").cast(pa.int64()),
+             "n": t.column("n_sum").cast(pa.int64()),
+             "dpart": pa.array(dpart, pa.int32())}
+        )
+
+    def doc_sum(g: pa.Table) -> pa.Table:
+        t = g.group_by(["doc_id"]).aggregate([("h", "sum"), ("n", "sum")])
+        h = t.column("h_sum").to_numpy().astype(np.int64)
+        n = t.column("n_sum").to_numpy().astype(np.int64)
+        ppm = np.where(n > 0, (h * 1_000_000) // np.maximum(n, 1), 0)
+        return pa.table(
+            {"doc_id": t.column("doc_id").cast(pa.int64()),
+             "n_hits": pa.array(h, pa.int64()),
+             "n_shingles": pa.array(n, pa.int64()),
+             "hit_ppm": pa.array(ppm, pa.int64())}
+        )
+
+    return (
+        tagged.groupby("part")
+        .map_groups(part_partials, batch_format="pyarrow")
+        .groupby("dpart")
+        .map_groups(doc_sum, batch_format="pyarrow")
+    )

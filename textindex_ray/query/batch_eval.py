@@ -114,6 +114,28 @@ _PARTIAL_SCHEMA = {
 }
 
 
+def _np_list_array(chunks: list, np_dtype, pa_type) -> pa.ListArray:
+    """list<pa_type> column from per-row numpy arrays without Python
+    per-element conversion."""
+    lens = np.fromiter((c.size for c in chunks), np.int64, len(chunks))
+    offs = np.concatenate(([0], np.cumsum(lens)))
+    vals = (
+        np.concatenate(chunks) if chunks else np.empty(0, np_dtype)
+    ).astype(np_dtype, copy=False)
+    return pa.ListArray.from_arrays(
+        pa.array(offs, pa.int32()), pa.array(vals, pa_type)
+    )
+
+
+def _list_col_slices(col) -> tuple[np.ndarray, np.ndarray]:
+    """(offsets, values) numpy views of a list column — row i is
+    values[offsets[i]:offsets[i+1]]."""
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    offs = np.asarray(arr.offsets)
+    vals = arr.values.to_numpy(zero_copy_only=False)
+    return offs, vals
+
+
 def _empty_partials() -> pa.Table:
     return pa.table({n: pa.array([], t) for n, t in _PARTIAL_SCHEMA.items()})
 
@@ -151,7 +173,11 @@ def evaluate_queries_sharded(
 
         shard = int(g.column("shard")[0].as_py())
         reader = IndexReader(index_path, term_range=bounds[shard])
-        rows = {n: [] for n in _PARTIAL_SCHEMA}
+        rows = {n: [] for n in _PARTIAL_SCHEMA if n not in ("doc_ids", "scores")}
+        id_chunks: list = []
+        sc_chunks: list = []
+        _E_IDS = np.empty(0, np.uint64)
+        _E_SC = np.empty(0, np.float64)
 
         def emit(qid, kind, k, npat, pidx, term, ids, scores):
             rows["qid"].append(qid)
@@ -160,14 +186,17 @@ def evaluate_queries_sharded(
             rows["npat"].append(npat)
             rows["pidx"].append(pidx)
             rows["term"].append(term)
-            rows["doc_ids"].append([int(i) for i in ids])
-            rows["scores"].append([float(s) for s in scores])
+            id_chunks.append(np.asarray(ids, np.uint64))
+            sc_chunks.append(np.asarray(scores, np.float64))
 
         # bound each partial row's payload: a huge-df term's postings
         # split into SEG-sized rows instead of one giant list cell (the
         # reduce re-orders by (term, first doc), and each doc appears
         # exactly once per term, so chunking is float-identical)
         SEG = segment_size
+        # per-batch term cache: serving batches repeat hot terms across
+        # queries; score each term ONCE per shard task
+        tcache: dict = {}
 
         ks = g.column("k").to_pylist() if "k" in g.column_names else [10] * g.num_rows
         for qid, kind, terms, k in zip(
@@ -177,26 +206,36 @@ def evaluate_queries_sharded(
             if shard == 0:
                 # presence marker: a query whose every pattern/term is
                 # empty must still produce an (empty) output row
-                emit(qid, kind, k, len(terms), -2, "", [], [])
+                emit(qid, kind, k, len(terms), -2, "", _E_IDS, _E_SC)
             if kind in ("term_and", "wildcard_and"):
                 for pidx, pat in enumerate(terms):
-                    ids = reader.doc_set(pat)
+                    if ("set", pat) not in tcache:
+                        tcache[("set", pat)] = reader.doc_set(pat)
+                    ids = tcache[("set", pat)]
                     for s in range(0, ids.size, SEG):
                         emit(qid, kind, k, len(terms), pidx, "",
-                             ids[s : s + SEG], [])
+                             ids[s : s + SEG], _E_SC)
             elif kind == "bm25_topk":
                 for t in sorted(set(terms)):
-                    ids, sc = reader._term_scores(t)
+                    if ("bm", t) not in tcache:
+                        tcache[("bm", t)] = reader._term_scores(t)
+                    ids, sc = tcache[("bm", t)]
                     for s in range(0, ids.size, SEG):
                         emit(qid, kind, k, 0, -1, t,
                              ids[s : s + SEG], sc[s : s + SEG])
             elif kind == "file_glob" and shard == 0:
                 urls = reader.find_files(terms[0] if terms else "*")
-                emit(qid, kind, k, 0, -1, "", [], [float(len(urls))])
+                emit(qid, kind, k, 0, -1, "", _E_IDS,
+                     np.array([float(len(urls))]))
         if not rows["qid"]:
             return _empty_partials()
-        return pa.table({n: pa.array(v, t) for (n, t), v in
-                         zip(_PARTIAL_SCHEMA.items(), rows.values())})
+        # vectorized list-column build: offsets over concatenated numpy
+        # values (the old per-element [int(i) for i in ids] conversion
+        # cost seconds per heavy term)
+        out = {n: pa.array(v, _PARTIAL_SCHEMA[n]) for n, v in rows.items()}
+        out["doc_ids"] = _np_list_array(id_chunks, np.uint64, pa.uint64())
+        out["scores"] = _np_list_array(sc_chunks, np.float64, pa.float64())
+        return pa.table({n: out[n] for n in _PARTIAL_SCHEMA})
 
     partials = expanded.groupby("shard").map_groups(eval_shard, batch_format="pyarrow")
 
@@ -204,59 +243,202 @@ def evaluate_queries_sharded(
         qid = int(g.column("qid")[0].as_py())
         kind = g.column("kind")[0].as_py()
         k = int(g.column("k")[0].as_py())
+        id_offs, id_vals = _list_col_slices(g.column("doc_ids"))
+        id_vals = id_vals.astype(np.uint64, copy=False)
         if kind in ("term_and", "wildcard_and"):
             npat = int(g.column("npat")[0].as_py())
-            per_pat = {i: [] for i in range(npat)}
-            for pidx, ids in zip(g.column("pidx").to_pylist(),
-                                 g.column("doc_ids").to_pylist()):
-                if pidx >= 0:
-                    per_pat[int(pidx)].append(np.array(ids, dtype=np.uint64))
+            pidxs = g.column("pidx").to_numpy()
             result = None
             for i in range(npat):
-                s = (np.unique(np.concatenate(per_pat[i]))
-                     if per_pat[i] else np.empty(0, np.uint64))
+                rows_i = np.flatnonzero(pidxs == i)
+                parts = [id_vals[id_offs[r]:id_offs[r + 1]] for r in rows_i]
+                s = (np.unique(np.concatenate(parts))
+                     if parts else np.empty(0, np.uint64))
                 result = s if result is None else np.intersect1d(
                     result, s, assume_unique=True)
             ids = result if result is not None else np.empty(0, np.uint64)
-            out_ids, out_sc = [int(i) for i in ids], [0.0] * int(ids.size)
+            out_ids, out_sc = ids, np.zeros(ids.size, np.float64)
         elif kind == "bm25_topk":
             # replay the exact term-at-a-time accumulation: order rows by
             # (term, first doc of the row) — shards own contiguous sorted
             # term ranges and segments of one term are docID-ordered, so
             # this reconstructs the global sorted-unique-term order
-            def row_key(i):
-                ids_i = g.column("doc_ids")[i].as_py()
-                return (g.column("term")[i].as_py(), ids_i[0] if ids_i else 0)
-
-            order = sorted(range(g.num_rows), key=row_key)
-            per_term = [
-                (np.array(g.column("doc_ids")[i].as_py(), dtype=np.uint64),
-                 np.array(g.column("scores")[i].as_py(), dtype=np.float64))
-                for i in order
+            sc_offs, sc_vals = _list_col_slices(g.column("scores"))
+            terms_l = g.column("term").to_pylist()
+            first_doc = [
+                int(id_vals[id_offs[i]]) if id_offs[i + 1] > id_offs[i] else 0
+                for i in range(g.num_rows)
             ]
-            if per_term:
-                uids = np.unique(np.concatenate([i for i, _ in per_term]))
+            order = sorted(range(g.num_rows),
+                           key=lambda i: (terms_l[i], first_doc[i]))
+            nonempty = [i for i in order if id_offs[i + 1] > id_offs[i]]
+            if nonempty:
+                uids = np.unique(np.concatenate(
+                    [id_vals[id_offs[i]:id_offs[i + 1]] for i in nonempty]
+                ))
                 totals = np.zeros(uids.size, np.float64)
-                for ids_a, sc_a in per_term:
+                for i in nonempty:
+                    ids_a = id_vals[id_offs[i]:id_offs[i + 1]]
+                    sc_a = sc_vals[sc_offs[i]:sc_offs[i + 1]]
                     totals[np.searchsorted(uids, ids_a)] += sc_a
                 sel = np.lexsort((uids, -totals))[:k]
-                out_ids = [int(i) for i in uids[sel]]
-                out_sc = [float(s) for s in totals[sel]]
+                out_ids, out_sc = uids[sel], totals[sel]
             else:
-                out_ids, out_sc = [], []
+                out_ids = np.empty(0, np.uint64)
+                out_sc = np.empty(0, np.float64)
         else:  # file_glob: the real result row carries pidx == -1
-            out_ids = []
-            out_sc = [0.0]
+            sc_offs, sc_vals = _list_col_slices(g.column("scores"))
+            out_ids = np.empty(0, np.uint64)
+            out_sc = np.array([0.0])
             for i, pidx in enumerate(g.column("pidx").to_pylist()):
                 if pidx == -1:
-                    out_sc = list(g.column("scores")[i].as_py())
+                    out_sc = sc_vals[sc_offs[i]:sc_offs[i + 1]]
                     break
         return pa.table(
             {
                 "qid": pa.array([qid], pa.int32()),
-                "doc_ids": pa.array([out_ids], pa.list_(pa.uint64())),
-                "scores": pa.array([out_sc], pa.list_(pa.float64())),
+                "doc_ids": _np_list_array(
+                    [np.asarray(out_ids, np.uint64)], np.uint64, pa.uint64()),
+                "scores": _np_list_array(
+                    [np.asarray(out_sc, np.float64)], np.float64, pa.float64()),
             }
         )
 
     return partials.groupby("qid").map_groups(reduce_q, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# doc-range sharded evaluation (the SERVING partition)
+
+
+def doc_shard_boundaries(index_path: str, n_shards: int) -> list[tuple[int, int]]:
+    """Cut the docID space into n contiguous [lo, hi) ranges on bucket
+    boundaries (docIDs are bucket << bucket_shift | rank, so bucket
+    ranges are docID ranges; md5-bucket assignment makes them
+    count-uniform)."""
+    import json
+    import os
+
+    with open(os.path.join(index_path, "meta.json")) as f:
+        meta = json.load(f)
+    nb = int(meta.get("num_buckets", 64))
+    shift = int(meta.get("bucket_shift", 36))
+    n_shards = max(1, min(n_shards, nb))
+    step = (nb + n_shards - 1) // n_shards
+    out = []
+    for b in range(0, nb, step):
+        hi_b = min(b + step, nb)
+        out.append((b << shift, hi_b << shift))
+    return out
+
+
+def evaluate_queries_doc_sharded(
+    index_path: str, queries: "ray.data.Dataset", *, n_shards: int = 4,
+) -> "ray.data.Dataset":
+    """Doc-range-sharded evaluation — the cluster SERVING partition,
+    rank- and score-identical to evaluate_queries.
+
+    Unlike the term-range shard (which must ship full per-term posting
+    scores so the reduce can replay the accumulation — O(postings)
+    exchange), a doc shard computes every one of its docs' COMPLETE
+    BM25 sums locally with GLOBAL dictionary stats (df/idf/avgdl are
+    corpus-wide regardless of the shard), so:
+
+    - bm25_topk: per-shard exact top-k -> merge = lexsort over
+      n_shards x k rows. Exact because per-doc scores are shard-local
+      and the global (score desc, doc_id asc) selection over the union
+      of complete per-shard top-ks equals the unsharded selection.
+    - term_and / wildcard_and: per-shard AND result; ranges are
+      disjoint, so the merge is a concatenation + sort.
+    - file_glob: url surface is not doc-sharded; shard 0 answers.
+
+    The exchange is O(n_shards x k) per query — this is the shape that
+    serves 10^12 docs; use evaluate_queries_sharded only when the
+    DICTIONARY itself outgrows one node.
+    """
+    bounds = doc_shard_boundaries(index_path, n_shards)
+
+    def explode(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        idx = np.repeat(np.arange(n), len(bounds))
+        shard = np.tile(np.arange(len(bounds), dtype=np.int32), n)
+        out = batch.take(pa.array(idx))
+        return out.append_column("shard", pa.array(shard, pa.int32()))
+
+    expanded = queries.map_batches(explode, batch_format="pyarrow")
+
+    def eval_shard(g: pa.Table) -> pa.Table:
+        from textindex_ray.query.engine import IndexReader
+
+        shard = int(g.column("shard")[0].as_py())
+        reader = IndexReader(index_path, doc_range=bounds[shard])
+        rows = {"qid": [], "kind": [], "k": []}
+        id_chunks: list = []
+        sc_chunks: list = []
+        ks = g.column("k").to_pylist() if "k" in g.column_names else [10] * g.num_rows
+        for qid, kind, terms, k in zip(
+            g.column("qid").to_pylist(), g.column("kind").to_pylist(),
+            g.column("terms").to_pylist(), ks,
+        ):
+            if kind == "bm25_topk":
+                ids, sc = reader.bm25_topk(list(terms), int(k) or 10)
+            elif kind in ("term_and", "wildcard_and"):
+                ids = reader.find(list(terms))
+                sc = np.zeros(ids.size, np.float64)
+            elif kind == "file_glob":
+                if shard != 0:
+                    continue
+                urls = reader.find_files(terms[0] if terms else "*")
+                ids = np.empty(0, np.uint64)
+                sc = np.array([float(len(urls))])
+            else:
+                ids = np.empty(0, np.uint64)
+                sc = np.empty(0, np.float64)
+            rows["qid"].append(qid)
+            rows["kind"].append(kind)
+            rows["k"].append(int(k) if k is not None else 10)
+            id_chunks.append(np.asarray(ids, np.uint64))
+            sc_chunks.append(np.asarray(sc, np.float64))
+        return pa.table(
+            {
+                "qid": pa.array(rows["qid"], pa.int32()),
+                "kind": pa.array(rows["kind"], pa.string()),
+                "k": pa.array(rows["k"], pa.int32()),
+                "doc_ids": _np_list_array(id_chunks, np.uint64, pa.uint64()),
+                "scores": _np_list_array(sc_chunks, np.float64, pa.float64()),
+            }
+        )
+
+    partials = expanded.groupby("shard").map_groups(
+        eval_shard, batch_format="pyarrow"
+    )
+
+    def merge_q(g: pa.Table) -> pa.Table:
+        qid = int(g.column("qid")[0].as_py())
+        kind = g.column("kind")[0].as_py()
+        k = int(g.column("k")[0].as_py())
+        id_offs, id_vals = _list_col_slices(g.column("doc_ids"))
+        sc_offs, sc_vals = _list_col_slices(g.column("scores"))
+        id_vals = id_vals.astype(np.uint64, copy=False)
+        if kind == "bm25_topk":
+            ids = id_vals
+            sc = sc_vals
+            sel = np.lexsort((ids, -sc))[:k]
+            out_ids, out_sc = ids[sel], sc[sel]
+        elif kind in ("term_and", "wildcard_and"):
+            out_ids = np.sort(id_vals)  # ranges disjoint: concat + sort
+            out_sc = np.zeros(out_ids.size, np.float64)
+        else:  # file_glob
+            out_ids = np.empty(0, np.uint64)
+            out_sc = sc_vals if sc_vals.size else np.array([0.0])
+        return pa.table(
+            {
+                "qid": pa.array([qid], pa.int32()),
+                "doc_ids": _np_list_array(
+                    [np.asarray(out_ids, np.uint64)], np.uint64, pa.uint64()),
+                "scores": _np_list_array(
+                    [np.asarray(out_sc, np.float64)], np.float64, pa.float64()),
+            }
+        )
+
+    return partials.groupby("qid").map_groups(merge_q, batch_format="pyarrow")

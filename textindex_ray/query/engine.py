@@ -58,17 +58,32 @@ _PRELOAD_LIMIT = 512 * 1024 * 1024  # in-memory chunk table below this size
 
 class IndexReader:
     def __init__(self, index_path: str, preload: bool | None = None,
-                 term_range: tuple[str, str] | None = None):
+                 term_range: tuple[str, str] | None = None,
+                 doc_range: tuple[int, int] | None = None):
         """preload=None (auto): hold the whole chunk table in memory when
         the index is small (fast repeated queries); large indexes use
         parquet predicate pushdown per term instead (row groups are
         (term, doc)-sorted, so pruning applies). At cluster scale the
-        reader is sharded across serving actors, one term-range each:
-        term_range=(lo, hi) restricts the dictionary and chunk table to
-        lo <= term < hi (hi=None means open-ended) — see
-        query/batch_eval.py::evaluate_queries_sharded."""
+        reader is sharded across serving actors:
+
+        - term_range=(lo, hi): dictionary + chunk slice restricted to
+          lo <= term < hi (hi=None open-ended) — the dictionary-size
+          shard (query/batch_eval.py::evaluate_queries_sharded).
+        - doc_range=(lo, hi): postings restricted to lo <= doc_id < hi
+          — the SERVING shard (evaluate_queries_doc_sharded): every
+          doc's full score is computed inside one shard with global
+          stats, so per-shard top-k merge is exact and only k rows per
+          shard ever move. Chunk pruning uses the stored
+          (first_doc, last_doc) ranges; decoded ids are masked at the
+          edges. find_files/docmap stay global (url surface is not
+          doc-sharded).
+        """
         self.path = index_path
         self.term_range = term_range
+        self.doc_range = (
+            (np.uint64(doc_range[0]), np.uint64(doc_range[1]))
+            if doc_range is not None else None
+        )
         with open(os.path.join(index_path, "meta.json")) as f:
             self.meta = json.load(f)
         self.k1 = float(self.meta["k1"])
@@ -120,12 +135,19 @@ class IndexReader:
         idx_data = os.path.join(index_path, "index", "data")
         self._chunks = pads.dataset(idx_data)
         if preload is None:
-            size = sum(
-                os.path.getsize(os.path.join(idx_data, f))
-                for f in os.listdir(idx_data)
-                if f.endswith(".parquet")
-            )
-            preload = size < _PRELOAD_LIMIT
+            if term_range is not None or doc_range is not None:
+                # a term-range shard exists precisely so its slice fits
+                # in memory (the serving design: shards are sized by
+                # raising n_shards until they do) — preload the slice,
+                # not a pushdown-per-term scan of 1/n of the index
+                preload = True
+            else:
+                size = sum(
+                    os.path.getsize(os.path.join(idx_data, f))
+                    for f in os.listdir(idx_data)
+                    if f.endswith(".parquet")
+                )
+                preload = size < _PRELOAD_LIMIT
         self._mem = None
         if preload:
             flt = None
@@ -134,6 +156,11 @@ class IndexReader:
                 flt = pc.field("term") >= lo
                 if hi is not None:
                     flt = flt & (pc.field("term") < hi)
+            if self.doc_range is not None:
+                dlo, dhi = self.doc_range
+                # chunks are doc-disjoint per term: keep overlapping ones
+                dflt = (pc.field("last_doc") >= dlo) & (pc.field("first_doc") < dhi)
+                flt = dflt if flt is None else (flt & dflt)
             t = self._chunks.to_table(filter=flt)
             t = t.take(pc.sort_indices(t, [("term", "ascending"), ("first_doc", "ascending")]))
             self._mem = t
@@ -223,8 +250,21 @@ class IndexReader:
             if not parts:
                 return self._mem.slice(0, 0)
             return pa.concat_tables(parts)
-        t = self._chunks.to_table(filter=pc.field("term").isin(terms))
+        flt = pc.field("term").isin(terms)
+        if self.doc_range is not None:
+            dlo, dhi = self.doc_range
+            flt = flt & (pc.field("last_doc") >= dlo) & (pc.field("first_doc") < dhi)
+        t = self._chunks.to_table(filter=flt)
         return t.take(pc.sort_indices(t, [("term", "ascending"), ("first_doc", "ascending")]))
+
+    def _range_mask(self, ids: np.ndarray):
+        """Bool mask of in-doc_range ids (edge chunks span the range
+        boundary), or None when unsharded / nothing to trim."""
+        if self.doc_range is None or ids.size == 0:
+            return None
+        lo, hi = self.doc_range
+        m = (ids >= lo) & (ids < hi)
+        return None if m.all() else m
 
     def _alive_mask(self, ids: np.ndarray):
         """Bool mask of non-tombstoned ids, or None when nothing is deleted."""
@@ -241,6 +281,9 @@ class IndexReader:
         if rows.num_rows == 0:
             return np.empty(0, np.uint64), np.empty(0, np.uint64)
         ids, tfs = _decode_chunk_rows(rows)
+        rm = self._range_mask(ids)
+        if rm is not None:
+            ids, tfs = ids[rm], tfs[rm]
         m = self._alive_mask(ids)
         return (ids, tfs) if m is None else (ids[m], tfs[m])
 
@@ -253,6 +296,9 @@ class IndexReader:
         if rows.num_rows == 0:
             return np.empty(0, np.uint64)
         ids, _ = _decode_chunk_rows(rows)  # one vectorized varint pass
+        rm = self._range_mask(ids)
+        if rm is not None:
+            ids = ids[rm]
         m = self._alive_mask(ids)
         if m is not None:
             ids = ids[m]
@@ -419,6 +465,11 @@ class IndexReader:
         """
         if k <= 0:
             return np.empty(0, np.uint64), np.empty(0, np.float64)
+        if self.doc_range is not None:
+            # the cursor path scores whole chunks; edge chunks would leak
+            # out-of-range docs. Doc-sharded serving scores per shard
+            # with the brute kernel (identical results by construction).
+            return self.bm25_topk(terms, k)
         uniq = sorted(set(terms))
         cursors = []
         for t in uniq:
