@@ -170,6 +170,34 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def q_exact_dedup(sf_dir):
         return dedup.exact_dedup_groups(docs_ds(sf_dir))
 
+    def _tbl(sf_dir, name, cols=None):
+        import ray.data
+
+        return ray.data.read_parquet(
+            os.path.join(sf_dir, name + ".parquet"), columns=cols
+        )
+
+    def q_pricing_summary(sf_dir):
+        from textindex_ray.functions import relational as R
+
+        return R.pricing_summary(_tbl(sf_dir, "lineitem"))
+
+    def q_top_order_revenue(sf_dir):
+        from textindex_ray.functions import relational as R
+
+        return R.top_order_revenue(
+            _tbl(sf_dir, "orders"), _tbl(sf_dir, "lineitem"),
+            _tbl(sf_dir, "customer"), segment="BUILDING", n=10,
+        )
+
+    def q_revenue_by_nation(sf_dir):
+        from textindex_ray.functions import relational as R
+
+        return R.revenue_by_nation(
+            _tbl(sf_dir, "orders"), _tbl(sf_dir, "customer"),
+            _tbl(sf_dir, "nation"),
+        )
+
     def _mm_ids(sf_dir):
         import ray.data
 
@@ -557,7 +585,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # stream-shaped (events log)
         "events_window_stats": q_events_window,
         "events_sliding_window": q_events_sliding,
-        "events_distinct_users": q_events_distinct_users,
+        "top_order_revenue": q_top_order_revenue,
         "events_quantiles": q_events_quantiles,
         "events_window_topk": q_events_topk,
         "events_sessions": q_events_sessions,
@@ -565,6 +593,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_range_join": q_events_range_join,
         "events_funnel": q_events_funnel,
         "events_anomaly": q_events_anomaly,
+        "events_distinct_users": q_events_distinct_users,
+        "pricing_summary": q_pricing_summary,
+        "revenue_by_nation": q_revenue_by_nation,
         "doc_chunks": q_chunks,
         "repetition": q_repetition,
         "lang_stats": q_lang_stats,
@@ -950,6 +981,42 @@ SELECT d.doc_id,
        COALESCE(CASE WHEN h.n = 0 THEN 0
                      ELSE (h.n_hits * 1000000) // h.n END, 0)::BIGINT AS hit_ppm
 FROM documents d LEFT JOIN hits h USING (doc_id)"""
+
+    sql["pricing_summary"] = """
+SELECT l_returnflag, l_linestatus,
+       count(*)::BIGINT AS n_rows,
+       sum(CAST(floor(l_quantity) AS BIGINT))::BIGINT AS sum_qty,
+       sum(CAST(floor(l_extendedprice*100) AS BIGINT))::BIGINT AS sum_base_t2,
+       sum(CAST(floor(l_extendedprice*(1-l_discount)*100) AS BIGINT))::BIGINT
+           AS sum_disc_t2,
+       sum(CAST(floor(l_extendedprice*(1-l_discount)*(1+l_tax)*100) AS BIGINT)
+          )::BIGINT AS sum_charge_t2,
+       sum(CAST(floor(l_discount*1000000) AS BIGINT))::BIGINT AS sum_disc_ppm
+FROM lineitem
+WHERE l_shipdate < TIMESTAMP '1998-09-01'
+GROUP BY l_returnflag, l_linestatus"""
+
+    sql["top_order_revenue"] = """
+SELECT l.l_orderkey AS o_orderkey,
+       sum(CAST(floor(l.l_extendedprice*(1-l.l_discount)*100) AS BIGINT)
+          )::BIGINT AS revenue_t2,
+       (CAST(o.o_orderdate AS DATE) - DATE '1970-01-01')::BIGINT
+           AS o_orderdate_days
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+WHERE c.c_mktsegment = 'BUILDING' AND o.o_orderdate < TIMESTAMP '1998-01-01'
+GROUP BY l.l_orderkey, o.o_orderdate
+ORDER BY revenue_t2 DESC, o_orderkey
+LIMIT 10"""
+
+    sql["revenue_by_nation"] = """
+SELECT n.n_name, count(*)::BIGINT AS n_orders,
+       sum(CAST(floor(o.o_totalprice*100) AS BIGINT))::BIGINT AS revenue_t2
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY n.n_name"""
 
     sql["multimodal_image"] = """
 WITH h AS (SELECT doc_id, md5(doc_id::VARCHAR) AS x FROM documents)

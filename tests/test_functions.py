@@ -1849,3 +1849,58 @@ def test_decontaminate_paths_agree(ray_session):
         sh = _shingles(r["text"], 5)
         h, n = sum(1 for g in sh if g in bset), len(sh)
         assert got[r["doc_id"]] == (h, n, (h * 1_000_000) // n if n else 0), r
+
+
+def test_relational_ops_match_duckdb(ray_session):
+    """pricing_summary / top_order_revenue / revenue_by_nation equal
+    their DuckDB twins bit-for-bit at sf0.001 (integer floor-scaled
+    aggregates; the sweep re-checks at sf0.01)."""
+    import duckdb
+    import ray.data
+
+    from textindex_ray.functions import relational as R
+
+    sf = "/root/testdata/sf0.001"
+    li = ray.data.read_parquet(f"{sf}/lineitem.parquet")
+    od = ray.data.read_parquet(f"{sf}/orders.parquet")
+    cu = ray.data.read_parquet(f"{sf}/customer.parquet")
+    na = ray.data.read_parquet(f"{sf}/nation.parquet")
+    con = duckdb.connect()
+    for t in ("lineitem", "orders", "customer", "nation"):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
+
+    got = R.pricing_summary(li).to_pandas().sort_values(
+        ["l_returnflag", "l_linestatus"]).reset_index(drop=True)
+    want = con.execute("""
+        SELECT l_returnflag, l_linestatus, count(*)::BIGINT AS n_rows,
+               sum(CAST(floor(l_quantity) AS BIGINT))::BIGINT AS sum_qty,
+               sum(CAST(floor(l_extendedprice*100) AS BIGINT))::BIGINT AS sum_base_t2,
+               sum(CAST(floor(l_extendedprice*(1-l_discount)*100) AS BIGINT))::BIGINT AS sum_disc_t2,
+               sum(CAST(floor(l_extendedprice*(1-l_discount)*(1+l_tax)*100) AS BIGINT))::BIGINT AS sum_charge_t2,
+               sum(CAST(floor(l_discount*1000000) AS BIGINT))::BIGINT AS sum_disc_ppm
+        FROM lineitem WHERE l_shipdate < TIMESTAMP '1998-09-01'
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus""").df()
+    assert got[want.columns.tolist()].equals(want), (got, want)
+
+    got3 = R.top_order_revenue(od, li, cu, segment="BUILDING", n=10).to_pandas()
+    want3 = con.execute("""
+        SELECT l.l_orderkey AS o_orderkey,
+               sum(CAST(floor(l.l_extendedprice*(1-l.l_discount)*100) AS BIGINT))::BIGINT AS revenue_t2,
+               (CAST(o.o_orderdate AS DATE) - DATE '1970-01-01')::BIGINT AS o_orderdate_days
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        WHERE c.c_mktsegment = 'BUILDING' AND o.o_orderdate < TIMESTAMP '1998-01-01'
+        GROUP BY l.l_orderkey, o.o_orderdate
+        ORDER BY revenue_t2 DESC, o_orderkey LIMIT 10""").df()
+    assert got3[want3.columns.tolist()].equals(want3), (got3, want3)
+
+    gotn = R.revenue_by_nation(od, cu, na).to_pandas().sort_values(
+        "n_name").reset_index(drop=True)
+    wantn = con.execute("""
+        SELECT n.n_name, count(*)::BIGINT AS n_orders,
+               sum(CAST(floor(o.o_totalprice*100) AS BIGINT))::BIGINT AS revenue_t2
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        GROUP BY n.n_name ORDER BY n.n_name""").df()
+    assert gotn[wantn.columns.tolist()].equals(wantn), (gotn, wantn)
