@@ -1,7 +1,7 @@
 """`ray job submit` entry point: query a built index.
 
     python jobs/query.py --index /data/index find alpha 'bet*'
-    python jobs/query.py --index /data/index bm25 alpha beta --k 10 [--wand]
+    python jobs/query.py --index /data/index bm25 alpha beta --k 10 [--wand|--auto]
     python jobs/query.py --index /data/index files '*example*'
     python jobs/query.py --index /data/index lines --corpus /data/corpus alpha
     python jobs/query.py --index /data/index delete '*stale*'
@@ -22,6 +22,8 @@ def main(argv=None) -> int:
     ap.add_argument("--k", type=int, default=10)
     ap.add_argument("--page", type=int, default=0, help="page of 20 results (reference paging, main.rs:207)")
     ap.add_argument("--wand", action="store_true")
+    ap.add_argument("--auto", action="store_true",
+                    help="pick WAND vs brute from the query terms' df spread")
     ap.add_argument("--corpus", help="corpus path for `lines` snippets")
     args = ap.parse_intermixed_args(argv)
 
@@ -109,7 +111,8 @@ def main(argv=None) -> int:
         }))
         return 0
     if args.mode == "bm25":
-        fn = r.bm25_topk_wand if args.wand else r.bm25_topk
+        fn = (r.bm25_topk_auto if args.auto
+              else r.bm25_topk_wand if args.wand else r.bm25_topk)
         ids, scores = fn(args.terms, args.k)
         print(json.dumps({
             "doc_ids": ids.tolist(),

@@ -181,3 +181,35 @@ def test_doc_sharded_with_tombstones(suite, tmp_path):
         np.testing.assert_allclose(
             shard[qid]["scores"], base[qid]["scores"], rtol=0, atol=0
         )
+
+
+def test_bm25_server_identity_and_amortization(suite):
+    """BM25Server (persistent doc-shard actors) returns results
+    identical to the single reader for bm25 + boolean find, and repeat
+    queries cost no reader re-open (second call much cheaper than the
+    first construction+query)."""
+    import time
+
+    from textindex_ray.query.engine import IndexReader
+    from textindex_ray.query.serve import BM25Server
+
+    index_path, _ = suite
+    r = IndexReader(index_path)
+    srv = BM25Server(index_path, n_shards=3, num_cpus=0.5)
+    try:
+        for q in (["alpha", "beta"], ["lorem", "ipsum"], ["nosuchterm"]):
+            ia, sa = srv.bm25_topk(q, 10)
+            ib, sb = r.bm25_topk(q, 10)
+            assert ia.tolist() == ib.tolist(), q
+            np.testing.assert_allclose(sa, sb, rtol=0, atol=0)
+        for pats in (["alpha"], ["alph*", "bet?"], ["zzz*"]):
+            fa = srv.find(pats)
+            fb = r.find(pats)
+            assert fa.tolist() == fb.tolist(), pats
+        t0 = time.perf_counter()
+        for _ in range(5):
+            srv.bm25_topk(["alpha", "beta"], 10)
+        per_q = (time.perf_counter() - t0) / 5
+        assert per_q < 2.0, per_q  # no per-call reader open (that's ~1s+/shard)
+    finally:
+        srv.shutdown()
