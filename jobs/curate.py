@@ -39,6 +39,11 @@ def main(argv=None) -> int:
     ap.add_argument("--min-stop-ppm", type=int, default=10_000)
     ap.add_argument("--max-punct-ppm", type=int, default=200_000)
     ap.add_argument("--shards", type=int, default=16)
+    ap.add_argument("--bench", default=None,
+                    help="benchmark parquet (doc_id, text): drop docs whose "
+                         "k-shingle overlap reaches --max-hit-ppm "
+                         "(eval-leakage decontamination gate)")
+    ap.add_argument("--max-hit-ppm", type=int, default=100_000)
     args = ap.parse_args(argv)
 
     params = {
@@ -47,6 +52,8 @@ def main(argv=None) -> int:
         "min_stop_ppm": args.min_stop_ppm,
         "max_punct_ppm": args.max_punct_ppm,
         "shards": args.shards,
+        "bench": args.bench,
+        "max_hit_ppm": args.max_hit_ppm,
     }
     marker = os.path.join(args.out, "_COMMITTED")
     if os.path.exists(marker):
@@ -80,6 +87,13 @@ def main(argv=None) -> int:
         max_punct_ppm=args.max_punct_ppm,
         keep_text=True,
     )
+    if args.bench:
+        from textindex_ray.pipelines.curate import decontaminate_filter
+
+        bench = ray.data.read_parquet(args.bench, columns=["doc_id", "text"])
+        kept = decontaminate_filter(
+            kept, bench, max_hit_ppm=args.max_hit_ppm
+        )
 
     S = args.shards
 

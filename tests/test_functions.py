@@ -1904,3 +1904,24 @@ def test_relational_ops_match_duckdb(ray_session):
         JOIN nation n ON c.c_nationkey = n.n_nationkey
         GROUP BY n.n_name ORDER BY n.n_name""").df()
     assert gotn[wantn.columns.tolist()].equals(wantn), (gotn, wantn)
+
+
+def test_decontaminate_filter_gate(ray_session):
+    """decontaminate_filter drops exactly the docs whose benchmark
+    shingle overlap reaches the threshold and keeps payload columns."""
+    import ray.data
+    from textindex_ray.pipelines.curate import decontaminate_filter
+
+    bench_text = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [
+        {"doc_id": 1, "text": bench_text},                    # verbatim leak
+        {"doc_id": 2, "text": "completely unrelated words zq"},
+        {"doc_id": 3, "text": "prefix " + bench_text},        # heavy overlap
+        {"doc_id": 4, "text": "xylophone quartz zebra mist"},
+    ]
+    ds = ray.data.from_items(rows)
+    bench = ray.data.from_items([{"doc_id": 99, "text": bench_text}])
+    out = decontaminate_filter(ds, bench, k=5, max_hit_ppm=500_000)
+    got = out.to_pandas().sort_values("doc_id")
+    assert got["doc_id"].tolist() == [2, 4]
+    assert "text" in got.columns

@@ -67,3 +67,17 @@ def sampled_range_bounds(ds, col: str, num_ranges: int, per_block: int = 256):
     return np.quantile(
         sample, np.arange(1, B) / B, method="nearest"
     ).astype(np.int64)
+
+
+def join_right(ds, num_partitions: int):
+    """Prepare a Dataset to be the RIGHT side of ``Dataset.join``.
+
+    Ray 2.49's hash-shuffle join raises ``ArrowInvalid: No match or
+    multiple matches for key field ... on right side`` when the right
+    dataset contains ZERO-ROW BLOCKS (a filter/map_batches that empties
+    some blocks — empty *datasets* are a separately documented hazard,
+    and empty LEFT blocks are fine; verified both ways on 2.49.2).
+    ``repartition(n)`` rebalances rows into n non-empty blocks, which
+    both removes the hazard and right-sizes the build side of the join.
+    """
+    return ds.repartition(max(1, int(num_partitions)))

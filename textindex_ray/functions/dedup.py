@@ -31,6 +31,8 @@ import pyarrow as pa
 
 import ray.data
 
+from textindex_ray.functions._util import join_right
+
 
 def _md5_64(s: str) -> int:
     return int.from_bytes(hashlib.md5(s.encode("utf-8")).digest()[:8], "big")
@@ -394,7 +396,9 @@ def minhash_lsh_pairs(
 
     # attach both representative texts with partitioned hash joins (the
     # right key column is consumed by the join; only `text` is added)
-    rtext = reps.select_columns(["doc_id", "text"])
+    rtext = join_right(
+        reps.select_columns(["doc_id", "text"]), num_partitions
+    )  # right side must hold no zero-row blocks (_util.join_right)
     j1 = pairs.join(
         rtext, join_type="inner", num_partitions=num_partitions,
         on=("doc_a",), right_on=("doc_id",),
@@ -443,7 +447,8 @@ def minhash_lsh_pairs(
 
     # ---- expand representative pairs back to member pairs -----------------
     minfo = members.join(
-        reps.select_columns(["text_hash", "doc_id", "has_shingles"]),
+        join_right(reps.select_columns(["text_hash", "doc_id", "has_shingles"]),
+                   num_partitions),
         join_type="inner", num_partitions=num_partitions,
         on=("text_hash",), left_suffix="", right_suffix="_rep",
     ).materialize()
@@ -784,6 +789,7 @@ def ngram_jaccard_pairs(
     # hash join spins an actor pool per partition and deadlocks when it
     # exceeds the CPU budget (num_partitions only shapes task-based
     # groupby fan-out, which has no such constraint)
+    sizes = join_right(sizes, join_partitions)
     j1 = inter.join(
         sizes, join_type="inner", num_partitions=join_partitions,
         on=("doc_a",), right_on=("doc_id",),
@@ -1018,8 +1024,8 @@ def dedup_keep(
     if drop.count() == 0:
         return ids
     return ids.join(
-        drop, join_type="left_anti", num_partitions=num_partitions,
-        on=("doc_id",),
+        join_right(drop, num_partitions), join_type="left_anti",
+        num_partitions=num_partitions, on=("doc_id",),
     )
 
 
@@ -1294,6 +1300,7 @@ def tf_cosine_pairs(
                             "n2": b.column("c")}),
         batch_format="pyarrow",
     )
+    norms_j = join_right(norms_j, join_partitions)
     j1 = pairs_ds.join(
         norms_j, join_type="inner", num_partitions=join_partitions,
         on=("doc_a",), right_on=("doc_id",),

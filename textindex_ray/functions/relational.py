@@ -206,8 +206,11 @@ def top_order_revenue(
         ["l_orderkey", "l_extendedprice", "l_discount"]
     ).map_batches(li_partial, batch_format="pyarrow")
 
+    from textindex_ray.functions._util import join_right
+
     joined = li.join(
-        filt, join_type="inner", num_partitions=num_partitions,
+        join_right(filt, num_partitions), join_type="inner",
+        num_partitions=num_partitions,
         on=("l_orderkey",), right_on=("o_orderkey",),
     )
 

@@ -500,9 +500,13 @@ def update_index(corpus_path, index_dir: str, *, work_dir: str | None = None,
         if maybe.count() == 0:
             new_corpus = definitely_new
         else:
+            from textindex_ray.functions._util import join_right
+
             survivors = maybe.join(
-                cds, join_type="left_anti", num_partitions=num_partitions,
-                on=("url",),
+                # right side must hold no zero-row blocks (tombstone
+                # filtering can empty some) — see _util.join_right
+                join_right(cds, num_partitions), join_type="left_anti",
+                num_partitions=num_partitions, on=("url",),
             )
             new_corpus = definitely_new.union(survivors)
     staged = os.path.join(work_dir, "corpus-delta")

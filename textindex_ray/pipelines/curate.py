@@ -162,3 +162,54 @@ def curate(
         .groupby("part")
         .map_groups(part_keep, batch_format="pyarrow")
     )
+
+
+def decontaminate_filter(
+    ds: "ray.data.Dataset",
+    bench: "ray.data.Dataset",
+    *,
+    k: int = 5,
+    max_hit_ppm: int = 100_000,
+    join_partitions: int = 8,
+):
+    """Drop curated docs whose benchmark k-shingle overlap reaches
+    ``max_hit_ppm`` — the eval-leakage gate composed onto the curation
+    output (``jobs/curate.py --bench``).
+
+    Plan: :func:`textindex_ray.functions.dedup.decontaminate` scores
+    every doc (broadcast benchmark set for eval-sized benchmarks,
+    partitioned shingle plan past the limit); the clean doc_ids come
+    back to the payload rows via a partitioned inner Dataset.join —
+    never a driver-side id set, so a dup-heavy / fully-clean corpus
+    costs the same. Keeps ``ds``'s columns. The all-contaminated edge
+    (empty join side) returns the schema-preserving empty table.
+    """
+    import pyarrow.compute as pc
+
+    from textindex_ray.functions._util import probe_count
+    from textindex_ray.functions.dedup import decontaminate
+
+    # ds is consumed TWICE (shingle scoring + the payload join):
+    # materialize derived lineages once up front, or the whole curate
+    # pipeline re-executes per consumer (CLAUDE.md shared-Dataset rule)
+    ds, _n = probe_count(ds)
+    scores = decontaminate(ds, bench, k=k)
+    if isinstance(scores, pa.Table):  # empty-input degenerate form
+        return ds.limit(0)
+    thr = int(max_hit_ppm)
+
+    def clean_ids(b: pa.Table) -> pa.Table:
+        keep = pc.less(b.column("hit_ppm"), thr)
+        return pa.table({"doc_id": b.filter(keep).column("doc_id")})
+
+    from textindex_ray.functions._util import join_right
+
+    clean = scores.map_batches(
+        clean_ids, batch_format="pyarrow"
+    ).materialize()  # maybe-empty join side: materialize + branch (CLAUDE.md)
+    if clean.count() == 0:
+        return ds.limit(0)
+    return ds.join(
+        join_right(clean, join_partitions), join_type="inner",
+        num_partitions=join_partitions, on=("doc_id",),
+    )
