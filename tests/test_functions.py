@@ -1352,6 +1352,45 @@ def test_curate_cli_resumable(ray_session, tmp_path):
     with pytest.raises(SystemExit):
         main(argv + ["--min-tokens", "10"])  # param mismatch
 
+    # crash-rerun wipe: uncommitted leftover part files in data/ must
+    # NOT survive into (and double-count in) the fresh export
+    out2 = str(tmp_path / "curated2")
+    os.makedirs(os.path.join(out2, "data"))
+    stale = os.path.join(out2, "data", "stale-leftover.parquet")
+    import pyarrow.parquet as _pq
+
+    _pq.write_table(exported_schema_stub(), stale)
+    argv2 = ["--docs", "/root/testdata/sf0.001/documents.parquet",
+             "--out", out2]
+    assert main(argv2) == 0
+    assert not os.path.exists(stale)
+    re_exported = ray.data.read_parquet(os.path.join(out2, "data")).to_pandas()
+    assert sorted(re_exported.doc_id) == sorted(lib.doc_id)
+
+    # --bench decontamination gate drops the overlapping docs
+    out3 = str(tmp_path / "curated3")
+    bench_path = str(tmp_path / "bench.parquet")
+    # benchmark = the texts of two exported docs -> they must vanish
+    leak_ids = sorted(exported.doc_id)[:2]
+    leak = exported[exported.doc_id.isin(leak_ids)][["doc_id", "text"]]
+    _pq.write_table(pa.Table.from_pandas(leak, preserve_index=False), bench_path)
+    assert main(["--docs", "/root/testdata/sf0.001/documents.parquet",
+                 "--out", out3, "--bench", bench_path,
+                 "--max-hit-ppm", "500000"]) == 0
+    got3 = ray.data.read_parquet(os.path.join(out3, "data")).to_pandas()
+    assert not set(leak_ids) & set(got3.doc_id)
+    assert len(got3) < len(exported)
+
+
+def exported_schema_stub():
+    return pa.table(
+        {"doc_id": pa.array([999999], pa.int64()),
+         "lang_pred": pa.array(["en"], pa.string()),
+         "n_tokens": pa.array([1], pa.int64()),
+         "text": pa.array(["stale"], pa.string()),
+         "shard": pa.array([0], pa.int64())}
+    )
+
 
 def test_doc_top_terms_exact(docs_ds, ray_session):
     """doc_top_terms == single-process tf*ln(N/df) ranking with term
@@ -1925,3 +1964,70 @@ def test_decontaminate_filter_gate(ray_session):
     got = out.to_pandas().sort_values("doc_id")
     assert got["doc_id"].tolist() == [2, 4]
     assert "text" in got.columns
+
+
+def test_png_decoder_all_filters_and_property():
+    """The built-in PNG decoder handles every scanline filter (0-4) —
+    synthesized encodings round-trip exactly — and random filter
+    sequences over random images keep bit-identity (the decoder must
+    read externally-produced PNGs, which prefer filters 1-4)."""
+    import struct
+    import zlib
+
+    from textindex_ray.functions.multimodal import _decode_png
+
+    def chunk(t, d):
+        return (struct.pack(">I", len(d)) + t + d
+                + struct.pack(">I", zlib.crc32(t + d) & 0xFFFFFFFF))
+
+    def encode_filtered(img, filts):
+        h, w = img.shape
+        rows = []
+        prev = np.zeros(w, np.int32)
+        for y in range(h):
+            cur = img[y].astype(np.int32)
+            f = filts[y % len(filts)]
+            if f == 0:
+                enc = cur.copy()
+            elif f == 1:
+                enc = cur.copy()
+                for x in range(w - 1, 0, -1):
+                    enc[x] = (enc[x] - cur[x - 1]) & 255
+            elif f == 2:
+                enc = (cur - prev) & 255
+            elif f == 3:
+                enc = cur.copy()
+                for x in range(w):
+                    left = cur[x - 1] if x else 0
+                    enc[x] = (cur[x] - ((left + prev[x]) >> 1)) & 255
+            else:  # paeth
+                enc = cur.copy()
+                for x in range(w):
+                    a = cur[x - 1] if x else 0
+                    b = prev[x]
+                    c = prev[x - 1] if x else 0
+                    p = a + b - c
+                    pa_, pb, pcv = abs(p - a), abs(p - b), abs(p - c)
+                    pr = a if (pa_ <= pb and pa_ <= pcv) else (b if pb <= pcv else c)
+                    enc[x] = (cur[x] - pr) & 255
+            rows.append(bytes([f]) + enc.astype(np.uint8).tobytes())
+            prev = cur
+        return (b"\x89PNG\r\n\x1a\n"
+                + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0))
+                + chunk(b"IDAT", zlib.compress(b"".join(rows)))
+                + chunk(b"IEND", b""))
+
+    rng = np.random.default_rng(17)
+    # each filter alone, then mixed sequences, on assorted shapes
+    for filts in ([0], [1], [2], [3], [4], [0, 1, 2, 3, 4], [4, 3, 2, 1, 0]):
+        for shape in ((1, 1), (3, 7), (8, 8), (16, 5)):
+            img = rng.integers(0, 256, shape).astype(np.uint8)
+            got = _decode_png(encode_filtered(img, filts))
+            assert (got == img).all(), (filts, shape)
+    # property sweep: random filter per row
+    for _ in range(25):
+        h, w = int(rng.integers(1, 12)), int(rng.integers(1, 12))
+        img = rng.integers(0, 256, (h, w)).astype(np.uint8)
+        filts = rng.integers(0, 5, h).tolist()
+        got = _decode_png(encode_filtered(img, filts))
+        assert (got == img).all(), (filts, (h, w))
