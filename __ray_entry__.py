@@ -240,6 +240,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def q_ngram_pairs(sf_dir):
         return dedup.ngram_jaccard_pairs(docs_ds(sf_dir), k=5, min_ppm=200_000)
 
+    def q_bpe_tokens(sf_dir):
+        return docs_ds(sf_dir).map_batches(
+            textstats.bpe_token_count_batch, batch_format="pyarrow"
+        )
+
     def q_decontaminate(sf_dir):
         # eval-leakage gate: benchmark = the deterministic doc_id %% 37
         # subset of the same table (no external data); exact distinct-
@@ -595,6 +600,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_anomaly": q_events_anomaly,
         "events_distinct_users": q_events_distinct_users,
         "pricing_summary": q_pricing_summary,
+        "bpe_token_count": q_bpe_tokens,
         "revenue_by_nation": q_revenue_by_nation,
         "doc_chunks": q_chunks,
         "repetition": q_repetition,
@@ -981,6 +987,15 @@ SELECT d.doc_id,
        COALESCE(CASE WHEN h.n = 0 THEN 0
                      ELSE (h.n_hits * 1000000) // h.n END, 0)::BIGINT AS hit_ppm
 FROM documents d LEFT JOIN hits h USING (doc_id)"""
+
+    # BPE-ish pretokenizer counts: the regex is RE2/re-portable by
+    # construction (textstats.BPE_PRETOKEN_RE) - verified match-for-match
+    sql["bpe_token_count"] = r"""
+SELECT doc_id,
+       len(regexp_extract_all(text, $$'s|'t|'re|'ve|'m|'ll|'d| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\s]+|\s+$$))::BIGINT AS n_bpe_tokens,
+       len(list_distinct(regexp_extract_all(text, $$'s|'t|'re|'ve|'m|'ll|'d| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\s]+|\s+$$)))::BIGINT
+           AS n_bpe_unique
+FROM documents"""
 
     sql["pricing_summary"] = """
 SELECT l_returnflag, l_linestatus,

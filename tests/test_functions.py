@@ -2031,3 +2031,34 @@ def test_png_decoder_all_filters_and_property():
         filts = rng.integers(0, 5, h).tolist()
         got = _decode_png(encode_filtered(img, filts))
         assert (got == img).all(), (filts, (h, w))
+
+
+def test_bpe_token_count(docs_ds, ray_session):
+    """BPE-ish pretoken counts: Ray batch op == compiled-regex ground
+    truth, and the pattern is RE2-portable (DuckDB regexp_extract_all
+    agrees on contraction / whitespace / unicode edges)."""
+    import duckdb
+    import re
+
+    from textindex_ray.functions.textstats import (
+        BPE_PRETOKEN_RE,
+        bpe_token_count_batch,
+    )
+
+    got = docs_ds.map_batches(
+        bpe_token_count_batch, batch_format="pyarrow"
+    ).to_pandas().set_index("doc_id")
+    rx = re.compile(BPE_PRETOKEN_RE)
+    df = docs_ds.select_columns(["doc_id", "text"]).to_pandas()
+    for d, t in zip(df.doc_id, df.text):
+        toks = rx.findall(t)
+        assert got.loc[d, "n_bpe_tokens"] == len(toks)
+        assert got.loc[d, "n_bpe_unique"] == len(set(toks))
+
+    con = duckdb.connect()
+    for e in ["", "it's don't we're I'll", "a  b\t\nc", "héllo wörld 42!!",
+              "...", "  ", "x'dy", "'s's's"]:
+        db = con.execute(
+            "SELECT len(regexp_extract_all(?, ?))", [e, BPE_PRETOKEN_RE]
+        ).fetchone()[0]
+        assert db == len(rx.findall(e)), e

@@ -73,6 +73,41 @@ def token_count_batch(batch: pa.Table) -> pa.Table:
     )
 
 
+# GPT-2-style pretokenizer, restricted to RE2-compatible ASCII classes
+# so the DuckDB oracle (regexp_extract_all, RE2: no lookahead, no \p
+# classes in the portable subset) matches Python `re` match-for-match —
+# verified on the corpus + contraction/whitespace/unicode edge cases.
+# Differences vs the real GPT-2 pattern: no `\s+(?!\S)` lookahead
+# (RE2 lacks lookahead) and ASCII letter/digit classes; still the
+# contraction-splitting, space-prefixed-word shape BPE vocabularies
+# assume.
+BPE_PRETOKEN_RE = (
+    r"'s|'t|'re|'ve|'m|'ll|'d| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\s]+|\s+"
+)
+_BPE_RE = re.compile(BPE_PRETOKEN_RE)
+
+
+def bpe_token_count_batch(batch: pa.Table) -> pa.Table:
+    """(doc_id, n_bpe_tokens, n_bpe_unique): BPE-ish pretokenization
+    counts — the training-cost estimator (a BPE tokenizer's token count
+    is bounded below by its pretoken count; budget pipelines use this
+    as the fast proxy). Compiled-regex findall per row; vectorization
+    happens across rows/batches."""
+    texts = batch.column("text").to_pylist()
+    n_tok, n_uni = [], []
+    for t in texts:
+        toks = _BPE_RE.findall(t)
+        n_tok.append(len(toks))
+        n_uni.append(len(set(toks)))
+    return pa.table(
+        {
+            "doc_id": batch.column("doc_id"),
+            "n_bpe_tokens": pa.array(n_tok, pa.int64()),
+            "n_bpe_unique": pa.array(n_uni, pa.int64()),
+        }
+    )
+
+
 _ALL_STOP_MARKERS = frozenset(w for s in LANG_MARKERS.values() for w in s)
 
 # ASCII fast path for the punct counter: one bytes.translate C call
