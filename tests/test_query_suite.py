@@ -213,3 +213,23 @@ def test_bm25_server_identity_and_amortization(suite):
         assert per_q < 2.0, per_q  # no per-call reader open (that's ~1s+/shard)
     finally:
         srv.shutdown()
+
+
+def test_wand_under_doc_range(suite):
+    """Block-max WAND with doc_range masks edge chunks exactly: rank-
+    and score-identical to brute on the same range, and to the global
+    result restricted to the range union."""
+    from textindex_ray.query.batch_eval import doc_shard_boundaries
+    from textindex_ray.query.engine import IndexReader
+
+    index_path, _ = suite
+    bounds = doc_shard_boundaries(index_path, 3)
+    for rng in bounds:
+        r = IndexReader(index_path, doc_range=rng)
+        for q in (["alpha", "beta"], ["lorem", "ipsum"], ["alpha"]):
+            ib, sb = r.bm25_topk(q, 10)
+            iw, sw = r.bm25_topk_wand(q, 10)
+            assert ib.tolist() == iw.tolist(), (rng, q)
+            np.testing.assert_allclose(sb, sw, rtol=0, atol=0)
+            lo, hi = rng
+            assert all(lo <= d < hi for d in ib.tolist()), (rng, q)

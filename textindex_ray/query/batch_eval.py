@@ -381,7 +381,10 @@ def evaluate_queries_doc_sharded(
             g.column("terms").to_pylist(), ks,
         ):
             if kind == "bm25_topk":
-                ids, sc = reader.bm25_topk(list(terms), int(k) or 10)
+                # adaptive scorer: WAND runs under doc_range (edge
+                # chunks masked like tombstones) and prunes when idf
+                # contrast exists; results identical either way
+                ids, sc = reader.bm25_topk_auto(list(terms), int(k) or 10)
             elif kind in ("term_and", "wildcard_and"):
                 ids = reader.find(list(terms))
                 sc = np.zeros(ids.size, np.float64)

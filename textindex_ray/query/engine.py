@@ -465,11 +465,6 @@ class IndexReader:
         """
         if k <= 0:
             return np.empty(0, np.uint64), np.empty(0, np.float64)
-        if self.doc_range is not None:
-            # the cursor path scores whole chunks; edge chunks would leak
-            # out-of-range docs. Doc-sharded serving scores per shard
-            # with the brute kernel (identical results by construction).
-            return self.bm25_topk(terms, k)
         uniq = sorted(set(terms))
         cursors = []
         for t in uniq:
@@ -483,6 +478,22 @@ class IndexReader:
             return np.empty(0, np.uint64), np.empty(0, np.float64)
         self._dl_lookup()
         dls_for = self._dls_for
+
+        if self.doc_range is None:
+            posting_mask = self._alive_mask
+        else:
+            # doc-sharded serving: edge chunks span the range boundary —
+            # mask decoded ids like tombstones (masking only removes
+            # postings, so chunk upper bounds stay valid/conservative)
+            def posting_mask(ids):
+                rm = self._range_mask(ids)
+                am = self._alive_mask(ids if rm is None else ids[rm])
+                if rm is None:
+                    return am
+                if am is not None:
+                    rm = rm.copy()
+                    rm[np.flatnonzero(rm)[~am]] = False
+                return rm
 
         top_ids = np.empty(0, np.uint64)
         top_sc = np.empty(0, np.float64)
@@ -531,7 +542,7 @@ class IndexReader:
             # score the window exactly (same accumulation order as brute)
             per_term = []
             for c in involved:
-                ids, sc = c.take_upto(window_end, dls_for, self._alive_mask)
+                ids, sc = c.take_upto(window_end, dls_for, posting_mask)
                 if ids.size:
                     per_term.append((ids, sc))
             streak += 1

@@ -37,7 +37,7 @@ class _ShardActor:
         self.reader._dl_lookup()  # warm the dl arrays at startup
 
     def bm25_topk(self, terms: list[str], k: int):
-        ids, sc = self.reader.bm25_topk(list(terms), k)
+        ids, sc = self.reader.bm25_topk_auto(list(terms), k)
         return ids, sc
 
     def find(self, patterns: list[str]):
