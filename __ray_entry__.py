@@ -506,6 +506,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return sessionize(ev).map_batches(shape, batch_format="pyarrow")
 
+    def q_hll_registers(sf_dir):
+        from textindex_ray.functions import events as E
+
+        import ray.data
+
+        ev = ray.data.read_parquet(
+            os.path.join(sf_dir, "events.parquet"),
+            columns=["event_type", "user_id"],
+        )
+        return E.hll_user_registers(ev, precision=12)
+
     def q_events_anomaly(sf_dir):
         import ray.data
         from textindex_ray.functions.events import window_anomaly
@@ -601,6 +612,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_distinct_users": q_events_distinct_users,
         "pricing_summary": q_pricing_summary,
         "bpe_token_count": q_bpe_tokens,
+        "hll_registers": q_hll_registers,
         "revenue_by_nation": q_revenue_by_nation,
         "doc_chunks": q_chunks,
         "repetition": q_repetition,
@@ -996,6 +1008,22 @@ SELECT doc_id,
        len(list_distinct(regexp_extract_all(text, $$'s|'t|'re|'ve|'m|'ll|'d| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\s]+|\s+$$)))::BIGINT
            AS n_bpe_unique
 FROM documents"""
+
+    # HLL register sketch: trailing-zero rho is pure bit algebra in
+    # both engines (see events.hll_user_registers); max is order-free
+    sql["hll_registers"] = """
+WITH h AS (SELECT event_type,
+                  ('0x' || substr(md5(user_id::VARCHAR), 1, 16))::UBIGINT AS hv
+           FROM events),
+r AS (SELECT event_type,
+             (hv & 4095)::BIGINT AS bucket,
+             (hv >> 12)::BIGINT AS rem
+      FROM h)
+SELECT event_type, bucket,
+       max(CASE WHEN rem = 0 THEN 53
+                ELSE bit_count((rem & (-rem)) - 1) + 1 END)::BIGINT AS rho_max
+FROM r
+GROUP BY event_type, bucket"""
 
     sql["pricing_summary"] = """
 SELECT l_returnflag, l_linestatus,

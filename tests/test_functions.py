@@ -2062,3 +2062,29 @@ def test_bpe_token_count(docs_ds, ray_session):
             "SELECT len(regexp_extract_all(?, ?))", [e, BPE_PRETOKEN_RE]
         ).fetchone()[0]
         assert db == len(rx.findall(e)), e
+
+
+def test_hll_registers_and_estimate(ray_session):
+    """HLL register sketch: partition-independent integer rows, and the
+    estimator lands within the theoretical error band of the exact
+    distinct count (m=4096 -> ~1.6% std error; assert < 5%)."""
+    import ray.data
+    from textindex_ray.functions.events import hll_estimate, hll_user_registers
+
+    ev = ray.data.read_parquet(
+        "/root/testdata/sf0.01/events.parquet", columns=["event_type", "user_id"]
+    )
+    a = hll_user_registers(ev, num_partitions=4).to_pandas()
+    b = hll_user_registers(ev.repartition(13), num_partitions=32).to_pandas()
+    key = ["event_type", "bucket"]
+    assert a.sort_values(key).reset_index(drop=True).equals(
+        b.sort_values(key).reset_index(drop=True)
+    )
+
+    df = ev.to_pandas()
+    exact = df.groupby("event_type")["user_id"].nunique().to_dict()
+    est = hll_estimate(a, precision=12)
+    assert set(est) == set(map(str, exact))
+    for et, n in exact.items():
+        rel = abs(est[str(et)] - n) / max(n, 1)
+        assert rel < 0.05, (et, n, est[str(et)], rel)

