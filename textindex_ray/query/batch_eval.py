@@ -114,6 +114,38 @@ _PARTIAL_SCHEMA = {
 }
 
 
+# Worker-process cache of shard readers (the stages/extract module-global
+# pattern): a doc/term-range reader costs ~1 s of open+slice-preload at
+# 1.5 M docs, paid per eval_shard task without this. Keyed by the
+# tombstone file's (mtime_ns, size) so a delete_docs() on the same index
+# path invalidates stale masks; capped so long-lived workers serving
+# many indexes stay bounded.
+_READER_CACHE: dict = {}
+_READER_CACHE_CAP = 8
+
+
+def _cached_reader(index_path: str, *, term_range=None, doc_range=None):
+    import os
+
+    from textindex_ray.index.delete import TOMBSTONE_FILE
+
+    try:
+        st = os.stat(os.path.join(index_path, TOMBSTONE_FILE))
+        tomb_key = (st.st_mtime_ns, st.st_size)
+    except OSError:
+        tomb_key = None
+    key = (index_path, term_range, doc_range, tomb_key)
+    r = _READER_CACHE.get(key)
+    if r is None:
+        from textindex_ray.query.engine import IndexReader
+
+        r = IndexReader(index_path, term_range=term_range, doc_range=doc_range)
+        _READER_CACHE[key] = r
+        while len(_READER_CACHE) > _READER_CACHE_CAP:
+            _READER_CACHE.pop(next(iter(_READER_CACHE)))
+    return r
+
+
 def _np_list_array(chunks: list, np_dtype, pa_type) -> pa.ListArray:
     """list<pa_type> column from per-row numpy arrays without Python
     per-element conversion."""
@@ -169,10 +201,8 @@ def evaluate_queries_sharded(
     expanded = queries.map_batches(explode, batch_format="pyarrow")
 
     def eval_shard(g: pa.Table) -> pa.Table:
-        from textindex_ray.query.engine import IndexReader
-
         shard = int(g.column("shard")[0].as_py())
-        reader = IndexReader(index_path, term_range=bounds[shard])
+        reader = _cached_reader(index_path, term_range=bounds[shard])
         rows = {n: [] for n in _PARTIAL_SCHEMA if n not in ("doc_ids", "scores")}
         id_chunks: list = []
         sc_chunks: list = []
@@ -368,10 +398,8 @@ def evaluate_queries_doc_sharded(
     expanded = queries.map_batches(explode, batch_format="pyarrow")
 
     def eval_shard(g: pa.Table) -> pa.Table:
-        from textindex_ray.query.engine import IndexReader
-
         shard = int(g.column("shard")[0].as_py())
-        reader = IndexReader(index_path, doc_range=bounds[shard])
+        reader = _cached_reader(index_path, doc_range=bounds[shard])
         rows = {"qid": [], "kind": [], "k": []}
         id_chunks: list = []
         sc_chunks: list = []
