@@ -536,9 +536,17 @@ def range_join_count(
             "n_matches": pa.array([], pa.int64()),
         }
     )
-    if left.count() == 0:
+    # probe_count (materialize-once): left/right may be DERIVED
+    # pipelines — a bare count()/limit(1).count() probe would execute
+    # their upstream lineage once for the guard and again for the real
+    # consumption below
+    from textindex_ray.functions._util import probe_count
+
+    left, n_left = probe_count(left)
+    right, n_right = probe_count(right)
+    if n_left == 0:
         return empty
-    if right.limit(1).count() == 0:
+    if n_right == 0:
         # empty right side: every left event has a 0-count band (same
         # maybe-empty union/groupby schema hazard asof_join guards)
         def zero(b: pa.Table) -> pa.Table:
@@ -712,10 +720,15 @@ def asof_join(
     lt = left.map_batches(prep(1), batch_format="pyarrow")
     rt = right.map_batches(prep(0), batch_format="pyarrow")
     # maybe-empty guard (CLAUDE.md): an empty side through union/groupby
-    # loses its schema — branch instead. limit(1) probes stop after one
-    # row, so neither side is ever materialized (the map lineage
-    # re-executes streaming for the real run).
-    if rt.limit(1).count() == 0:
+    # loses its schema — branch instead. probe_count materializes each
+    # derived side ONCE, so the guard and the real consumption share one
+    # set of blocks (a limit(1).count() probe would re-execute the
+    # upstream lineage for the real run).
+    from textindex_ray.functions._util import probe_count
+
+    rt, n_rt = probe_count(rt)
+    lt, n_lt = probe_count(lt)
+    if n_rt == 0:
         def no_ref(b: pa.Table) -> pa.Table:
             m1 = pa.array(np.full(b.num_rows, -1, np.int64), pa.int64())
             return pa.table(
@@ -729,7 +742,7 @@ def asof_join(
             )
 
         return lt.map_batches(no_ref, batch_format="pyarrow")
-    if lt.limit(1).count() == 0:
+    if n_lt == 0:
         return ray.data.from_arrow(empty)
     return (
         lt.union(rt)

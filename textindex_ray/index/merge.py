@@ -52,17 +52,22 @@ def _read_docmap(index_dir: str) -> pa.Table:
 
 
 # Worker-process cache of loaded remap slices, keyed
-# (remap_data_dir, src, old_bucket) -> (old_sorted, new, dl) numpy
-# arrays. Module-global so Ray's long-lived worker processes reuse
+# (remap_data_dir, run_token, src, old_bucket) -> (old_sorted, new, dl)
+# numpy arrays. Module-global so Ray's long-lived worker processes reuse
 # slices across map_batches tasks (the stages/extract pattern) without
 # an actor pool; bounded by _remap_cache_cap entries (oldest-first
 # eviction), so worker memory is O(cap x docs_per_bucket), never
-# O(corpus) unless the cap allows it.
+# O(corpus) unless the cap allows it. run_token is the remap phase's
+# _COMMITTED mtime_ns: two merges into the SAME out_dir within one Ray
+# session (e.g. repeated incremental updates reusing <index>.work/merged)
+# write different remap tables to the same path — without the token,
+# warm workers would serve the previous run's slices and silently
+# corrupt the merged postings.
 _REMAP_SLICES: dict = {}
 
 
 def _remap_lookup(
-    remap_data: str, si: int, ids: np.ndarray, cache_cap: int
+    remap_data: str, run_token: int, si: int, ids: np.ndarray, cache_cap: int
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Vectorized old->new docID remap for one source's posting ids.
 
@@ -77,7 +82,7 @@ def _remap_lookup(
     local: dict = {}
     missing = []
     for bu in need:
-        key = (remap_data, si, bu)
+        key = (remap_data, run_token, si, bu)
         if key in _REMAP_SLICES:
             local[bu] = _REMAP_SLICES[key]
         else:
@@ -111,7 +116,7 @@ def _remap_lookup(
                 dl_a[m][order].astype(np.uint32),
             )
             local[bu] = sl
-            _REMAP_SLICES[(remap_data, si, bu)] = sl
+            _REMAP_SLICES[(remap_data, run_token, si, bu)] = sl
         while len(_REMAP_SLICES) > cache_cap:
             _REMAP_SLICES.pop(next(iter(_REMAP_SLICES)))
     new = np.zeros(ids.size, np.uint64)
@@ -202,8 +207,32 @@ def merge_indexes(index_dirs: list[str], out_dir: str, *, num_buckets: int = 64,
     for s in srcs[1:]:
         alldm = alldm.union(s)
 
+    # bucket reuse: a source's old_id already encodes md5(url) %
+    # src_num_buckets in its top bits — when every source was built with
+    # the TARGET bucket count, bucket = old_id >> shift and the per-url
+    # md5 re-hash (a Python loop over the whole corpus) is skipped.
+    same_buckets = True
+    for d in index_dirs:
+        try:
+            import json as _json
+
+            with open(os.path.join(d, "meta.json")) as f:
+                m = _json.load(f)
+            if int(m.get("num_buckets", -1)) != num_buckets or int(
+                m.get("bucket_shift", BUCKET_SHIFT)
+            ) != BUCKET_SHIFT:
+                same_buckets = False
+        except OSError:
+            same_buckets = False
+
     def add_bucket(batch: pa.Table) -> pa.Table:
-        b = url_bucket(batch.column("url").to_pylist(), num_buckets)
+        if same_buckets:
+            b = (
+                batch.column("old_id").to_numpy().astype(np.uint64)
+                >> np.uint64(BUCKET_SHIFT)
+            ).astype(np.int64)
+        else:
+            b = url_bucket(batch.column("url").to_pylist(), num_buckets)
         return batch.append_column("bucket", pa.array(b.astype(np.int64)))
 
     # first-source-wins happens INSIDE the bucket group (md5 bucketing
@@ -294,6 +323,8 @@ def merge_indexes(index_dirs: list[str], out_dir: str, *, num_buckets: int = 64,
     )
     _commit(docmap_dir, {"phase": "merge-docmap", "sources": index_dirs})
     _commit(remap_dir, {"phase": "merge-remap", "sources": index_dirs})
+    # per-run cache token for _remap_lookup (see _REMAP_SLICES)
+    run_token = os.stat(os.path.join(remap_dir, "_COMMITTED")).st_mtime_ns
 
     n_docs = int(stats_df["n"].sum()) if len(stats_df) else 0
     total_dl = int(stats_df["total_dl"].sum()) if len(stats_df) else 0
@@ -324,7 +355,7 @@ def merge_indexes(index_dirs: list[str], out_dir: str, *, num_buckets: int = 64,
             ids_all = np.concatenate(ids_l).astype(np.uint64)
             tf_all = np.concatenate(tfs_l)
             new_all, dl_all, keep = _remap_lookup(
-                rmdir, si, ids_all, remap_cache_slices
+                rmdir, run_token, si, ids_all, remap_cache_slices
             )
             if not keep.any():
                 return empty

@@ -109,19 +109,32 @@ _PARTIAL_SCHEMA = {
     "npat": pa.int32(),
     "pidx": pa.int32(),
     "term": pa.string(),
-    "doc_ids": pa.list_(pa.uint64()),
-    "scores": pa.list_(pa.float64()),
+    "doc_ids": pa.large_list(pa.uint64()),
+    "scores": pa.large_list(pa.float64()),
 }
 
 
 # Worker-process cache of shard readers (the stages/extract module-global
 # pattern): a doc/term-range reader costs ~1 s of open+slice-preload at
-# 1.5 M docs, paid per eval_shard task without this. Keyed by the
-# tombstone file's (mtime_ns, size) so a delete_docs() on the same index
-# path invalidates stale masks; capped so long-lived workers serving
+# 1.5 M docs, paid per eval_shard task without this. Keyed by BOTH the
+# tombstone file's (mtime_ns, size) — a delete_docs() on the same index
+# path invalidates stale masks — and meta.json's (mtime_ns, size), which
+# every build/merge/update rewrites, so an index rebuilt or atomically
+# swapped at the same path (update_index) invalidates warm readers even
+# when no tombstone file exists. Capped so long-lived workers serving
 # many indexes stay bounded.
 _READER_CACHE: dict = {}
 _READER_CACHE_CAP = 8
+
+
+def _file_key(path: str):
+    import os
+
+    try:
+        st = os.stat(path)
+        return (st.st_mtime_ns, st.st_size)
+    except OSError:
+        return None
 
 
 def _cached_reader(index_path: str, *, term_range=None, doc_range=None):
@@ -129,12 +142,9 @@ def _cached_reader(index_path: str, *, term_range=None, doc_range=None):
 
     from textindex_ray.index.delete import TOMBSTONE_FILE
 
-    try:
-        st = os.stat(os.path.join(index_path, TOMBSTONE_FILE))
-        tomb_key = (st.st_mtime_ns, st.st_size)
-    except OSError:
-        tomb_key = None
-    key = (index_path, term_range, doc_range, tomb_key)
+    tomb_key = _file_key(os.path.join(index_path, TOMBSTONE_FILE))
+    meta_key = _file_key(os.path.join(index_path, "meta.json"))
+    key = (index_path, term_range, doc_range, tomb_key, meta_key)
     r = _READER_CACHE.get(key)
     if r is None:
         from textindex_ray.query.engine import IndexReader
@@ -146,16 +156,18 @@ def _cached_reader(index_path: str, *, term_range=None, doc_range=None):
     return r
 
 
-def _np_list_array(chunks: list, np_dtype, pa_type) -> pa.ListArray:
-    """list<pa_type> column from per-row numpy arrays without Python
-    per-element conversion."""
+def _np_list_array(chunks: list, np_dtype, pa_type) -> pa.LargeListArray:
+    """large_list<pa_type> column from per-row numpy arrays without
+    Python per-element conversion. int64 offsets: one shard task's
+    concatenated posting payload can exceed 2^31 values at the module's
+    target scale, where int32 ListArray offsets raise ArrowInvalid."""
     lens = np.fromiter((c.size for c in chunks), np.int64, len(chunks))
     offs = np.concatenate(([0], np.cumsum(lens)))
     vals = (
         np.concatenate(chunks) if chunks else np.empty(0, np_dtype)
     ).astype(np_dtype, copy=False)
-    return pa.ListArray.from_arrays(
-        pa.array(offs, pa.int32()), pa.array(vals, pa_type)
+    return pa.LargeListArray.from_arrays(
+        pa.array(offs, pa.int64()), pa.array(vals, pa_type)
     )
 
 

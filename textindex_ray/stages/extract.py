@@ -46,11 +46,16 @@ def url_bucket(urls, num_buckets: int) -> np.ndarray:
     in DuckDB as ``('0x' || substr(md5(url), 1, 4))::BIGINT % num_buckets``,
     which is what the correctness oracle uses.
     """
-    out = np.empty(len(urls), dtype=np.int64)
     md5 = hashlib.md5
-    for i, u in enumerate(urls):
-        out[i] = int.from_bytes(md5(u.encode("utf-8")).digest()[:2], "big") % num_buckets
-    return out
+    out = np.fromiter(
+        (
+            int.from_bytes(md5(u.encode("utf-8")).digest()[:2], "big")
+            for u in urls
+        ),
+        np.int64,
+        len(urls),
+    )
+    return out % num_buckets
 
 
 class ExtractTokenize:
