@@ -345,6 +345,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def q_token_count(sf_dir):
         return docs_ds(sf_dir).map_batches(textstats.token_count_batch, batch_format="pyarrow")
 
+    def q_embed_docs(sf_dir):
+        # embedding-generation stage (stages/embed.py): deterministic
+        # md5 feature-hash projection, graded as exact integer
+        # (doc_id, dim, val) rows; the float unit-vector form of the
+        # same stage feeds similarity.knn_* end-to-end (pytest)
+        from textindex_ray.stages.embed import embed_rows_batch
+
+        return docs_ds(sf_dir).map_batches(
+            embed_rows_batch(16), batch_format="pyarrow"
+        )
+
     def q_fingerprint(sf_dir):
         return docs_ds(sf_dir).map_batches(textstats.fingerprint_batch, batch_format="pyarrow")
 
@@ -563,7 +574,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_phrase": D.doc_phrase,
         "doc_proximity": D.doc_proximity,
         "doc_bm25_hash_join": D.doc_bm25_hash_join,
-        "doc_bm25_customer": D.doc_bm25_customer,
+        "embed_docs": q_embed_docs,
         # dedup family
         "exact_dedup_groups": q_exact_dedup,
         "simhash64": q_simhash,
@@ -625,6 +636,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # pipelines. ALL of them stay hash-verified by
         # tools/oracle_sweep.py (see README 'Correctness grading').
         "doc_bm25_scan_filter_sort": D.doc_bm25_scan_filter_sort,
+        "doc_bm25_customer": D.doc_bm25_customer,
         "minhash_lsh_pairs": q_minhash_pairs,
         "shuffle_shards": q_shuffle_shards,
         # synthetic web-corpus pipeline (rows-only; pytest-verified vs oracle)
@@ -999,6 +1011,22 @@ SELECT d.doc_id,
        COALESCE(CASE WHEN h.n = 0 THEN 0
                      ELSE (h.n_hits * 1000000) // h.n END, 0)::BIGINT AS hit_ppm
 FROM documents d LEFT JOIN hits h USING (doc_id)"""
+
+    # embedding-generation stage: md5 feature-hash projection, exact
+    # integer (doc_id, dim, val) rows (stages/embed.py docstring has the
+    # dimension/sign formulas this SQL mirrors)
+    sql["embed_docs"] = r"""
+WITH toks AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '\pL+')) AS w
+              FROM documents),
+tf AS (SELECT doc_id, w, count(*)::BIGINT AS c FROM toks GROUP BY doc_id, w),
+proj AS (SELECT doc_id,
+                ('0x' || substr(md5(w), 1, 8))::BIGINT % 16 AS dim,
+                CASE WHEN ('0x' || substr(md5(w), 9, 1))::BIGINT % 2 = 0
+                     THEN c ELSE -c END AS v
+         FROM tf)
+SELECT doc_id, dim, sum(v)::BIGINT AS val
+FROM proj GROUP BY doc_id, dim HAVING sum(v) <> 0
+ORDER BY doc_id, dim"""
 
     # BPE-ish pretokenizer counts: the regex is RE2/re-portable by
     # construction (textstats.BPE_PRETOKEN_RE) - verified match-for-match

@@ -31,15 +31,18 @@ def main(argv=None) -> int:
         # reference `delete <glob>` (main.rs:278-284; its remove_file was a
         # todo, index2.rs:462-464): tombstone matching docs, masked at
         # query time, compacted on the next merge/update
-        from textindex_ray.index.delete import delete_docs
+        from textindex_ray.index.segments import delete_docs_all
 
-        n = delete_docs(args.index, args.terms[0] if args.terms else "")
+        n = delete_docs_all(args.index, args.terms[0] if args.terms else "")
         print(json.dumps({"deleted": n}))
         return 0
 
-    from textindex_ray.query.engine import IndexReader
+    from textindex_ray.query.segmented import open_reader
 
-    r = IndexReader(args.index)
+    r = open_reader(args.index)
+    # block-level introspection (stats debug/<term>) reads one segment's
+    # physical layout; the BASE segment answers for a segmented index
+    base = r.segments[0] if hasattr(r, "segments") else r
     if args.mode == "stats" and args.terms:
         # reference `stats debug` / `stats <blocknr>` analog
         # (main.rs:331-349): per-phase file inventory, or one term's
@@ -59,7 +62,7 @@ def main(argv=None) -> int:
                                "bytes": sum(_os.path.getsize(f) for f in files)}
             print(json.dumps({"inventory": inv, "meta": r.meta}))
         else:
-            rows = r.chunk_rows([args.terms[0]])
+            rows = base.chunk_rows([args.terms[0]])
             print(json.dumps({
                 "term": args.terms[0],
                 "chunks": [
@@ -81,7 +84,7 @@ def main(argv=None) -> int:
         # frequency histogram analog (bag_stats, index2.rs:100/507/526)
         import os as _os
 
-        dfs = r._dict.column("cf").to_pylist()
+        dfs = base._dict.column("cf").to_pylist()
         total = sum(dfs) or 1
         bins = [0] * 16
         for c in dfs:

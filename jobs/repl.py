@@ -81,9 +81,9 @@ def _print_page(r, found) -> None:
 
 
 def run(index_path: str, corpus: str | None, stream) -> int:
-    from textindex_ray.query.engine import IndexReader
+    from textindex_ray.query.segmented import open_reader
 
-    r = IndexReader(index_path)
+    r = open_reader(index_path)
     found = {"ids": [], "page": 0}
     if stream is sys.stdin and sys.stdin.isatty():
         stream = _interactive_lines(r)
@@ -138,11 +138,11 @@ def run(index_path: str, corpus: str | None, stream) -> int:
         elif cmd == "store":
             print(json.dumps({"stored": True}))  # phases commit durably
         elif cmd == "delete":
-            from textindex_ray.index.delete import delete_docs
+            from textindex_ray.index.segments import delete_docs_all
 
-            n = delete_docs(index_path, args[0] if args else "")
+            n = delete_docs_all(index_path, args[0] if args else "")
             print(json.dumps({"deleted": n}))
-            r = IndexReader(index_path)  # reload the tombstone mask
+            r = open_reader(index_path)  # reload the tombstone mask
         elif cmd == "index":
             if not args:
                 print(json.dumps({"error": "index <corpus_path>"}))
@@ -156,7 +156,7 @@ def run(index_path: str, corpus: str | None, stream) -> int:
 
             meta = update_index(args[0], index_path)
             print(json.dumps({"n_docs": meta["n_docs"]}))
-            r = IndexReader(index_path)
+            r = open_reader(index_path)  # picks up the appended segment
         elif cmd == "stats":
             if args:
                 from jobs.query import main as qmain

@@ -89,9 +89,35 @@ def test_deleted_url_reindexed_by_update(ray_session, tmp_path):
     assert delete_docs(idx, victim) == 1
 
     # update against the SAME corpus: the deleted url is live there, so it
-    # must be re-indexed; the update also compacts the tombstone away
-    update_index(str(corpus), idx, num_buckets=8)
+    # must be re-indexed. mode="merge" also compacts the tombstone away;
+    # the default segment mode re-indexes into a delta and keeps the base
+    # tombstone masking the old copy until compaction (covered below)
+    update_index(str(corpus), idx, num_buckets=8, mode="merge")
     r = IndexReader(idx)
     assert load_tombstones(idx).size == 0
     assert victim in r.find_files("*")
     assert r.n_docs == r0.n_docs
+
+
+def test_deleted_url_reindexed_by_segment_update(ray_session, tmp_path):
+    """Segment-mode update of a corpus containing a deleted url: the url
+    is re-indexed into the delta segment, the base tombstone keeps
+    masking the old copy, and the url surfaces exactly ONCE."""
+    from textindex_ray.query.segmented import open_reader
+
+    corpus = tmp_path / "corpus"
+    corpus.mkdir()
+    pq.write_table(generate_corpus(80), str(corpus / "part.parquet"))
+    idx = str(tmp_path / "idx")
+    build_index(str(corpus), idx, num_buckets=8)
+    r0 = IndexReader(idx)
+    victim = r0.docmap(columns=["url"]).column("url").to_pylist()[0]
+    assert delete_docs(idx, victim) == 1
+
+    m = update_index(str(corpus), idx, num_buckets=8, compact_ratio=10.0)
+    assert m["added_docs"] == 1  # only the tombstoned url was "new"
+    r = open_reader(idx)
+    assert r.find_files("*").count(victim) == 1
+    # query paths see the re-indexed copy once, never the masked one
+    urls = r.urls_for(r.doc_set("*"))
+    assert urls.count(victim) == 1

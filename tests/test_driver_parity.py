@@ -84,6 +84,20 @@ def test_rows_only_queries_run(entrymod):
         assert len(res) >= 0, name
 
 
+def test_phrase_candidate_join_tier_matches_broadcast(entrymod, monkeypatch):
+    """doc_phrase/doc_proximity with a forced partitioned-semi-join
+    candidate tier (broadcast limit 0 — every candidate set counts as
+    'too big for the driver') must equal the default broadcast tier:
+    the high-df-phrase scale path is result-identical."""
+    from textindex_ray.pipelines import documents as D
+
+    base_phrase = D.doc_phrase(SF_DIR).to_pandas()
+    base_prox = D.doc_proximity(SF_DIR).to_pandas()
+    monkeypatch.setattr(D, "CAND_BROADCAST_LIMIT", 0)
+    pd.testing.assert_frame_equal(D.doc_phrase(SF_DIR).to_pandas(), base_phrase)
+    pd.testing.assert_frame_equal(D.doc_proximity(SF_DIR).to_pandas(), base_prox)
+
+
 def test_entry_smoke(entrymod):
     res = entrymod.entry()
     df = _to_df(res)

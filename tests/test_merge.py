@@ -158,7 +158,8 @@ def test_update_index_bloom_path(ray_session, tmp_path):
 
     idx_b = str(tmp_path / "idx_bloom")
     build_index(str(tmp_path / "c1"), idx_b, num_buckets=8)
-    update_index(str(tmp_path / "c2"), idx_b, num_buckets=8, membership="bloom")
+    update_index(str(tmp_path / "c2"), idx_b, num_buckets=8, membership="bloom",
+                 mode="merge")
 
     ref = str(tmp_path / "idx_ref")
     build_index(str(tmp_path / "c2"), ref, num_buckets=8)
@@ -194,7 +195,7 @@ def test_update_index_bloom_disjoint_corpus(ray_session, tmp_path):
     idx = str(tmp_path / "idx")
     build_index(str(tmp_path / "c1"), idx, num_buckets=8)
     update_index(str(tmp_path / "c2"), idx, num_buckets=8,
-                 membership="bloom", fp_rate=1e-6)
+                 membership="bloom", fp_rate=1e-6, mode="merge")
 
     ref = str(tmp_path / "idx_ref")
     build_index(str(call), ref, num_buckets=8)
@@ -224,7 +225,7 @@ def test_update_index_incremental(ray_session, tmp_path):
 
     idx = str(tmp_path / "idx")
     build_index(str(d1), idx, num_buckets=8)
-    update_index(str(d2), idx, num_buckets=8)
+    update_index(str(d2), idx, num_buckets=8, mode="merge")
 
     ref = str(tmp_path / "idx_ref")
     build_index(str(d2), ref, num_buckets=8)

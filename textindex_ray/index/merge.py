@@ -422,11 +422,46 @@ def merge_indexes(index_dirs: list[str], out_dir: str, *, num_buckets: int = 64,
     return meta
 
 
+def _tomb_filter(index_dir: str):
+    """Per-segment batch filter dropping tombstoned docmap rows —
+    committed = LIVE urls only: a deleted url re-appearing in the corpus
+    is re-indexed (delete.py contract)."""
+    from textindex_ray.index.delete import load_tombstones
+
+    tomb = load_tombstones(index_dir)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        if tomb.size and batch.num_rows:
+            ids = batch.column("doc_id").to_numpy().astype(np.uint64)
+            pos = np.minimum(np.searchsorted(tomb, ids), tomb.size - 1)
+            batch = batch.filter(pa.array(tomb[pos] != ids))
+        return batch.select(["url"])
+
+    return fn
+
+
 def update_index(corpus_path, index_dir: str, *, work_dir: str | None = None,
                  num_buckets: int = 64, chunk_size: int = 1024,
                  membership: str = "auto", exact_limit: int = 1_000_000,
-                 fp_rate: float = 0.01, num_partitions: int = 4) -> dict:
-    """Incremental indexing: index only not-yet-committed urls, then merge.
+                 fp_rate: float = 0.01, num_partitions: int = 4,
+                 mode: str = "segment", compact_ratio: float = 0.5) -> dict:
+    """Incremental indexing: index only not-yet-committed urls.
+
+    mode picks the lifecycle:
+      - "segment" (default, the scale path): build a delta index of only
+        the new documents and APPEND it as a segment
+        (index/segments.py) — the base index's postings are never
+        decoded or rewritten. When the accumulated delta mass exceeds
+        ``compact_ratio x base_docs``, every segment is full-merged
+        (compaction) and the result atomically replaces index_dir.
+        Queries run via ``query.segmented.open_reader`` (exact
+        query-time merge). Matches the reference's true incremental
+        semantics (threads.rs:292-297 skip-already-indexed,
+        word_map.rs:203-249 append-in-place).
+      - "merge": the one-shot path — build the delta, then immediately
+        full-merge it with every existing segment (pays a base-index
+        re-encode per increment; right when increments are rare and
+        large, or to force compaction now).
 
     membership picks how the committed-url anti-join runs:
       - "exact": broadcast exact set (small committed sets)
@@ -435,11 +470,26 @@ def update_index(corpus_path, index_dir: str, *, work_dir: str | None = None,
         (committed urls + FP-rate of the new ones) are resolved EXACTLY
         with a partitioned left_anti join — same result, only the
         maybe-set shuffles
-      - "auto": exact when meta n_docs <= exact_limit, else bloom
-    Returns the merged meta; the merged index replaces index_dir
-    atomically (build aside + read-checked swap).
+      - "auto": exact when committed docs <= exact_limit, else bloom
+
+    The anti-join runs against EVERY committed segment (base + deltas),
+    so segments stay url-disjoint — the invariant the query-time merge's
+    exactness rests on. Returns the collection meta
+    (n_docs/avgdl/segments/compacted); any index replacement is atomic
+    (build aside + read-checked swap).
     """
     import json
+
+    from textindex_ray.index.segments import (
+        append_segment,
+        collection_stats,
+        list_segments,
+        load_manifest,
+    )
+
+    if mode not in ("segment", "merge"):
+        raise ValueError("mode must be 'segment' or 'merge', got %r" % mode)
+    seg_dirs = list_segments(index_dir)
 
     work_dir = work_dir or (index_dir.rstrip("/") + ".work")
     delta_dir = os.path.join(work_dir, "delta")
@@ -447,29 +497,20 @@ def update_index(corpus_path, index_dir: str, *, work_dir: str | None = None,
     shutil.rmtree(work_dir, ignore_errors=True)
     os.makedirs(delta_dir, exist_ok=True)
 
-    with open(os.path.join(index_dir, "meta.json")) as f:
-        n_committed = int(json.load(f).get("n_docs", 0))
+    n_committed = 0
+    for d in seg_dirs:
+        with open(os.path.join(d, "meta.json")) as f:
+            n_committed += int(json.load(f).get("n_docs", 0))
     if membership == "auto":
         membership = "exact" if n_committed <= exact_limit else "bloom"
 
     ds = ray.data.read_parquet(corpus_path, columns=["url", "html"])
 
-    # committed = LIVE urls only: a deleted (tombstoned) url re-appearing
-    # in the corpus is re-indexed (delete.py contract)
-    from textindex_ray.index.delete import load_tombstones
-
-    tomb = load_tombstones(index_dir)
-
-    def _drop_tombstoned(batch: pa.Table) -> pa.Table:
-        if tomb.size and batch.num_rows:
-            ids = batch.column("doc_id").to_numpy().astype(np.uint64)
-            pos = np.minimum(np.searchsorted(tomb, ids), tomb.size - 1)
-            batch = batch.filter(pa.array(tomb[pos] != ids))
-        return batch.select(["url"])
-
     if membership == "exact":
-        dm = _read_docmap(index_dir).select(["url", "doc_id"])
-        committed = set(_drop_tombstoned(dm).column("url").to_pylist())
+        committed: set = set()
+        for d in seg_dirs:
+            dm = _read_docmap(d).select(["url", "doc_id"])
+            committed.update(_tomb_filter(d)(dm).column("url").to_pylist())
         ref = ray.put(committed)
 
         def anti_join(batch: pa.Table) -> pa.Table:
@@ -481,12 +522,20 @@ def update_index(corpus_path, index_dir: str, *, work_dir: str | None = None,
     else:
         from textindex_ray.index.bloom import UrlBloom
 
-        # materialize: cds is consumed twice (bloom build stream + the
-        # left_anti join) — without this the read + tombstone filter
-        # lineage re-executes per consumer
-        cds = ray.data.read_parquet(
-            _data(os.path.join(index_dir, "docmap")), columns=["url", "doc_id"]
-        ).map_batches(_drop_tombstoned, batch_format="pyarrow").materialize()
+        # committed urls across ALL segments, tombstone-filtered per
+        # segment. materialize: cds is consumed twice (bloom build
+        # stream + the left_anti join) — without this the read +
+        # tombstone filter lineage re-executes per consumer
+        seg_streams = [
+            ray.data.read_parquet(
+                _data(os.path.join(d, "docmap")), columns=["url", "doc_id"]
+            ).map_batches(_tomb_filter(d), batch_format="pyarrow")
+            for d in seg_dirs
+        ]
+        cds = seg_streams[0]
+        for s in seg_streams[1:]:
+            cds = cds.union(s)
+        cds = cds.materialize()
         bloom = UrlBloom.sized_for(n_committed, fp_rate)
 
         def partial_bloom(batch: pa.Table) -> pa.Table:
@@ -533,9 +582,12 @@ def update_index(corpus_path, index_dir: str, *, work_dir: str | None = None,
         else:
             from textindex_ray.functions._util import join_right
 
-            survivors = maybe.join(
-                # right side must hold no zero-row blocks (tombstone
-                # filtering can empty some) — see _util.join_right
+            survivors = join_right(maybe, num_partitions).join(
+                # NEITHER side may hold zero-row blocks: the documented
+                # right-side hazard, and (measured on 2.49.2) a LEFT
+                # side whose filter emptied some blocks breaks
+                # left_anti the same way — join_right's repartition
+                # fixes both
                 join_right(cds, num_partitions), join_type="left_anti",
                 num_partitions=num_partitions, on=("url",),
             )
@@ -551,28 +603,77 @@ def update_index(corpus_path, index_dir: str, *, work_dir: str | None = None,
             os.path.join(staged, "empty.parquet"),
         )
 
-    build_index(staged, delta_dir, num_buckets=num_buckets, chunk_size=chunk_size)
-    meta = merge_indexes([index_dir, delta_dir], merged_dir,
-                         num_buckets=num_buckets, chunk_size=chunk_size)
+    delta_meta = build_index(
+        staged, delta_dir, num_buckets=num_buckets, chunk_size=chunk_size
+    )
 
-    # Crash-safe swap: the merged index must pass a read check BEFORE the
-    # old index is touched, and the .bak copy survives until the swapped-in
-    # index passes a read check too — a failure at any point leaves either
-    # the old index in place or a recoverable .bak next to it.
+    def _swap_in(merged: str) -> None:
+        # Crash-safe swap: the merged index must pass a read check BEFORE
+        # the old index is touched, and the .bak copy survives until the
+        # swapped-in index passes a read check too — a failure at any
+        # point leaves either the old index in place or a recoverable
+        # .bak next to it. The old segments.json / segments/ travel into
+        # .bak with the old base; the merged index is single-segment.
+        from textindex_ray.query.engine import IndexReader
+
+        IndexReader(merged)  # pre-swap read check (raises on a bad merge)
+        bak = index_dir.rstrip("/") + ".bak"
+        shutil.rmtree(bak, ignore_errors=True)
+        os.replace(index_dir, bak)
+        os.replace(merged, index_dir)
+        try:
+            IndexReader(index_dir)  # post-swap read check
+        except Exception:
+            # roll back: restore the old index from .bak
+            os.replace(index_dir, merged)
+            os.replace(bak, index_dir)
+            raise
+        shutil.rmtree(bak, ignore_errors=True)
+
+    if mode == "merge":
+        meta = merge_indexes(seg_dirs + [delta_dir], merged_dir,
+                             num_buckets=num_buckets, chunk_size=chunk_size)
+        _swap_in(merged_dir)
+        shutil.rmtree(work_dir, ignore_errors=True)
+        return meta
+
+    # ---- mode == "segment": append the delta, compact past the ratio -----
+    added = int(delta_meta["n_docs"])
+    if added == 0:
+        shutil.rmtree(work_dir, ignore_errors=True)
+        out = collection_stats(index_dir)
+        out.update({"added_docs": 0, "compacted": False,
+                    "segments": list_segments(index_dir)})
+        return out
+
     from textindex_ray.query.engine import IndexReader
 
-    IndexReader(merged_dir)  # pre-swap read check (raises on a bad merge)
-    bak = index_dir.rstrip("/") + ".bak"
-    shutil.rmtree(bak, ignore_errors=True)
-    os.replace(index_dir, bak)
-    os.replace(merged_dir, index_dir)
+    IndexReader(delta_dir)  # read check before the delta becomes visible
+    gen = int(load_manifest(index_dir).get("generation", 0)) + 1
+    rel = os.path.join("segments", "seg-%06d" % gen)
+    dest = os.path.join(index_dir, rel)
+    shutil.rmtree(dest, ignore_errors=True)
+    os.makedirs(os.path.dirname(dest), exist_ok=True)
+    # same-filesystem move when work_dir sits next to index_dir (the
+    # default); falls back to copy+rm across filesystems
     try:
-        IndexReader(index_dir)  # post-swap read check
-    except Exception:
-        # roll back: restore the old index from .bak
-        os.replace(index_dir, merged_dir)
-        os.replace(bak, index_dir)
-        raise
-    shutil.rmtree(bak, ignore_errors=True)
+        os.replace(delta_dir, dest)
+    except OSError:
+        shutil.copytree(delta_dir, dest)
+    append_segment(index_dir, rel)  # the atomic commit point
+
+    with open(os.path.join(index_dir, "meta.json")) as f:
+        base_docs = int(json.load(f).get("n_docs", 0))
+    stats = collection_stats(index_dir)
+    delta_docs = stats["n_docs"] - base_docs
+    compacted = False
+    if delta_docs > compact_ratio * max(base_docs, 1):
+        merge_indexes(list_segments(index_dir), merged_dir,
+                      num_buckets=num_buckets, chunk_size=chunk_size)
+        _swap_in(merged_dir)
+        compacted = True
+        stats = collection_stats(index_dir)
     shutil.rmtree(work_dir, ignore_errors=True)
-    return meta
+    stats.update({"added_docs": added, "compacted": compacted,
+                  "segments": list_segments(index_dir)})
+    return stats

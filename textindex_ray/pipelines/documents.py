@@ -204,13 +204,138 @@ def _bm25(sf_dir: str, terms: list[str], k: int = 10) -> pa.Table:
 
 PHRASE = ("hash", "join")
 
+# above this many AND-candidates the pruned scan switches from a
+# driver-collected isin filter to a partitioned semi-join (the
+# decontaminate two-tier pattern, functions/dedup.py): a
+# stopword-adjacent phrase can have O(corpus) candidates, which must
+# never materialize on the driver or inflate into a giant isin expr
+CAND_BROADCAST_LIMIT = 100_000
+
+
+def _candidates_ds(r: IndexReader, terms) -> "ray.data.Dataset":
+    """Distributed AND-candidate set over the inverted index: a Dataset
+    of ORIGINAL (doc_id:int64) rows for docs containing every term.
+
+    Plan (no driver per-doc state): index chunk rows for the query terms
+    (parquet ``term`` filter pushdown) -> per-batch varint decode ->
+    (doc, term-code) rows partitioned by doc bucket -> groupby(bucket)
+    intersects (a doc appears once per term, so count == n_terms) and
+    maps internal ids to original ids through ONLY its bucket's docmap
+    slice (row-group-pruned doc_id range read)."""
+    uniq = sorted(set(terms))
+    nterms = len(uniq)
+    code = {t: i for i, t in enumerate(uniq)}
+    idx_data = os.path.join(r.path, "index", "data")
+    dm_data = os.path.join(r.path, "docmap", "data")
+    shift = int(r.meta.get("bucket_shift", 36))
+    tomb = r._tomb  # tombstone mask (tiny; broadcast by closure)
+
+    chunks = ray.data.read_parquet(
+        idx_data, columns=["term", "docs"],
+        filter=pc.field("term").isin(uniq),
+    )
+
+    def decode(batch: pa.Table) -> pa.Table:
+        from textindex_ray.index.codec import delta_decode
+
+        ids_l, tc_l = [], []
+        for t, buf in zip(
+            batch.column("term").to_pylist(), batch.column("docs").to_pylist()
+        ):
+            ids = delta_decode(buf)
+            ids_l.append(ids)
+            tc_l.append(np.full(ids.size, code[t], np.int8))
+        if not ids_l:
+            return pa.table(
+                {"iid": pa.array([], pa.uint64()),
+                 "tcode": pa.array([], pa.int8()),
+                 "part": pa.array([], pa.int64())}
+            )
+        ids = np.concatenate(ids_l)
+        return pa.table(
+            {
+                "iid": pa.array(ids, pa.uint64()),
+                "tcode": pa.array(np.concatenate(tc_l), pa.int8()),
+                "part": pa.array(
+                    (ids >> np.uint64(shift)).astype(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    def intersect(g: pa.Table) -> pa.Table:
+        empty = pa.table({"doc_id": pa.array([], pa.int64())})
+        ids = g.column("iid").to_numpy().astype(np.uint64)
+        u, cnt = np.unique(ids, return_counts=True)
+        cand = u[cnt == nterms]
+        if tomb.size and cand.size:
+            pos = np.minimum(np.searchsorted(tomb, cand), tomb.size - 1)
+            cand = cand[tomb[pos] != cand]
+        if cand.size == 0:
+            return empty
+        # internal -> original ids via this bucket's docmap slice only
+        import pyarrow.dataset as pads
+
+        part = int(g.column("part")[0].as_py())
+        lo = np.uint64(part) << np.uint64(shift)
+        hi = np.uint64(part + 1) << np.uint64(shift)
+        dm = pads.dataset(dm_data).to_table(
+            filter=(pc.field("doc_id") >= lo) & (pc.field("doc_id") < hi),
+            columns=["doc_id", "url"],
+        )
+        dmi = dm.column("doc_id").to_numpy().astype(np.uint64)
+        order = np.argsort(dmi)
+        urls = dm.column("url").to_pylist()
+        sel = order[np.searchsorted(dmi[order], cand)]
+        orig = np.fromiter(
+            (int(urls[int(i)][6:]) for i in sel), np.int64, cand.size
+        )
+        return pa.table({"doc_id": pa.array(np.sort(orig), pa.int64())})
+
+    return (
+        chunks.map_batches(decode, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(intersect, batch_format="pyarrow")
+    )
+
+
+def _pruned_text_scan(sf_dir: str, r: IndexReader, terms,
+                      broadcast_limit: int | None = None):
+    """(doc_id, text) Dataset restricted to the AND-candidate set, or
+    None when no candidates. Two tiers: candidates below
+    ``broadcast_limit`` collect into a parquet isin filter (row-group
+    pruning at the read — the common case); above it, a partitioned
+    inner join keeps every per-doc structure off the driver."""
+    from textindex_ray.functions._util import join_right, probe_count
+
+    if broadcast_limit is None:
+        broadcast_limit = CAND_BROADCAST_LIMIT  # late bind: tests patch it
+    cands, n = probe_count(_candidates_ds(r, terms))
+    if n == 0:
+        return None
+    docs_path = os.path.join(sf_dir, "documents.parquet")
+    if n <= broadcast_limit:
+        cand = sorted(
+            row["doc_id"] for row in cands.select_columns(["doc_id"]).take_all()
+        )
+        return ray.data.read_parquet(
+            docs_path, columns=["doc_id", "text"],
+            filter=pc.field("doc_id").isin(cand),  # candidate-pruned scan
+        )
+    P = 8  # raise with cluster size; hash-shuffle join spawns P aggregators
+    ds = ray.data.read_parquet(docs_path, columns=["doc_id", "text"])
+    return join_right(ds, P).join(
+        join_right(cands, P), join_type="inner", on=("doc_id",),
+        num_partitions=P,
+    )
+
 
 def doc_phrase(sf_dir: str) -> pa.Table:
     """Index-accelerated phrase filter: docs where 'hash join' occurs as
     adjacent words.
 
     The inverted index prunes to the AND-candidate set (docs containing
-    both terms); only candidate rows are scanned, and a regex verifies
+    both terms) as a DATASET (:func:`_candidates_ds` — never a driver
+    list); only candidate rows are scanned, and a regex verifies
     adjacency (``\\bhash\\s+join\\b`` on the lowercased text — the same
     regex the DuckDB oracle runs over the whole table). A regex match
     implies both tokens exist, so phrase hits ⊆ AND candidates and the
@@ -218,9 +343,8 @@ def doc_phrase(sf_dir: str) -> pa.Table:
     import re
 
     r = documents_reader(sf_dir)
-    internal = r.find(list(PHRASE))
-    cand = sorted(int(x) for x in _map_ids(r, internal))
-    if not cand:
+    ds = _pruned_text_scan(sf_dir, r, PHRASE)
+    if ds is None:
         return pa.table({"doc_id": pa.array([], pa.int64())})
     rx = re.compile(r"\b%s\s+%s\b" % PHRASE)
 
@@ -233,11 +357,6 @@ def doc_phrase(sf_dir: str) -> pa.Table:
                 [i for i, k in zip(ids, keep) if k], pa.int64())}
         )
 
-    ds = ray.data.read_parquet(
-        os.path.join(sf_dir, "documents.parquet"),
-        columns=["doc_id", "text"],
-        filter=pc.field("doc_id").isin(cand),  # candidate-pruned scan
-    )
     out = ds.map_batches(verify, batch_format="pyarrow").to_pandas().sort_values("doc_id")
     return pa.table({"doc_id": pa.array(out["doc_id"].to_numpy(), pa.int64())})
 
@@ -270,15 +389,14 @@ def doc_proximity(sf_dir: str) -> pa.Table:
     'filter' occur within PROX_K word positions of each other.
 
     Same plan as :func:`doc_phrase`: the inverted index prunes to the
-    AND-candidate set, only candidate rows are scanned
-    (``read_parquet(filter=isin)``), and the positional check runs on
+    AND-candidate set (a Dataset, broadcast-or-joined by size), only
+    candidate rows are scanned, and the positional check runs on
     the word-run tokenization (which coincides with the engine
     tokenizer on this charset — module docstring). Proximity hits ⊆
     AND candidates, so the pruned scan is exact."""
     r = documents_reader(sf_dir)
-    internal = r.find(list(PROX))
-    cand = sorted(int(x) for x in _map_ids(r, internal))
-    if not cand:
+    ds = _pruned_text_scan(sf_dir, r, PROX)
+    if ds is None:
         return pa.table({"doc_id": pa.array([], pa.int64())})
     t1, t2 = PROX
 
@@ -294,11 +412,6 @@ def doc_proximity(sf_dir: str) -> pa.Table:
                 keep_ids.append(did)
         return pa.table({"doc_id": pa.array(keep_ids, pa.int64())})
 
-    ds = ray.data.read_parquet(
-        os.path.join(sf_dir, "documents.parquet"),
-        columns=["doc_id", "text"],
-        filter=pc.field("doc_id").isin(cand),
-    )
     out = ds.map_batches(verify, batch_format="pyarrow").to_pandas().sort_values("doc_id")
     return pa.table({"doc_id": pa.array(out["doc_id"].to_numpy(), pa.int64())})
 

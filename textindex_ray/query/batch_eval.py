@@ -374,11 +374,23 @@ def doc_shard_boundaries(index_path: str, n_shards: int) -> list[tuple[int, int]
     return out
 
 
+def _restore_meta_stats(reader) -> None:
+    """Undo segmented-serving stat overrides on a cached reader (the
+    cache is shared with callers that expect segment-local stats)."""
+    reader.n_docs = int(reader.meta["n_docs"])
+    reader.avgdl = float(reader.meta["avgdl"])
+    reader._df_global = None
+
+
 def evaluate_queries_doc_sharded(
     index_path: str, queries: "ray.data.Dataset", *, n_shards: int = 4,
 ) -> "ray.data.Dataset":
     """Doc-range-sharded evaluation — the cluster SERVING partition,
     rank- and score-identical to evaluate_queries.
+
+    A SEGMENTED index (index/segments.py) dispatches to
+    :func:`evaluate_queries_segmented` — same algebra, shards spanning
+    (segment x doc_range), results in the SegmentedReader gid space.
 
     Unlike the term-range shard (which must ship full per-term posting
     scores so the reduce can replay the accumulation — O(postings)
@@ -398,6 +410,10 @@ def evaluate_queries_doc_sharded(
     serves 10^12 docs; use evaluate_queries_sharded only when the
     DICTIONARY itself outgrows one node.
     """
+    from textindex_ray.index.segments import is_segmented
+
+    if is_segmented(index_path):
+        return evaluate_queries_segmented(index_path, queries, n_shards=n_shards)
     bounds = doc_shard_boundaries(index_path, n_shards)
 
     def explode(batch: pa.Table) -> pa.Table:
@@ -474,6 +490,155 @@ def evaluate_queries_doc_sharded(
         else:  # file_glob
             out_ids = np.empty(0, np.uint64)
             out_sc = sc_vals if sc_vals.size else np.array([0.0])
+        return pa.table(
+            {
+                "qid": pa.array([qid], pa.int32()),
+                "doc_ids": _np_list_array(
+                    [np.asarray(out_ids, np.uint64)], np.uint64, pa.uint64()),
+                "scores": _np_list_array(
+                    [np.asarray(out_sc, np.float64)], np.float64, pa.float64()),
+            }
+        )
+
+    return partials.groupby("qid").map_groups(merge_q, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# segmented (segment x doc-range) sharded evaluation
+
+
+def evaluate_queries_segmented(
+    index_path: str, queries: "ray.data.Dataset", *, n_shards: int = 4,
+) -> "ray.data.Dataset":
+    """Doc-sharded evaluation over a SEGMENTED index — each shard is one
+    (segment, doc_range) slice; results are rank- and score-identical to
+    ``SegmentedReader`` (and therefore to the compacted index, modulo
+    gid-vs-remapped-docID tie order — see query/segmented.py).
+
+    Same exact algebra as :func:`evaluate_queries_doc_sharded`: a doc
+    lives in exactly one segment (update-path url disjointness), so a
+    shard computes complete per-doc BM25 sums with CORPUS-WIDE stats —
+    global N/avgdl from the segment metas, global per-term df summed
+    driver-side via dictionary filter pushdown (``segmented.term_dfs``,
+    O(query terms), never the full dictionary). doc ids in the output
+    are SegmentedReader gids (seg << seg_shift | doc_id). file_glob
+    queries run on each segment's first shard and SUM in the merge (the
+    url surface spans segments).
+    """
+    from textindex_ray.index.segments import collection_stats, list_segments
+    from textindex_ray.query.segmented import min_seg_shift, term_dfs
+
+    seg_paths = list_segments(index_path)
+    stats = collection_stats(index_path)
+    n_docs_g, avgdl_g = int(stats["n_docs"]), float(stats["avgdl"])
+    import json
+    import os
+
+    metas = []
+    for p in seg_paths:
+        with open(os.path.join(p, "meta.json")) as f:
+            metas.append(json.load(f))
+    seg_shift = min_seg_shift(metas)
+
+    # shards: >=1 per segment, extra shards to the bigger segments
+    per_seg = [max(1, round(n_shards * int(m["n_docs"]) / max(n_docs_g, 1)))
+               for m in metas]
+    shard_list: list[tuple[int, tuple[int, int], bool]] = []
+    for si, (p, k) in enumerate(zip(seg_paths, per_seg)):
+        for j, dr in enumerate(doc_shard_boundaries(p, k)):
+            shard_list.append((si, dr, j == 0))
+
+    # global df map for every bm25 term in the batch (queries are the
+    # small side; one driver collect of the term lists)
+    all_terms: set = set()
+    for row in queries.select_columns(["kind", "terms"]).take_all():
+        if row["kind"] == "bm25_topk":
+            all_terms.update(row["terms"])
+    df_map: dict = {}
+    for p in seg_paths:
+        for t, d in term_dfs(p, sorted(all_terms)).items():
+            df_map[t] = df_map.get(t, 0) + d
+
+    def explode(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        idx = np.repeat(np.arange(n), len(shard_list))
+        shard = np.tile(np.arange(len(shard_list), dtype=np.int32), n)
+        out = batch.take(pa.array(idx))
+        return out.append_column("shard", pa.array(shard, pa.int32()))
+
+    expanded = queries.map_batches(explode, batch_format="pyarrow")
+
+    def eval_shard(g: pa.Table) -> pa.Table:
+        shard = int(g.column("shard")[0].as_py())
+        si, dr, first = shard_list[shard]
+        reader = _cached_reader(seg_paths[si], doc_range=dr)
+        rows = {"qid": [], "kind": [], "k": []}
+        id_chunks: list = []
+        sc_chunks: list = []
+        seg_hi = np.uint64(si) << np.uint64(seg_shift)
+        try:
+            reader.n_docs = n_docs_g
+            reader.avgdl = avgdl_g
+            reader._df_global = df_map
+            ks = (g.column("k").to_pylist() if "k" in g.column_names
+                  else [10] * g.num_rows)
+            for qid, kind, terms, k in zip(
+                g.column("qid").to_pylist(), g.column("kind").to_pylist(),
+                g.column("terms").to_pylist(), ks,
+            ):
+                if kind == "bm25_topk":
+                    ids, sc = reader.bm25_topk_auto(list(terms), int(k) or 10)
+                    ids = ids | seg_hi
+                elif kind in ("term_and", "wildcard_and"):
+                    ids = reader.find(list(terms)) | seg_hi
+                    sc = np.zeros(ids.size, np.float64)
+                elif kind == "file_glob":
+                    if not first:
+                        continue
+                    urls = reader.find_files(terms[0] if terms else "*")
+                    ids = np.empty(0, np.uint64)
+                    sc = np.array([float(len(urls))])
+                else:
+                    ids = np.empty(0, np.uint64)
+                    sc = np.empty(0, np.float64)
+                rows["qid"].append(qid)
+                rows["kind"].append(kind)
+                rows["k"].append(int(k) if k is not None else 10)
+                id_chunks.append(np.asarray(ids, np.uint64))
+                sc_chunks.append(np.asarray(sc, np.float64))
+        finally:
+            # the reader cache is shared with non-segmented callers
+            _restore_meta_stats(reader)
+        return pa.table(
+            {
+                "qid": pa.array(rows["qid"], pa.int32()),
+                "kind": pa.array(rows["kind"], pa.string()),
+                "k": pa.array(rows["k"], pa.int32()),
+                "doc_ids": _np_list_array(id_chunks, np.uint64, pa.uint64()),
+                "scores": _np_list_array(sc_chunks, np.float64, pa.float64()),
+            }
+        )
+
+    partials = expanded.groupby("shard").map_groups(
+        eval_shard, batch_format="pyarrow"
+    )
+
+    def merge_q(g: pa.Table) -> pa.Table:
+        qid = int(g.column("qid")[0].as_py())
+        kind = g.column("kind")[0].as_py()
+        k = int(g.column("k")[0].as_py())
+        _, id_vals = _list_col_slices(g.column("doc_ids"))
+        _, sc_vals = _list_col_slices(g.column("scores"))
+        id_vals = id_vals.astype(np.uint64, copy=False)
+        if kind == "bm25_topk":
+            sel = np.lexsort((id_vals, -sc_vals))[:k]
+            out_ids, out_sc = id_vals[sel], sc_vals[sel]
+        elif kind in ("term_and", "wildcard_and"):
+            out_ids = np.sort(id_vals)  # (segment, range) slices disjoint
+            out_sc = np.zeros(out_ids.size, np.float64)
+        else:  # file_glob: one count row per segment — sum them
+            out_ids = np.empty(0, np.uint64)
+            out_sc = np.array([float(sc_vals.sum())])
         return pa.table(
             {
                 "qid": pa.array([qid], pa.int32()),

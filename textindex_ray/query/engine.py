@@ -80,6 +80,12 @@ class IndexReader:
         """
         self.path = index_path
         self.term_range = term_range
+        # global-stats override hook (query/segmented.py): a segment of a
+        # segmented index is scored with CORPUS-WIDE df/N/avgdl — the
+        # SegmentedReader sets n_docs/avgdl directly and installs a
+        # {term: global_df} map here; idf() consults it before the
+        # segment-local dictionary. None = standalone index (default).
+        self._df_global: dict | None = None
         self.doc_range = (
             (np.uint64(doc_range[0]), np.uint64(doc_range[1]))
             if doc_range is not None else None
@@ -229,7 +235,12 @@ class IndexReader:
         return int(self._df_np[i]) if i >= 0 else 0
 
     def idf(self, term: str) -> float:
-        df = self.df(term)
+        if self._df_global is not None:
+            df = self._df_global.get(term)
+            if df is None:
+                df = self.df(term)
+        else:
+            df = self.df(term)
         # math.log, not np.log: they can differ in the last ulp, and the
         # oracle/rank-identity contract is exact float64 equality
         return math.log((self.n_docs - df + 0.5) / (df + 0.5) + 1.0)
