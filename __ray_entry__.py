@@ -245,6 +245,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
             textstats.bpe_token_count_batch, batch_format="pyarrow"
         )
 
+    def q_bpe_merge_counts(sf_dir):
+        # REAL byte-pair merges over the committed table
+        # (goldens/bpe_merges.txt, trained offline by
+        # textindex_ray.goldens.train_bpe_merges); graded against the
+        # independent naive-apply golden parquet
+        from textindex_ray.kernel.bpe import bpe_merge_count_batch
+
+        return docs_ds(sf_dir).map_batches(
+            bpe_merge_count_batch(), batch_format="pyarrow"
+        )
+
     def q_decontaminate(sf_dir):
         # eval-leakage gate: benchmark = the deterministic doc_id %% 37
         # subset of the same table (no external data); exact distinct-
@@ -637,6 +648,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # tools/oracle_sweep.py (see README 'Correctness grading').
         "doc_bm25_scan_filter_sort": D.doc_bm25_scan_filter_sort,
         "doc_bm25_customer": D.doc_bm25_customer,
+        "bpe_merge_counts": q_bpe_merge_counts,
         "minhash_lsh_pairs": q_minhash_pairs,
         "shuffle_shards": q_shuffle_shards,
         # synthetic web-corpus pipeline (rows-only; pytest-verified vs oracle)
@@ -1494,6 +1506,7 @@ def _golden_sql() -> dict[str, str]:
     out = {}
     for name, fname in (
         ("minhash_lsh_pairs", "minhash_lsh_pairs"),
+        ("bpe_merge_counts", "bpe_merge_counts"),
         ("corpus_extract_stats", "corpus_extract_stats"),
         ("corpus_bm25_topk", "corpus_bm25_topk"),
         ("corpus_find_and", "corpus_find_and"),

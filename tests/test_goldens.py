@@ -25,6 +25,7 @@ NAMES = [
     ("corpus_query_suite_sharded", "corpus_query_suite"),
     ("corpus_snippets", "corpus_snippets"),
     ("minhash_lsh_pairs", "minhash_lsh_pairs"),
+    ("bpe_merge_counts", "bpe_merge_counts"),
 ]
 
 
@@ -58,6 +59,60 @@ def test_golden_matches_pipeline(ray_session, name, fname):
     mm = mine.astype(object).where(pd.notna(mine), None).values.tolist()
     ww = want.astype(object).where(pd.notna(want), None).values.tolist()
     assert mm == ww, (name, mm[:3], ww[:3])
+
+
+def test_bpe_golden_regeneration(tmp_path):
+    """The committed merge table retrains identically (deterministic
+    training) and the committed counts equal a fresh naive-apply run."""
+    from textindex_ray.goldens import golden_bpe_merge_counts, train_bpe_merges
+
+    fresh_merges = str(tmp_path / "merges.txt")
+    train_bpe_merges(SF_DIR, fresh_merges)
+    with open(fresh_merges) as f, open(os.path.join(GDIR, "bpe_merges.txt")) as g:
+        assert f.read() == g.read()
+    fresh = golden_bpe_merge_counts(SF_DIR)
+    committed = pq.read_table(os.path.join(GDIR, "bpe_merge_counts.sf0.01.parquet"))
+    assert fresh.equals(committed)
+
+
+def test_bpe_apply_property():
+    """kernel/bpe.bpe_encode == goldens.naive_bpe_apply (independent
+    implementations of the merge spec) on random byte strings under
+    both the committed table and a random merge table; encoding a
+    training word reproduces its final training segmentation."""
+    import random
+
+    from textindex_ray.goldens import naive_bpe_apply
+    from textindex_ray.kernel.bpe import (
+        bpe_encode,
+        default_merges_path,
+        load_merges,
+        train_bpe,
+    )
+
+    from textindex_ray.functions.textstats import BPE_PRETOKEN_RE
+    from textindex_ray.goldens import _BPE_PRETOKEN
+
+    assert _BPE_PRETOKEN == BPE_PRETOKEN_RE  # inlined copy stays in sync
+
+    ranks = load_merges(default_merges_path())
+    rng = random.Random(7)
+    for _ in range(300):
+        n = rng.randrange(0, 24)
+        b = bytes(rng.randrange(97, 123) if rng.random() < 0.8
+                  else rng.randrange(0, 256) for _ in range(n))
+        assert bpe_encode(b, ranks) == naive_bpe_apply(b, ranks), b
+    # round-trip: concatenating the symbols reproduces the input
+    for w in (b"hello", b" world", b"'re", b"\xff\x00ab"):
+        assert b"".join(bpe_encode(w, ranks)) == w
+    # train/encode consistency on a fresh tiny table
+    texts = ["aaab aab ab abab", "banana bandana", "aaab aaab"]
+    merges = train_bpe(texts, 12)
+    r2 = {m: i for i, m in enumerate(merges)}
+    for t in texts:
+        for w in t.split(" "):
+            wb = (" " + w).encode()  # pretokenizer space-prefix shape
+            assert bpe_encode(wb, r2) == naive_bpe_apply(wb, r2)
 
 
 def test_minhash_golden_regeneration():

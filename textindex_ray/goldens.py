@@ -188,9 +188,107 @@ def golden_minhash_lsh_pairs(
 
 
 # ---------------------------------------------------------------------------
+# real-BPE merge table (the committed "model" artifact) + golden counts
+
+BPE_GOLDEN_MERGES = 256
+# pretokenizer pattern inlined (independence from textstats.BPE_PRETOKEN_RE;
+# the pytest suite asserts the two stay character-identical)
+_BPE_PRETOKEN = r"'s|'t|'re|'ve|'m|'ll|'d| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\s]+|\s+"
+
+
+def train_bpe_merges(sf_dir: str, out_path: str | None = None) -> str:
+    """Train the committed merge table from the sf0.01 documents (the
+    offline 'model training' step; deterministic — the regeneration test
+    retrains and compares). The TABLE is a shared artifact; what stays
+    independent is the APPLY implementation below."""
+    from textindex_ray.kernel.bpe import save_merges, train_bpe
+
+    t = pq.read_table(os.path.join(sf_dir, "documents.parquet"), columns=["text"])
+    merges = train_bpe(t.column("text").to_pylist(), BPE_GOLDEN_MERGES)
+    out_path = out_path or os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "goldens", "bpe_merges.txt",
+    )
+    save_merges(merges, out_path)
+    return out_path
+
+
+def naive_bpe_apply(word: bytes, ranks: dict) -> tuple:
+    """Independent reimplementation of the BPE apply spec (the classic
+    GPT-2 encoder loop: repeatedly merge every occurrence of the
+    lowest-ranked present pair), structurally distinct from
+    kernel/bpe.bpe_encode — the golden counts and the property test
+    drive both."""
+    syms = tuple(bytes([c]) for c in word)
+    big = float("inf")
+    while len(syms) > 1:
+        pairs = set(zip(syms, syms[1:]))
+        bigram = min(pairs, key=lambda p: ranks.get(p, big))
+        if bigram not in ranks:
+            break
+        first, second = bigram
+        out = []
+        i = 0
+        while i < len(syms):
+            try:
+                j = syms.index(first, i)
+            except ValueError:
+                out.extend(syms[i:])
+                break
+            out.extend(syms[i:j])
+            i = j
+            if i < len(syms) - 1 and syms[i + 1] == second:
+                out.append(first + second)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        syms = tuple(out)
+    return syms
+
+
+def golden_bpe_merge_counts(sf_dir: str, merges_path: str | None = None) -> pa.Table:
+    """(doc_id, n_bpe_tokens, n_bpe_unique) under the committed merge
+    table, computed single-process with :func:`naive_bpe_apply`."""
+    import re
+
+    from textindex_ray.kernel.bpe import default_merges_path, load_merges
+
+    ranks = load_merges(merges_path or default_merges_path())
+    rx = re.compile(_BPE_PRETOKEN)
+    t = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    memo: dict = {}
+    ids, n_tok, n_uni = [], [], []
+    for did, text in zip(t.column("doc_id").to_pylist(), t.column("text").to_pylist()):
+        total = 0
+        uniq: set = set()
+        for p in rx.findall(text):
+            pb = p.encode("utf-8")
+            enc = memo.get(pb)
+            if enc is None:
+                enc = naive_bpe_apply(pb, ranks)
+                memo[pb] = enc
+            total += len(enc)
+            uniq.update(enc)
+        ids.append(did)
+        n_tok.append(total)
+        n_uni.append(len(uniq))
+    return pa.table(
+        {
+            "doc_id": pa.array(ids, pa.int64()),
+            "n_bpe_tokens": pa.array(n_tok, pa.int64()),
+            "n_bpe_unique": pa.array(n_uni, pa.int64()),
+        }
+    )
+
+
+# ---------------------------------------------------------------------------
 
 def generate_all(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, pa.Table]:
     oracle = _corpus_oracle()
+    train_bpe_merges(sf_dir)  # commit the merge table before counting
     return {
         "corpus_extract_stats": golden_corpus_extract_stats(oracle),
         "corpus_bm25_topk": golden_corpus_bm25_topk(oracle),
@@ -198,6 +296,7 @@ def generate_all(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, pa.Table]:
         "corpus_query_suite": golden_corpus_query_suite(oracle),
         "corpus_snippets": golden_corpus_snippets(oracle),
         "minhash_lsh_pairs": golden_minhash_lsh_pairs(sf_dir),
+        "bpe_merge_counts": golden_bpe_merge_counts(sf_dir),
     }
 
 
