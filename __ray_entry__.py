@@ -245,6 +245,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
             textstats.bpe_token_count_batch, batch_format="pyarrow"
         )
 
+    def q_source_cap(sf_dir):
+        # per-source cap sampling (domain balancing): deterministic
+        # md5-rank keep-<=10 per source; exact SQL twin via row_number
+        import ray.data
+
+        return textstats.source_cap_sample(
+            ray.data.read_parquet(
+                os.path.join(sf_dir, "documents.parquet"),
+                columns=["doc_id", "source"],
+            ),
+            cap=10,
+        )
+
     def q_bpe_merge_counts(sf_dir):
         # REAL byte-pair merges over the committed table
         # (goldens/bpe_merges.txt, trained offline by
@@ -648,6 +661,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # tools/oracle_sweep.py (see README 'Correctness grading').
         "doc_bm25_scan_filter_sort": D.doc_bm25_scan_filter_sort,
         "doc_bm25_customer": D.doc_bm25_customer,
+        "source_cap_sample": q_source_cap,
         "bpe_merge_counts": q_bpe_merge_counts,
         "minhash_lsh_pairs": q_minhash_pairs,
         "shuffle_shards": q_shuffle_shards,
@@ -1023,6 +1037,19 @@ SELECT d.doc_id,
        COALESCE(CASE WHEN h.n = 0 THEN 0
                      ELSE (h.n_hits * 1000000) // h.n END, 0)::BIGINT AS hit_ppm
 FROM documents d LEFT JOIN hits h USING (doc_id)"""
+
+    # per-source cap sampling: md5-ranked row_number <= cap per source
+    sql["source_cap_sample"] = r"""
+WITH ranked AS (
+  SELECT doc_id, source,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT,
+                    doc_id
+         ) AS rn
+  FROM documents)
+SELECT doc_id, source FROM ranked WHERE rn <= 10
+ORDER BY source, doc_id"""
 
     # embedding-generation stage: md5 feature-hash projection, exact
     # integer (doc_id, dim, val) rows (stages/embed.py docstring has the

@@ -2157,3 +2157,34 @@ def test_embed_documents_stage(ray_session):
         # winner may be an equal-vector tie at a smaller vec_id — d=16
         # hash projections collide; that is still a correct top-1)
         assert r["cos_ppm"] >= 999_999, r
+
+
+def test_source_cap_sample(ray_session):
+    """Cap sampling: <= cap docs per source, selected by the md5 rank
+    regardless of batch/partition layout; equals a pandas brute force."""
+    import hashlib
+
+    import ray.data
+
+    from textindex_ray.functions.textstats import source_cap_sample
+
+    ds = ray.data.read_parquet(
+        "/root/testdata/sf0.01/documents.parquet", columns=["doc_id", "source"]
+    )
+    got = source_cap_sample(ds, cap=10).to_pandas()
+    got2 = source_cap_sample(ds.repartition(13), cap=10).to_pandas()
+    key = ["source", "doc_id"]
+    assert got.sort_values(key).reset_index(drop=True).equals(
+        got2.sort_values(key).reset_index(drop=True)
+    )  # partition-layout independent
+    df = ds.to_pandas()
+    df["h"] = [
+        int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16)
+        for i in df["doc_id"]
+    ]
+    want = (
+        df.sort_values(["h", "doc_id"]).groupby("source").head(10)
+        [["doc_id", "source"]].sort_values(key).reset_index(drop=True)
+    )
+    assert got.sort_values(key).reset_index(drop=True).equals(want)
+    assert (got.groupby("source").size() <= 10).all()

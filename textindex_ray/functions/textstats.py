@@ -799,6 +799,71 @@ def lang_stats(ds: "ray.data.Dataset") -> "ray.data.Dataset":
     )
 
 
+def source_cap_sample(
+    ds: "ray.data.Dataset", *, cap: int = 10, by: str = "source",
+) -> "ray.data.Dataset":
+    """Per-source cap sampling — the domain-balancing step of web-corpus
+    curation (RefinedWeb/C4-style: no single source may dominate the
+    training mix): keep at most ``cap`` docs per ``by`` group, selected
+    by deterministic md5 rank (DuckDB-reproducible:
+    ``('0x'||substr(md5(doc_id::VARCHAR),1,8))::BIGINT``, ties by
+    doc_id), so the sample is content-independent and stable across
+    runs/partitionings. Output (doc_id, source).
+
+    Shape: per-batch combiner keeps its local top-``cap`` per group
+    (bounded: groups-in-batch x cap rows leave each task), then ONE
+    coarse groupby finishes — group payload is O(blocks x cap), never
+    O(group size), so a hot source cannot blow a reducer."""
+    import hashlib
+
+    def rank_of(ids) -> np.ndarray:
+        md5 = hashlib.md5
+        return np.fromiter(
+            (int(md5(str(i).encode()).hexdigest()[:8], 16) for i in ids),
+            np.int64, len(ids),
+        )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy()
+        src = batch.column(by).to_pylist()
+        h = rank_of(ids)
+        order = np.lexsort((ids, h))
+        keep: list[int] = []
+        seen: dict = {}
+        for j in order:
+            s = src[j]
+            c = seen.get(s, 0)
+            if c < cap:
+                seen[s] = c + 1
+                keep.append(j)
+        k = np.asarray(keep, np.int64)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[k].astype(np.int64), pa.int64()),
+                by: pa.array([src[int(j)] for j in k], pa.string()),
+                "h": pa.array(h[k], pa.int64()),
+            }
+        )
+
+    def finish(g: pa.Table) -> pa.Table:
+        ids = g.column("doc_id").to_numpy()
+        h = g.column("h").to_numpy()
+        order = np.lexsort((ids, h))[:cap]
+        sel = np.sort(ids[order])
+        return pa.table(
+            {
+                "doc_id": pa.array(sel, pa.int64()),
+                by: pa.array([g.column(by)[0].as_py()] * sel.size, pa.string()),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(by)
+        .map_groups(finish, batch_format="pyarrow")
+    )
+
+
 def stratified_sample(
     ds: "ray.data.Dataset",
     *,
