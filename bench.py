@@ -240,6 +240,36 @@ def main() -> None:
     )
     queries["bm25_auto_skewed"] = min(all_reps["bm25_auto_skewed"])
 
+    # ---- segmented incremental update (round-5 lifecycle) ------------------
+    # one 1k-doc delta appended to a COPY of the headline index — must
+    # cost O(delta) (anti-join scan + delta build), never re-encode the
+    # base (index/segments.py; compact_ratio high so no compaction)
+    from textindex_ray.index.merge import update_index
+
+    delta_corpus = "/tmp/ti_bench/delta-corpus-1k"
+    if not os.path.exists(os.path.join(delta_corpus, "corpus-00000.parquet")):
+        os.makedirs(delta_corpus, exist_ok=True)
+        write_corpus(delta_corpus, 1000, rows_per_file=1024, seed=777)
+        import pyarrow as _pa
+
+        for f in os.listdir(delta_corpus):
+            p = os.path.join(delta_corpus, f)
+            t2 = pq.read_table(p)
+            t2 = t2.set_column(
+                t2.column_names.index("url"), "url",
+                _pa.array(["delta/" + u for u in t2.column("url").to_pylist()]),
+            )
+            pq.write_table(t2, p)
+
+    def seg_update():
+        seg_idx = "/tmp/ti_bench/seg-upd"
+        shutil.rmtree(seg_idx, ignore_errors=True)
+        shutil.copytree(out_dir, seg_idx)
+        update_index(delta_corpus, seg_idx, num_buckets=64, compact_ratio=10.0)
+
+    all_reps["segment_update"] = _timed(seg_update, reps)
+    queries["segment_update"] = min(all_reps["segment_update"])
+
     # ---- documents-table ops (dedup + knn + textstats) --------------------
     docs = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"))
     from textindex_ray.functions.dedup import exact_dedup_groups, simhash64_batch

@@ -215,3 +215,53 @@ def test_segment_update_noop_and_delete(ray_session, tmp_path):
     for q in QUERIES:
         gids, _ = r2.bm25_scores(q)
         assert victim not in r2.urls_for(gids)
+
+
+def test_segment_update_crash_orphan_overwritten(ray_session, tmp_path):
+    """A crash between the delta move and the manifest rewrite leaves an
+    orphan segments/seg-NNNN dir; the next update recomputes the same
+    generation, overwrites the orphan, and commits atomically."""
+    full = generate_corpus(160)
+    _write(full.slice(0, 80), str(tmp_path / "c1"))
+    _write(full.slice(80, 40), str(tmp_path / "c2"))
+    _write(full.slice(120, 40), str(tmp_path / "c3"))
+    idx = str(tmp_path / "idx")
+    build_index(str(tmp_path / "c1"), idx, num_buckets=8)
+    update_index(str(tmp_path / "c2"), idx, num_buckets=8, compact_ratio=10.0)
+    # simulate the crashed second update: orphan dir, garbage content
+    orphan = os.path.join(idx, "segments", "seg-000002")
+    os.makedirs(orphan)
+    with open(os.path.join(orphan, "junk.bin"), "wb") as f:
+        f.write(b"\x00garbage")
+    m = update_index(str(tmp_path / "c3"), idx, num_buckets=8, compact_ratio=10.0)
+    assert m["added_docs"] > 0 and len(list_segments(idx)) == 3
+    assert not os.path.exists(os.path.join(orphan, "junk.bin"))
+    r = open_reader(idx)  # reads all three segments cleanly
+    assert r.n_docs == m["n_docs"]
+
+
+def test_segmented_wand_seed_prunes(seg_setup):
+    """Threshold seeding: later segments decode fewer chunks than an
+    unseeded per-segment WAND on a skew query, with identical results."""
+    r = SegmentedReader(seg_setup["idx"])
+    q = ["alpha", "beta", "gamma", "delta"]
+    seeded_ids, seeded_sc = r.bm25_topk_wand(q, 5)
+    seeded_decoded = sum(
+        sum(c for c in (s.last_wand_stats["chunks_decoded"],))
+        for s in r.segments
+    )
+    # unseeded reference: same per-segment calls without a threshold
+    parts = []
+    unseeded_decoded = 0
+    for si, s in enumerate(r.segments):
+        ids, sc = s.bm25_topk_wand(q, 5)
+        unseeded_decoded += s.last_wand_stats["chunks_decoded"]
+        parts.append((r._gid(si, ids), sc))
+    import numpy as np
+
+    gids = np.concatenate([p[0] for p in parts])
+    sc = np.concatenate([p[1] for p in parts])
+    sel = np.lexsort((gids, -sc))[:5]
+    assert seeded_ids.tolist() == gids[sel].tolist()
+    assert seeded_sc.tolist() == sc[sel].tolist()
+    assert seeded_decoded <= unseeded_decoded

@@ -309,10 +309,23 @@ def _pruned_text_scan(sf_dir: str, r: IndexReader, terms,
 
     if broadcast_limit is None:
         broadcast_limit = CAND_BROADCAST_LIMIT  # late bind: tests patch it
+    docs_path = os.path.join(sf_dir, "documents.parquet")
+    # fast path: |candidates| <= min df over the terms (an AND result
+    # can't exceed its rarest term's postings), known for free from the
+    # in-memory dictionary — when that BOUND fits the broadcast limit,
+    # the driver list is provably bounded and the warm reader answers
+    # without launching a Ray stage
+    if terms and min(r.df(t) for t in set(terms)) <= broadcast_limit:
+        cand = sorted(int(x) for x in _map_ids(r, r.find(list(terms))))
+        if not cand:
+            return None
+        return ray.data.read_parquet(
+            docs_path, columns=["doc_id", "text"],
+            filter=pc.field("doc_id").isin(cand),
+        )
     cands, n = probe_count(_candidates_ds(r, terms))
     if n == 0:
         return None
-    docs_path = os.path.join(sf_dir, "documents.parquet")
     if n <= broadcast_limit:
         cand = sorted(
             row["doc_id"] for row in cands.select_columns(["doc_id"]).take_all()

@@ -463,8 +463,17 @@ class IndexReader:
 
     # -- block-max WAND -----------------------------------------------------
 
-    def bm25_topk_wand(self, terms: list[str], k: int = 10):
+    def bm25_topk_wand(self, terms: list[str], k: int = 10, *,
+                       initial_threshold: float | None = None):
         """Block-max top-k over the per-chunk (max_tf, min_dl) metadata.
+
+        ``initial_threshold``: an EXTERNAL score floor (the segmented
+        reader seeds segment i+1 with the running global kth score):
+        pruning may fire before k local results exist, and docs scoring
+        strictly below the floor may be dropped — exact for the caller
+        because such docs cannot enter the global top-k, and a tie AT
+        the floor loses the (score desc, gid asc) tie-break to the
+        earlier-segment incumbent that set it (query/segmented.py).
 
         Window-vectorized block-max WAND: the doc space is processed in
         windows ending at the smallest current chunk boundary. A window
@@ -508,7 +517,8 @@ class IndexReader:
 
         top_ids = np.empty(0, np.uint64)
         top_sc = np.empty(0, np.float64)
-        threshold = -np.inf
+        ext = initial_threshold is not None
+        threshold = float(initial_threshold) if ext else -np.inf
         streak = 0  # consecutive scored (non-pruned) windows
 
         while True:
@@ -526,7 +536,7 @@ class IndexReader:
                         c.next_chunk()
                 continue
             ub = sum(c.cur_ub for c in involved)
-            if top_ids.size >= k and ub < threshold:
+            if (top_ids.size >= k or ext) and ub < threshold:
                 # prune: skip (never score) all postings <= window_end;
                 # whole chunks drop undecoded, spanning chunks skip by
                 # offset (ids decoded, no scoring)
@@ -571,7 +581,7 @@ class IndexReader:
             order = np.lexsort((cand_ids, -cand_sc))[:k]
             top_ids, top_sc = cand_ids[order], cand_sc[order]
             if top_ids.size >= k:
-                threshold = top_sc[-1]
+                threshold = max(threshold, top_sc[-1])
         self.last_wand_stats = {
             "chunks_total": sum(c.n_chunks for c in cursors),
             "chunks_decoded": sum(c.decoded for c in cursors),

@@ -212,12 +212,26 @@ class SegmentedReader:
         return self._merge_topk(parts, k)
 
     def bm25_topk_wand(self, terms: list[str], k: int = 10):
+        """Segment-ordered WAND with threshold seeding: segment i+1
+        starts from the running global kth score, so its block-max
+        pruning fires immediately. Exact: a later-segment doc scoring
+        below the seed cannot enter the top-k, and a tie AT the seed
+        loses the gid tie-break to the earlier incumbent (later
+        segments have strictly larger gids)."""
         self._fill_dfs(terms)
-        parts = []
+        top_g = np.empty(0, np.uint64)
+        top_s = np.empty(0, np.float64)
+        threshold = None
         for si, s in enumerate(self.segments):
-            ids, sc = s.bm25_topk_wand(terms, k)
-            parts.append((self._gid(si, ids), sc))
-        return self._merge_topk(parts, k)
+            ids, sc = s.bm25_topk_wand(terms, k, initial_threshold=threshold)
+            if ids.size:
+                cg = np.concatenate([top_g, self._gid(si, ids)])
+                cs = np.concatenate([top_s, sc])
+                sel = np.lexsort((cg, -cs))[:k]
+                top_g, top_s = cg[sel], cs[sel]
+                if top_g.size >= k:
+                    threshold = float(top_s[-1])
+        return top_g, top_s
 
     def bm25_topk_auto(self, terms: list[str], k: int = 10, **kw):
         self._fill_dfs(terms)
