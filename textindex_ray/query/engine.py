@@ -285,18 +285,41 @@ class IndexReader:
         pos = np.minimum(pos, self._tomb.size - 1)
         return self._tomb[pos] != ids
 
+    # decoded-postings LRU: serving workloads repeat hot terms; the
+    # decode+mask result is immutable per reader instance (tombstones,
+    # doc_range, and chunk bytes are all fixed at __init__), so caching
+    # cannot change any result. Bounded by total cached VALUES (not
+    # entries): one huge-df term can't blow the heap unnoticed, and the
+    # cap is small next to the preloaded chunk table it derives from.
+    _POSTINGS_CACHE_VALS = 4_000_000
+
     def postings(self, term: str):
         """Decoded (doc_ids, tfs) for one exact term, docID-ascending,
-        tombstoned docs masked."""
+        tombstoned docs masked. Cached per reader (bounded LRU)."""
+        cache = getattr(self, "_postings_cache", None)
+        if cache is None:
+            cache = self._postings_cache = {}
+            self._postings_cache_vals = 0
+        hit = cache.get(term)
+        if hit is not None:
+            cache[term] = cache.pop(term)  # LRU bump
+            return hit
         rows = self.chunk_rows([term])
         if rows.num_rows == 0:
-            return np.empty(0, np.uint64), np.empty(0, np.uint64)
-        ids, tfs = _decode_chunk_rows(rows)
-        rm = self._range_mask(ids)
-        if rm is not None:
-            ids, tfs = ids[rm], tfs[rm]
-        m = self._alive_mask(ids)
-        return (ids, tfs) if m is None else (ids[m], tfs[m])
+            out = (np.empty(0, np.uint64), np.empty(0, np.uint64))
+        else:
+            ids, tfs = _decode_chunk_rows(rows)
+            rm = self._range_mask(ids)
+            if rm is not None:
+                ids, tfs = ids[rm], tfs[rm]
+            m = self._alive_mask(ids)
+            out = (ids, tfs) if m is None else (ids[m], tfs[m])
+        self._postings_cache_vals += out[0].size
+        cache[term] = out
+        while self._postings_cache_vals > self._POSTINGS_CACHE_VALS and len(cache) > 1:
+            oldest = next(iter(cache))  # insertion-ordered dict = LRU
+            self._postings_cache_vals -= cache.pop(oldest)[0].size
+        return out
 
     def doc_set(self, pattern: str) -> np.ndarray:
         """Union of posting docIDs over vocabulary entries matching pattern."""
