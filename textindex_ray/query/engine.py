@@ -432,12 +432,23 @@ class IndexReader:
             all_scores.append(sc)
         if not all_ids or not sum(x.size for x in all_ids):
             return np.empty(0, np.uint64), np.empty(0, np.float64)
+        nonempty = [(i, s) for i, s in zip(all_ids, all_scores) if i.size]
+        if len(nonempty) == 1:
+            # single matching term: its postings ARE the result set and
+            # the accumulation is the identity (same floats, no unique /
+            # searchsorted pass)
+            return nonempty[0][0], nonempty[0][1].copy()
         uids = np.unique(np.concatenate(all_ids))
         # accumulate term-at-a-time in sorted term order: the float64 adds
         # happen left-to-right per doc, identical to the oracle scorer
         totals = np.zeros(uids.size, np.float64)
-        for ids, sc in zip(all_ids, all_scores):
-            if ids.size:
+        for ids, sc in nonempty:
+            if ids.size == uids.size:
+                # sorted unique subset of equal size == the whole set:
+                # skip the searchsorted (adds happen in the same per-doc
+                # order, so floats are bit-identical)
+                totals += sc
+            else:
                 totals[np.searchsorted(uids, ids)] += sc
         return uids, totals
 
