@@ -20,7 +20,7 @@ import sys
 
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(description=__doc__)
-    ap.add_argument("--corpus", required=True)
+    ap.add_argument("--corpus")
     ap.add_argument("--out", required=True)
     ap.add_argument("--num-buckets", type=int, default=64)
     ap.add_argument("--chunk-size", type=int, default=1024)
@@ -28,6 +28,16 @@ def main(argv=None) -> int:
     ap.add_argument("--no-checkpoint", action="store_true")
     ap.add_argument("--no-resume", action="store_true")
     ap.add_argument("--incremental", action="store_true")
+    ap.add_argument("--mode", choices=["segment", "merge"], default="segment",
+                    help="incremental lifecycle: append a delta segment "
+                         "(default; base never rewritten) or full-merge "
+                         "immediately")
+    ap.add_argument("--compact-ratio", type=float, default=0.5,
+                    help="segment mode: full-merge when accumulated delta "
+                         "docs exceed this fraction of the base")
+    ap.add_argument("--compact", action="store_true",
+                    help="force-compact the index at --out now (merges all "
+                         "segments, drops tombstones) and exit")
     ap.add_argument("--files", action="store_true",
                     help="corpus is a loose-file directory tree (reference "
                          "walk source) instead of a Parquet table")
@@ -37,6 +47,8 @@ def main(argv=None) -> int:
                          "metrics.jsonl — the reference's opt-in allocation "
                          "tracker analog (main.rs:33-111)")
     args = ap.parse_args(argv)
+    if not args.compact and not args.corpus:
+        ap.error("--corpus is required unless --compact")
 
     if args.track_alloc:
         from textindex_ray import diagnostics
@@ -51,12 +63,19 @@ def main(argv=None) -> int:
         ray.init(include_dashboard=False, ignore_reinit_error=True,
                  logging_level="ERROR")
 
-    if args.incremental:
+    if args.compact:
+        from textindex_ray.index.merge import compact_index
+
+        meta = compact_index(
+            args.out, num_buckets=args.num_buckets, chunk_size=args.chunk_size,
+        )
+    elif args.incremental:
         from textindex_ray.index.merge import update_index
 
         meta = update_index(
             args.corpus, args.out,
             num_buckets=args.num_buckets, chunk_size=args.chunk_size,
+            mode=args.mode, compact_ratio=args.compact_ratio,
         )
     else:
         from textindex_ray.index.build import build_index

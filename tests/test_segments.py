@@ -265,3 +265,44 @@ def test_segmented_wand_seed_prunes(seg_setup):
     assert seeded_ids.tolist() == gids[sel].tolist()
     assert seeded_sc.tolist() == sc[sel].tolist()
     assert seeded_decoded <= unseeded_decoded
+
+
+def test_compact_index_cli(ray_session, tmp_path):
+    """Force-compaction: jobs/build.py --compact merges every segment
+    (and drops tombstones) into a single-segment index equal to a fresh
+    build over the live union."""
+    import subprocess
+    import sys as _sys
+
+    from textindex_ray.index.delete import load_tombstones
+    from textindex_ray.index.merge import compact_index
+
+    full = generate_corpus(160)
+    _write(full.slice(0, 100), str(tmp_path / "c1"))
+    _write(full.slice(100, 60), str(tmp_path / "c2"))
+    idx = str(tmp_path / "idx")
+    build_index(str(tmp_path / "c1"), idx, num_buckets=8)
+    update_index(str(tmp_path / "c2"), idx, num_buckets=8, compact_ratio=10.0)
+    r = SegmentedReader(idx)
+    victim = r.find_files("*")[0]
+    assert delete_docs_all(idx, victim) == 1
+
+    before = SegmentedReader(idx)
+    n_live = before.n_docs  # pre-delete stats (tombstone contract)
+    # capture the segmented view BEFORE compaction moves its files
+    pre: dict = {}
+    for q in QUERIES:
+        gids, _ = before.bm25_scores(q)
+        urls = set(before.urls_for(gids))
+        urls.discard(victim)
+        pre[tuple(q)] = urls
+    meta = compact_index(idx, num_buckets=8)
+    assert not is_segmented(idx)
+    assert load_tombstones(idx).size == 0  # compaction drops tombstones
+    rc = IndexReader(idx)
+    assert rc.n_docs == n_live - 1
+    assert victim not in rc.find_files("*")
+    for q in QUERIES:
+        ids2, _ = rc.bm25_scores(q)
+        # scores shift with post-delete stats; membership must agree
+        assert set(rc.urls_for(ids2)) == pre[tuple(q)], q

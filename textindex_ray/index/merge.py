@@ -422,6 +422,38 @@ def merge_indexes(index_dirs: list[str], out_dir: str, *, num_buckets: int = 64,
     return meta
 
 
+def compact_index(index_dir: str, *, num_buckets: int = 64,
+                  chunk_size: int = 1024) -> dict:
+    """Force-compact a (possibly segmented) index NOW: full-merge every
+    segment (dropping tombstoned docs and docID-remapping) and
+    atomically swap the single-segment result in. The on-demand form of
+    the ratio-triggered compaction inside ``update_index``."""
+    from textindex_ray.index.segments import list_segments
+
+    work = index_dir.rstrip("/") + ".work"
+    merged = os.path.join(work, "merged")
+    shutil.rmtree(work, ignore_errors=True)
+    meta = merge_indexes(list_segments(index_dir), merged,
+                         num_buckets=num_buckets, chunk_size=chunk_size)
+
+    from textindex_ray.query.engine import IndexReader
+
+    IndexReader(merged)  # pre-swap read check
+    bak = index_dir.rstrip("/") + ".bak"
+    shutil.rmtree(bak, ignore_errors=True)
+    os.replace(index_dir, bak)
+    os.replace(merged, index_dir)
+    try:
+        IndexReader(index_dir)
+    except Exception:
+        os.replace(index_dir, merged)
+        os.replace(bak, index_dir)
+        raise
+    shutil.rmtree(bak, ignore_errors=True)
+    shutil.rmtree(work, ignore_errors=True)
+    return meta
+
+
 def _tomb_filter(index_dir: str):
     """Per-segment batch filter dropping tombstoned docmap rows —
     committed = LIVE urls only: a deleted url re-appearing in the corpus
