@@ -306,3 +306,32 @@ def test_compact_index_cli(ray_session, tmp_path):
         ids2, _ = rc.bm25_scores(q)
         # scores shift with post-delete stats; membership must agree
         assert set(rc.urls_for(ids2)) == pre[tuple(q)], q
+
+
+def test_update_lock_single_writer(ray_session, tmp_path):
+    """A held update lock makes a second update fail fast; a stale lock
+    (crashed holder) is taken over; the lock never survives a
+    completed update."""
+    import pytest as _pytest
+
+    from textindex_ray.index.merge import IndexUpdateLock
+
+    full = generate_corpus(120)
+    _write(full.slice(0, 80), str(tmp_path / "c1"))
+    _write(full.slice(80, 40), str(tmp_path / "c2"))
+    idx = str(tmp_path / "idx")
+    build_index(str(tmp_path / "c1"), idx, num_buckets=8)
+
+    with IndexUpdateLock(idx):
+        with _pytest.raises(RuntimeError, match="another update holds"):
+            update_index(str(tmp_path / "c2"), idx, num_buckets=8,
+                         compact_ratio=10.0)
+    # stale takeover: plant an hours-old lock, update must proceed
+    lock_path = idx + ".updating"
+    with open(lock_path, "w") as f:
+        f.write("{}")
+    old = os.stat(lock_path).st_mtime - 7200
+    os.utime(lock_path, (old, old))
+    m = update_index(str(tmp_path / "c2"), idx, num_buckets=8, compact_ratio=10.0)
+    assert m["added_docs"] > 0
+    assert not os.path.exists(lock_path)

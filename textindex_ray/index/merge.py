@@ -422,6 +422,76 @@ def merge_indexes(index_dirs: list[str], out_dir: str, *, num_buckets: int = 64,
     return meta
 
 
+class IndexUpdateLock:
+    """Single-writer guard for the incremental lifecycle: two concurrent
+    ``update_index`` / ``compact_index`` calls on one index would race
+    the segment manifest and share the same ``.work`` dir. O_EXCL lock
+    file NEXT TO the index dir (compaction swaps the dir itself); a
+    holder older than ``stale_sec`` is assumed crashed and taken over
+    (best-effort unlink+retry — the window is one syscall wide and the
+    downstream writes are still atomic, so a lost race corrupts
+    nothing, it just surfaces as this same error again)."""
+
+    def __init__(self, index_dir: str, stale_sec: float = 3600.0):
+        self.path = index_dir.rstrip("/") + ".updating"
+        self.stale_sec = stale_sec
+        self._fd = None
+
+    def __enter__(self):
+        import json as _json
+        import time as _time
+
+        for attempt in (0, 1):
+            try:
+                self._fd = os.open(self.path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                os.write(self._fd, _json.dumps(
+                    {"pid": os.getpid(), "ts": _time.time()}).encode())
+                return self
+            except FileExistsError:
+                try:
+                    age = _time.time() - os.stat(self.path).st_mtime
+                except OSError:
+                    continue  # holder released between our two syscalls
+                if attempt == 0 and age > self.stale_sec:
+                    try:
+                        os.unlink(self.path)  # crashed holder takeover
+                    except OSError:
+                        pass
+                    continue
+                raise RuntimeError(
+                    "another update holds %s (age %.0fs); wait for it or "
+                    "remove the lock if its process is dead" % (self.path, age)
+                )
+        raise RuntimeError("could not acquire " + self.path)
+
+    def __exit__(self, *exc):
+        if self._fd is not None:
+            os.close(self._fd)
+            self._fd = None
+        try:
+            os.unlink(self.path)
+        except OSError:
+            pass
+
+
+def _with_update_lock(argpos: int):
+    """Decorate a lifecycle entry point with the single-writer guard
+    (index_dir at positional ``argpos``)."""
+    import functools
+
+    def deco(fn):
+        @functools.wraps(fn)
+        def wrapper(*args, **kw):
+            index_dir = kw.get("index_dir") or args[argpos]
+            with IndexUpdateLock(index_dir):
+                return fn(*args, **kw)
+
+        return wrapper
+
+    return deco
+
+
+@_with_update_lock(0)
 def compact_index(index_dir: str, *, num_buckets: int = 64,
                   chunk_size: int = 1024) -> dict:
     """Force-compact a (possibly segmented) index NOW: full-merge every
@@ -472,6 +542,7 @@ def _tomb_filter(index_dir: str):
     return fn
 
 
+@_with_update_lock(1)
 def update_index(corpus_path, index_dir: str, *, work_dir: str | None = None,
                  num_buckets: int = 64, chunk_size: int = 1024,
                  membership: str = "auto", exact_limit: int = 1_000_000,
