@@ -137,6 +137,20 @@ def test_segmented_batch_eval_and_server(seg_setup):
     assert got[91]["doc_ids"] == [int(x) for x in r.find(["alp*"])]
     assert got[92]["scores"] == [float(len(r.find_files("*doc*")))]
 
+    # evaluate_queries / evaluate_queries_sharded must dispatch to the
+    # segmented path (NOT silently score the base segment only)
+    from textindex_ray.query.batch_eval import (
+        evaluate_queries,
+        evaluate_queries_sharded,
+    )
+
+    for alt in (evaluate_queries(idx, qds),
+                evaluate_queries_sharded(idx, qds, n_shards=3)):
+        rows = {row["qid"]: row for row in alt.iter_rows()}
+        for qid in got:
+            assert rows[qid]["doc_ids"] == got[qid]["doc_ids"], qid
+            assert rows[qid]["scores"] == got[qid]["scores"], qid
+
     srv = BM25Server(idx, n_shards=3, num_cpus=0.25)
     try:
         for q in QUERIES:

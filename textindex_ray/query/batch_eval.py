@@ -68,7 +68,17 @@ class QueryEvalActor:
 def evaluate_queries(
     index_path: str, queries: "ray.data.Dataset", *, concurrency=2
 ) -> "ray.data.Dataset":
-    """queries schema: qid:int32, kind:string, terms:list<string>[, k:int32]."""
+    """queries schema: qid:int32, kind:string, terms:list<string>[, k:int32].
+
+    A SEGMENTED index dispatches to :func:`evaluate_queries_segmented`
+    (ids in the SegmentedReader gid space) — an IndexReader on a
+    segmented dir would silently score the base segment only.
+    """
+    from textindex_ray.index.segments import is_segmented
+
+    if is_segmented(index_path):
+        return evaluate_queries_segmented(
+            index_path, queries, n_shards=max(2, int(concurrency)))
     return queries.map_batches(
         QueryEvalActor,
         fn_constructor_kwargs={"index_path": index_path},
@@ -198,7 +208,16 @@ def evaluate_queries_sharded(
     in global sorted-term order with the same float64 kernel, so exact
     score identity holds. The docmap (dl side) is the small table and is
     loaded per shard task; file_glob queries run on shard 0 only.
+
+    A SEGMENTED index dispatches to :func:`evaluate_queries_segmented`
+    (exact same result algebra, gid ids) — term-range sharding over a
+    segment list would need per-segment dictionary cuts; doc-sharding
+    is the serving partition there (module docstring).
     """
+    from textindex_ray.index.segments import is_segmented
+
+    if is_segmented(index_path):
+        return evaluate_queries_segmented(index_path, queries, n_shards=n_shards)
     bounds = shard_boundaries(index_path, n_shards)
 
     def explode(batch: pa.Table) -> pa.Table:
