@@ -296,6 +296,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
             docs_ds(sf_dir), k=5, min_ppm=700_000
         )
 
+    def q_dup_ngram(sf_dir):
+        # corpus-level duplicated-span measure (exact-substring dedup,
+        # Lee et al. 2022): per-doc ppm of distinct 8-token grams with
+        # cross-doc df >= 2; all-integer, exact SQL twin
+        return dedup.dup_ngram_stats(docs_ds(sf_dir), n=8)
+
     def q_dup_clusters(sf_dir):
         # connected components (hash-to-min) over the exact near-dup
         # pair list; cluster_id = component-min doc_id
@@ -605,8 +611,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_jaccard_pairs": q_ngram_pairs,
         "tf_cosine_pairs": q_tf_cosine,
         "ngram_containment_pairs": q_containment,
-        "dup_clusters": q_dup_clusters,
         "dedup_keep": q_dedup_keep,
+        "dup_ngram_stats": q_dup_ngram,
         # similarity search
         "embedding_knn": q_knn,
         "embedding_knn_ivf": q_knn_ivf,
@@ -661,6 +667,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # tools/oracle_sweep.py (see README 'Correctness grading').
         "doc_bm25_scan_filter_sort": D.doc_bm25_scan_filter_sort,
         "doc_bm25_customer": D.doc_bm25_customer,
+        # sibling-covered: dedup_keep (graded, #16) computes dup_clusters
+        # internally over the same pair list, so the cluster relation
+        # stays exercised in-window; this standalone key is sweep-checked
+        "dup_clusters": q_dup_clusters,
         "source_cap_sample": q_source_cap,
         "bpe_merge_counts": q_bpe_merge_counts,
         "minhash_lsh_pairs": q_minhash_pairs,
@@ -848,6 +858,28 @@ cc AS (SELECT nd, min(lab) AS cluster FROM reach GROUP BY nd)
 SELECT doc_id FROM documents
 WHERE doc_id NOT IN (SELECT nd FROM cc WHERE nd <> cluster)"""
     )
+
+    # duplicated token-8-gram fraction (dup_ngram_stats): grams via
+    # 1-based inclusive list slicing over the token array; rows in
+    # `grams` are DISTINCT per doc, so count(*) per gram IS cross-doc df
+    sql["dup_ngram_stats"] = """
+WITH toks AS (SELECT doc_id, regexp_extract_all(lower(text), '\\pL+') AS ts
+              FROM documents),
+grams AS (
+  SELECT DISTINCT doc_id, array_to_string(ts[i : i+7], ' ') AS g
+  FROM toks, UNNEST(range(1, CASE WHEN len(ts) >= 8 THEN len(ts)-6
+                                  ELSE 1 END)) AS t(i)
+),
+df AS (SELECT g, count(*) AS c FROM grams GROUP BY g),
+per AS (SELECT doc_id, count(*)::BIGINT AS n_total,
+               sum(CASE WHEN c >= 2 THEN 1 ELSE 0 END)::BIGINT AS n_dup
+        FROM grams JOIN df USING (g) GROUP BY doc_id)
+SELECT d.doc_id,
+       coalesce(p.n_dup, 0)::BIGINT AS n_dup,
+       coalesce(p.n_total, 0)::BIGINT AS n_total,
+       CASE WHEN coalesce(p.n_total, 0) > 0
+            THEN (p.n_dup * 1000000) // p.n_total ELSE 0 END::BIGINT AS dup_ppm
+FROM documents d LEFT JOIN per p USING (doc_id)"""
 
     sql["hash_split"] = """
 SELECT doc_id,

@@ -2188,3 +2188,58 @@ def test_source_cap_sample(ray_session):
     )
     assert got.sort_values(key).reset_index(drop=True).equals(want)
     assert (got.groupby("source").size() <= 10).all()
+
+
+def test_dup_ngram_stats_exact(ray_session):
+    """dup_ngram_stats matches a direct per-doc ground truth (distinct
+    n-grams with cross-doc df >= 2), including short docs (0/0/0),
+    empty text, exact-duplicate docs (dup_ppm == 1e6), and partition
+    invariance (P=4 == P=32)."""
+    import ray.data
+    from textindex_ray.functions.dedup import dup_ngram_stats
+    from textindex_ray.functions.textstats import _tokens
+
+    n = 3
+    rng = np.random.default_rng(7)
+    words = ["red", "blue", "green", "shard", "batch", "merge"]
+    rows = []
+    for i in range(60):
+        ln = int(rng.integers(0, 10))
+        rows.append({"doc_id": i, "text": " ".join(rng.choice(words, ln))})
+    rows.append({"doc_id": 900, "text": ""})             # zero tokens
+    rows.append({"doc_id": 901, "text": "red blue"})     # < n tokens
+    dup_text = "one two three four five six"
+    rows.append({"doc_id": 902, "text": dup_text})       # exact duplicates
+    rows.append({"doc_id": 903, "text": dup_text})
+
+    def grams(text):
+        t = _tokens(text)
+        return {" ".join(t[i : i + n]) for i in range(len(t) - n + 1)}
+
+    df_count: dict = {}
+    for r in rows:
+        for g in grams(r["text"]):
+            df_count[g] = df_count.get(g, 0) + 1
+
+    ds = ray.data.from_items(rows)
+    a = (
+        dup_ngram_stats(ds, n=n, num_partitions=4)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    ds2 = ray.data.from_items(rows)
+    b = (
+        dup_ngram_stats(ds2, n=n, num_partitions=32)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    assert a.equals(b), "partition count changed the result"
+
+    got = dict(zip(a.doc_id, zip(a.n_dup, a.n_total, a.dup_ppm)))
+    assert len(got) == len(rows)
+    for r in rows:
+        gs = grams(r["text"])
+        d = sum(1 for g in gs if df_count[g] >= 2)
+        t = len(gs)
+        assert got[r["doc_id"]] == (d, t, (d * 1_000_000) // t if t else 0), r
+    assert got[902] == got[903]
+    assert got[902][2] == 1_000_000          # exact dup pair: 100% duplicated
+    assert got[900] == (0, 0, 0) and got[901] == (0, 0, 0)

@@ -1515,3 +1515,131 @@ def decontaminate(
         .groupby("dpart")
         .map_groups(doc_sum, batch_format="pyarrow")
     )
+
+
+# ---------------------------------------------------------------------------
+# duplicated-span measurement (exact-substring dedup, Lee et al. 2022 style)
+
+def dup_ngram_stats(
+    ds: "ray.data.Dataset",
+    *,
+    n: int = 8,
+    num_partitions: int = 32,
+) -> "ray.data.Dataset":
+    """Per-document duplicated token-n-gram fraction: for each doc, the
+    EXACT count of its DISTINCT n-token grams that also appear in at
+    least one OTHER document (cross-doc document frequency >= 2) — the
+    corpus-level duplicated-span measure behind exact-substring
+    deduplication ("Deduplicating Training Data Makes Language Models
+    Better", Lee et al. 2022), as a per-doc filterable statistic rather
+    than pair lists (contrast ``ngram_jaccard_pairs``).
+
+    Output (doc_id, n_dup, n_total, dup_ppm) for EVERY input doc;
+    docs with fewer than ``n`` tokens emit (0, 0, 0);
+    dup_ppm = n_dup * 1e6 // n_total. All-integer, so the SQL oracle
+    (token-array slicing CTE + gram-df self-join) matches bit-for-bit.
+
+    Plan (two coarse shuffles, no driver state — the 100-TB shape):
+    explode per-doc DISTINCT grams to (doc_id, g, part=crc32(g) % P)
+    rows (a gram lives entirely in one partition, so within-partition
+    df IS global df); groupby(part) dictionary-encodes grams, bincounts
+    df, flags rows with df >= 2, and pre-aggregates per-doc partials;
+    a doc-hash groupby sums partials into final ppm rows. Exact byte
+    grams travel the shuffle (never 64-bit hashes: one collision would
+    inflate a count and break oracle identity).
+    """
+    import zlib
+
+    from textindex_ray.functions._util import probe_count
+    from textindex_ray.functions.textstats import _tokens
+
+    out_schema = pa.table(
+        {"doc_id": pa.array([], pa.int64()),
+         "n_dup": pa.array([], pa.int64()),
+         "n_total": pa.array([], pa.int64()),
+         "dup_ppm": pa.array([], pa.int64())}
+    )
+    ds, n_docs = probe_count(ds)
+    if n_docs == 0:
+        return out_schema
+    P = int(num_partitions)
+
+    def explode(batch: pa.Table) -> pa.Table:
+        out_d, out_g, out_p, out_pad = [], [], [], []
+        for d, t in zip(
+            batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
+        ):
+            toks = _tokens(t)
+            grams = {
+                " ".join(toks[i : i + n]).encode("utf-8")
+                for i in range(len(toks) - n + 1)
+            }
+            if not grams:
+                # PAD row: short docs must still reach a partition to
+                # emit their (0, 0) partial (part=P is a sentinel no
+                # crc32(g) % P value can hit)
+                out_d.append(d)
+                out_g.append(b"")
+                out_p.append(P)
+                out_pad.append(True)
+                continue
+            out_d.extend([d] * len(grams))
+            out_g.extend(grams)
+            out_p.extend(zlib.crc32(g) % P for g in grams)
+            out_pad.extend([False] * len(grams))
+        return pa.table(
+            {"doc_id": pa.array(out_d, pa.int64()),
+             "g": pa.array(out_g, pa.binary()),
+             "part": pa.array(out_p, pa.int32()),
+             "pad": pa.array(out_pad, pa.bool_())}
+        )
+
+    def part_partials(g: pa.Table) -> pa.Table:
+        ids = g.column("doc_id").to_numpy()
+        pads = g.column("pad").to_numpy(zero_copy_only=False)
+        tot = (~pads).astype(np.int64)
+        if bool(pads.all()):
+            dup = np.zeros(len(ids), np.int64)
+        else:
+            # rows are distinct (doc, gram), so per-gram row count IS
+            # the cross-doc document frequency
+            enc = g.column("g").combine_chunks().dictionary_encode()
+            codes = enc.indices.to_numpy().astype(np.int64)
+            df = np.bincount(codes)
+            dup = (df[codes] >= 2).astype(np.int64) * tot
+        t = pa.table(
+            {"doc_id": pa.array(ids, pa.int64()),
+             "h": pa.array(dup, pa.int64()),
+             "n": pa.array(tot, pa.int64())}
+        ).group_by(["doc_id"]).aggregate([("h", "sum"), ("n", "sum")])
+        ids2 = t.column("doc_id").to_numpy().astype(np.uint64)
+        dpart = (
+            (ids2 * np.uint64(0x9E3779B97F4A7C15)) % np.uint64(P)
+        ).astype(np.int32)
+        return pa.table(
+            {"doc_id": t.column("doc_id").cast(pa.int64()),
+             "h": t.column("h_sum").cast(pa.int64()),
+             "n": t.column("n_sum").cast(pa.int64()),
+             "dpart": pa.array(dpart, pa.int32())}
+        )
+
+    def doc_sum(g: pa.Table) -> pa.Table:
+        t = g.group_by(["doc_id"]).aggregate([("h", "sum"), ("n", "sum")])
+        h = t.column("h_sum").to_numpy().astype(np.int64)
+        nn = t.column("n_sum").to_numpy().astype(np.int64)
+        ppm = np.where(nn > 0, (h * 1_000_000) // np.maximum(nn, 1), 0)
+        return pa.table(
+            {"doc_id": t.column("doc_id").cast(pa.int64()),
+             "n_dup": pa.array(h, pa.int64()),
+             "n_total": pa.array(nn, pa.int64()),
+             "dup_ppm": pa.array(ppm, pa.int64())}
+        )
+
+    return (
+        ds.select_columns(["doc_id", "text"])
+        .map_batches(explode, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(part_partials, batch_format="pyarrow")
+        .groupby("dpart")
+        .map_groups(doc_sum, batch_format="pyarrow")
+    )
