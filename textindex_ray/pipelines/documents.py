@@ -439,3 +439,72 @@ def doc_bm25_scan_filter_sort(sf_dir: str) -> pa.Table:
 
 def doc_bm25_customer(sf_dir: str) -> pa.Table:
     return _bm25(sf_dir, BM25_QUERIES["q_customer"])
+
+
+# -- hybrid retrieval --------------------------------------------------------
+
+HYBRID_TERMS = BM25_QUERIES["q_hash_join"]
+HYBRID_K1 = 50   # BM25 candidate depth
+HYBRID_K = 10    # final top-k
+HYBRID_DIM = 16  # feature-hash embedding dim (stages/embed.py contract)
+
+
+def doc_hybrid_rerank(sf_dir: str) -> pa.Table:
+    """Hybrid retrieval: lexical candidate generation + dense re-rank —
+    BM25 top-``HYBRID_K1`` candidates (index-accelerated, oracle tie
+    order like ``_bm25``) re-ranked by the INTEGER feature-hash embedding
+    dot product (stages/embed.py projection, un-normalized counts)
+    between each candidate document and the query text; final order
+    (dot desc, score_t4 desc, doc_id asc) top-``HYBRID_K``.
+
+    All re-rank arithmetic is int64 (integer doc vectors x integer query
+    vector), so the DuckDB oracle matches bit-for-bit. Scale shape: the
+    candidate set is top-k1 — bounded small by construction — so the
+    embedding pass is a pruned distributed scan over only candidate rows
+    (closure-captured id set; at k1 rows a broadcast is free), and the
+    final rerank is a k1-row driver sort, not a corpus operation.
+    """
+    from textindex_ray.stages.embed import EmbedDocs
+
+    cand = _bm25(sf_dir, HYBRID_TERMS, HYBRID_K1)
+    cand_ids = cand.column("doc_id").to_numpy()
+    cand_scores = cand.column("score_t4").to_numpy()
+    empty = pa.table(
+        {"doc_id": pa.array([], pa.int64()),
+         "score_t4": pa.array([], pa.int64()),
+         "dot": pa.array([], pa.int64())}
+    )
+    if cand_ids.size == 0:
+        return empty
+
+    enc = EmbedDocs(d=HYBRID_DIM, normalize=False)
+    qv = enc._vec(" ".join(HYBRID_TERMS))
+    idset = frozenset(int(i) for i in cand_ids)
+
+    def cand_dots(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy()
+        keep = np.fromiter((int(i) in idset for i in ids), bool, len(ids))
+        sub = batch.filter(pa.array(keep))
+        e = EmbedDocs(d=HYBRID_DIM, normalize=False)
+        dots = np.fromiter(
+            (int(e._vec(t) @ qv) for t in sub.column("text").to_pylist()),
+            np.int64, sub.num_rows,
+        )
+        return pa.table(
+            {"doc_id": sub.column("doc_id").cast(pa.int64()),
+             "dot": pa.array(dots, pa.int64())}
+        )
+
+    got = (
+        documents_ds(sf_dir)
+        .map_batches(cand_dots, batch_format="pyarrow")
+        .to_pandas()  # <= k1 rows by construction
+    )
+    dot_by_id = dict(zip(got["doc_id"], got["dot"]))
+    dots = np.array([dot_by_id[int(i)] for i in cand_ids], np.int64)
+    order = np.lexsort((cand_ids, -cand_scores, -dots))[:HYBRID_K]
+    return pa.table(
+        {"doc_id": pa.array(cand_ids[order], pa.int64()),
+         "score_t4": pa.array(cand_scores[order], pa.int64()),
+         "dot": pa.array(dots[order], pa.int64())}
+    )
