@@ -41,6 +41,9 @@ def main(argv=None) -> int:
     ap.add_argument("--files", action="store_true",
                     help="corpus is a loose-file directory tree (reference "
                          "walk source) instead of a Parquet table")
+    ap.add_argument("--jsonl", action="store_true",
+                    help="corpus is NDJSON document dumps (url + "
+                         "html/text/content field per line)")
     ap.add_argument("--track-alloc", action="store_true",
                     help="record per-phase memory snapshots (driver RSS, "
                          "tracemalloc, object-store fill) into each phase's "
@@ -85,7 +88,8 @@ def main(argv=None) -> int:
             num_buckets=args.num_buckets, chunk_size=args.chunk_size,
             batch_size=args.batch_size,
             checkpoint=not args.no_checkpoint, resume=not args.no_resume,
-            input_format="files" if args.files else "parquet",
+            input_format=("files" if args.files
+                          else "jsonl" if args.jsonl else "parquet"),
         )
     print(json.dumps(meta))
     ray.shutdown()

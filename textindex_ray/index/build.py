@@ -546,9 +546,11 @@ def build_index(
     extract straight into the postings shuffle (single streaming
     pipeline, index-granular resume only).
 
-    input_format: "parquet" (the corpus table) or "files" (a loose-file
+    input_format: "parquet" (the corpus table), "files" (a loose-file
     directory tree, the reference's walk source — read_binary_files with
-    the O1 name filter applied at the read, sources/files.py).
+    the O1 name filter applied at the read, sources/files.py), or
+    "jsonl" (NDJSON document dumps, the webtext interchange format —
+    sources/jsonl.py auto-detects the payload field).
     """
     import pyarrow.dataset as pads
 
@@ -571,6 +573,11 @@ def build_index(
         if input_format == "files":
             if not any(files for _, _, files in os.walk(corpus_path)):
                 return _write_empty_index(out_dir, num_buckets, chunk_size)
+        elif input_format == "jsonl":
+            from textindex_ray.sources.jsonl import jsonl_has_rows
+
+            if not jsonl_has_rows(corpus_path):
+                return _write_empty_index(out_dir, num_buckets, chunk_size)
         # metadata-only row count (no Ray job)
         elif pads.dataset(corpus_path).count_rows() == 0:
             return _write_empty_index(out_dir, num_buckets, chunk_size)
@@ -583,6 +590,10 @@ def build_index(
             from textindex_ray.sources.files import read_file_corpus
 
             ds = read_file_corpus(corpus_path)
+        elif input_format == "jsonl":
+            from textindex_ray.sources.jsonl import read_jsonl_corpus
+
+            ds = read_jsonl_corpus(corpus_path)
         else:
             ds = ray.data.read_parquet(corpus_path, columns=["url", "html"])
         # classification is fused into the actor (ExtractTokenize
