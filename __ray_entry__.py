@@ -667,6 +667,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # tools/oracle_sweep.py (see README 'Correctness grading').
         "doc_bm25_scan_filter_sort": D.doc_bm25_scan_filter_sort,
         "doc_bm25_customer": D.doc_bm25_customer,
+        # metadata-filtered retrieval (faceted search): full-corpus BM25
+        # stats, result set restricted to lang='de'
+        "doc_bm25_filtered": D.doc_bm25_filtered,
         # sibling-covered: dedup_keep (graded, #16) computes dup_clusters
         # internally over the same pair list, so the cluster relation
         # stays exercised in-window; this standalone key is sweep-checked
@@ -711,7 +714,7 @@ def _filt() -> str:
     )
 
 
-def _bm25_sql(terms: list[str], k: int = 10) -> str:
+def _bm25_sql(terms: list[str], k: int = 10, filter_join: str = "") -> str:
     vals = ", ".join("('%s')" % t for t in sorted(set(terms)))
     return f"""
 WITH {_filt()},
@@ -732,7 +735,7 @@ scored AS (
   CROSS JOIN stats s
   GROUP BY tf.doc_id)
 SELECT doc_id, CAST(floor(score * 10000) AS BIGINT) AS score_t4
-FROM scored ORDER BY score DESC, doc_id LIMIT {k}
+FROM scored {filter_join} ORDER BY score DESC, doc_id LIMIT {k}
 """
 
 
@@ -774,6 +777,11 @@ SELECT term, doc_id, count(*)::BIGINT AS tf FROM filt GROUP BY term, doc_id"""
     sql["doc_bm25_hash_join"] = _bm25_sql(BM25_QUERIES["q_hash_join"])
     sql["doc_bm25_scan_filter_sort"] = _bm25_sql(BM25_QUERIES["q_scan_filter_sort"])
     sql["doc_bm25_customer"] = _bm25_sql(BM25_QUERIES["q_customer"])
+    # faceted search: score with full-corpus stats, filter by metadata
+    sql["doc_bm25_filtered"] = _bm25_sql(
+        BM25_QUERIES["q_scan_filter_sort"],
+        filter_join="JOIN documents USING (doc_id) WHERE lang = 'de'",
+    )
 
     # hybrid retrieval: BM25 top-k1 candidates re-ranked by the integer
     # feature-hash embedding dot product (stages/embed.py projection);

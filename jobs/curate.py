@@ -44,6 +44,9 @@ def main(argv=None) -> int:
                          "k-shingle overlap reaches --max-hit-ppm "
                          "(eval-leakage decontamination gate)")
     ap.add_argument("--max-hit-ppm", type=int, default=100_000)
+    ap.add_argument("--format", choices=["parquet", "jsonl"], default="parquet",
+                    help="export format: hive-partitioned parquet (default) "
+                         "or NDJSON shards (the webtext interchange format)")
     args = ap.parse_args(argv)
 
     params = {
@@ -54,6 +57,7 @@ def main(argv=None) -> int:
         "shards": args.shards,
         "bench": args.bench,
         "max_hit_ppm": args.max_hit_ppm,
+        "format": args.format,
     }
     marker = os.path.join(args.out, "_COMMITTED")
     if os.path.exists(marker):
@@ -112,11 +116,18 @@ def main(argv=None) -> int:
         import shutil
 
         shutil.rmtree(data_dir)
-    kept.map_batches(add_shard, batch_format="pyarrow").write_parquet(
-        data_dir, partition_cols=["shard"], min_rows_per_file=50_000
-    )
-
-    n = ray.data.read_parquet(data_dir).count()
+    sharded = kept.map_batches(add_shard, batch_format="pyarrow")
+    if args.format == "jsonl":
+        # NDJSON export: shard travels as a row field (write_json has no
+        # hive partitioning); consumers re-shard on it or re-ingest via
+        # sources/jsonl.py
+        sharded.write_json(data_dir, min_rows_per_file=50_000)
+        n = ray.data.read_json(data_dir).count()
+    else:
+        sharded.write_parquet(
+            data_dir, partition_cols=["shard"], min_rows_per_file=50_000
+        )
+        n = ray.data.read_parquet(data_dir).count()
     with open(marker, "w") as f:
         json.dump(params, f)
     print(json.dumps({"status": "ok", "kept_docs": int(n), **params}))

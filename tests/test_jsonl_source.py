@@ -94,3 +94,31 @@ def test_jsonl_payload_detect_nulls_and_empty(ray_session, tmp_path):
     assert meta["n_docs"] == 0
     r = IndexReader(str(tmp_path / "idx_empty"))
     assert r.find(["anything"]).size == 0
+
+
+def test_curate_jsonl_export_roundtrip(ray_session, tmp_path):
+    """curate --format jsonl exports NDJSON shards that re-ingest through
+    sources/jsonl.py with the same kept documents."""
+    import subprocess
+    import sys
+
+    from textindex_ray.sources.jsonl import read_jsonl_corpus
+
+    out = str(tmp_path / "cur")
+    r = subprocess.run(
+        [sys.executable, "jobs/curate.py",
+         "--docs", "/root/testdata/sf0.001/documents.parquet",
+         "--out", out, "--langs", "en,de", "--min-tokens", "5",
+         "--format", "jsonl"],
+        capture_output=True, text=True, cwd="/root/repo",
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    stat = json.loads(r.stdout.strip().splitlines()[-1])
+    assert stat["status"] == "ok" and stat["kept_docs"] > 0
+
+    back = read_jsonl_corpus(out + "/data", url_field="doc_id",
+                             text_field="text")
+    got = back.to_pandas()
+    assert len(got) == stat["kept_docs"]
+    assert sorted(got.columns) == ["html", "url"]
+    assert got["html"].str.len().gt(0).all()

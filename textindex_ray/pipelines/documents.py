@@ -508,3 +508,51 @@ def doc_hybrid_rerank(sf_dir: str) -> pa.Table:
          "score_t4": pa.array(cand_scores[order], pa.int64()),
          "dot": pa.array(dots[order], pa.int64())}
     )
+
+
+# -- metadata-filtered retrieval ---------------------------------------------
+
+FILTER_LANG = "de"
+
+
+def doc_bm25_filtered(sf_dir: str, lang: str = FILTER_LANG,
+                      k: int = 10) -> pa.Table:
+    """Metadata-filtered retrieval (faceted search): BM25 scoring with
+    FULL-corpus statistics (df/N/avgdl unchanged — standard
+    filtered-search semantics), the result set restricted to documents
+    whose ``lang`` equals ``lang``, then top-k by (score desc, doc_id).
+
+    Scale shape: the pruned (doc_id, lang) metadata column STREAMS past
+    the driver-held candidate arrays (np.isin per batch — no
+    corpus-sized id set ever materializes on the driver); the candidate
+    arrays themselves are bounded by the query's matching docs, the same
+    bound the reader's scoring surface already carries.
+    """
+    r = documents_reader(sf_dir)
+    terms = BM25_QUERIES["q_scan_filter_sort"]
+    all_ids, all_scores = r.bm25_scores(terms)
+    empty = pa.table(
+        {"doc_id": pa.array([], pa.int64()),
+         "score_t4": pa.array([], pa.int64())}
+    )
+    if all_ids.size == 0:
+        return empty
+    orig = _map_ids(r, all_ids)
+    mask = np.zeros(orig.size, bool)
+    meta = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "lang"]
+    ).filter(expr="lang == %r" % lang)
+    for b in meta.iter_batches(batch_format="pyarrow"):
+        mask |= np.isin(orig, b.column("doc_id").to_numpy())
+    if not mask.any():
+        return empty
+    orig, scores = orig[mask], all_scores[mask]
+    kk = min(k, orig.size)
+    kth = np.partition(scores, orig.size - kk)[orig.size - kk]
+    keep = np.flatnonzero(scores >= kth)
+    order = np.lexsort((orig[keep], -scores[keep]))[:k]
+    return pa.table(
+        {"doc_id": pa.array(orig[keep][order], pa.int64()),
+         "score_t4": pa.array(
+             np.floor(scores[keep][order] * 1e4).astype(np.int64), pa.int64())}
+    )
