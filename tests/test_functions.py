@@ -2243,3 +2243,57 @@ def test_dup_ngram_stats_exact(ray_session):
     assert got[902] == got[903]
     assert got[902][2] == 1_000_000          # exact dup pair: 100% duplicated
     assert got[900] == (0, 0, 0) and got[901] == (0, 0, 0)
+
+
+def test_pq_ann_recall_and_determinism(ray_session):
+    """PQ pipeline (train -> encode -> ADC search): deterministic
+    codebooks/results, self-retrieval, and recall@10 vs brute that
+    rises with m (the compression/recall dial)."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    import ray.data
+    from textindex_ray.functions.similarity import (
+        knn_brute, knn_pq, pq_encode, pq_train)
+
+    sf = "/root/testdata/sf0.01"
+    ds = ray.data.read_parquet(sf + "/embeddings.parquet")
+    t = pq.read_table(sf + "/embeddings.parquet",
+                      columns=["vec_id", "embedding"])
+    q = np.array(t.column("embedding").to_pylist()[:5], np.float64)
+    qids = [0, 1, 2, 3, 4]
+    exact = knn_brute(ds, q, qids, k=10).to_pandas()
+
+    def recall(m, n_iter):
+        cb = pq_train(ds, m=m, ksub=16, n_iter=n_iter)
+        assert cb.shape == (m, 16, 64 // m)
+        codes = pq_encode(ds, cb).materialize()
+        assert codes.count() == 500
+        got = knn_pq(codes, cb, q, qids, k=10).to_pandas()
+        assert len(got) == 50
+        recs, selfs = [], []
+        for qi in qids:
+            a = got[got.query_id == qi]
+            e = set(exact[exact.query_id == qi].vec_id)
+            recs.append(len(set(a.vec_id) & e) / 10)
+            selfs.append(qi in set(a.vec_id.iloc[:3]))
+        return cb, got, sum(recs) / len(recs), all(selfs)
+
+    cb16, got16, rec16, self16 = recall(16, 8)
+    assert self16, "query vector itself must rank in its own top-3"
+    assert rec16 >= 0.4, rec16
+
+    # determinism: retrain + research give identical bits/rows
+    cb16b, got16b, _, _ = recall(16, 8)
+    assert np.array_equal(cb16, cb16b)
+    assert got16.equals(got16b)
+
+    # the dial: coarser quantization (fewer subspaces) may not beat finer
+    _, _, rec8, _ = recall(8, 8)
+    assert rec8 <= rec16 + 0.2  # sanity envelope, not a tight bound
+
+    # dataset-form reduce matches the table-form reduce
+    cb = cb16
+    codes = pq_encode(ds, cb).materialize()
+    d = knn_pq(codes, cb, q, qids, k=10, as_dataset=True).to_pandas()
+    assert d.reset_index(drop=True).equals(got16.reset_index(drop=True))

@@ -877,3 +877,150 @@ def knn_graph_lsh(
         .groupby("part")
         .map_groups(part_dedup_topk, batch_format="pyarrow")
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ): compressed-vector ANN (Jegou et al., TPAMI 2011)
+
+def pq_train(
+    ds: "ray.data.Dataset", *, m: int = 8, ksub: int = 16, n_iter: int = 5
+) -> np.ndarray:
+    """Train (m, ksub, dsub) PQ codebooks: per-subspace L2 k-means over
+    the UNIT-normalized embeddings, so asymmetric-distance (ADC) inner
+    products approximate cosine. The 100-TB motivation: codes are
+    m bytes/vector (8 here) vs 4*dim for float32 (256 at dim=64) — the
+    scan that serves ANN reads 32x fewer bytes.
+
+    Deterministic (same contract as :func:`kmeans_fit`): initial
+    centroids are the sub-vectors of the ``ksub`` lowest-vec_id vectors;
+    each Lloyd iteration is ONE map_batches pass over all m subspaces
+    emitting per-batch (sum, count) partials, reduced on the driver in
+    fixed first-vec_id order. Driver state is m x ksub x dsub floats.
+    """
+    init = ds.select_columns(["vec_id", "embedding"]).sort("vec_id").limit(
+        ksub
+    ).to_pandas()
+    cents = np.array(init["embedding"].tolist(), dtype=np.float64)
+    dim = cents.shape[1]
+    if dim % m:
+        raise ValueError("dim %d not divisible by m=%d" % (dim, m))
+    dsub = dim // m
+    cents /= np.maximum(np.linalg.norm(cents, axis=1, keepdims=True), 1e-12)
+    cb = np.stack([cents[:, j * dsub : (j + 1) * dsub] for j in range(m)])
+
+    for _ in range(n_iter):
+        c_ref = ray.put(cb)
+
+        def partial(batch: pa.Table) -> pa.Table:
+            c = ray.get(c_ref)  # (m, ksub, dsub)
+            mat = _to_matrix(batch)
+            norms = np.linalg.norm(mat, axis=1, keepdims=True)
+            norms[norms == 0] = 1.0
+            mn = mat / norms
+            sums = np.zeros_like(c)
+            counts = np.zeros((m, ksub), np.int64)
+            for j in range(m):
+                sub = mn[:, j * dsub : (j + 1) * dsub]
+                # L2 argmin == argmax(2 x.c - |c|^2) on fixed-norm rows
+                a = np.argmax(
+                    2.0 * (sub @ c[j].T) - (c[j] * c[j]).sum(axis=1), axis=1
+                )
+                np.add.at(sums[j], a, sub)
+                counts[j] += np.bincount(a, minlength=ksub)
+            fid = int(batch.column("vec_id")[0].as_py())
+            return pa.table(
+                {"fid": pa.array([fid], pa.int64()),
+                 "sums": pa.array([sums.ravel().tolist()], pa.list_(pa.float64())),
+                 "counts": pa.array([counts.ravel().tolist()], pa.list_(pa.int64()))}
+            )
+
+        parts = ds.select_columns(["vec_id", "embedding"]).map_batches(
+            partial, batch_format="pyarrow"
+        ).to_pandas().sort_values("fid")
+        tot_s = np.zeros_like(cb)
+        tot_c = np.zeros((m, ksub), np.int64)
+        for _, row in parts.iterrows():
+            tot_s += np.array(row["sums"], np.float64).reshape(cb.shape)
+            tot_c += np.array(row["counts"], np.int64).reshape(m, ksub)
+        nz = tot_c > 0
+        for j in range(m):
+            cb[j][nz[j]] = tot_s[j][nz[j]] / tot_c[j][nz[j], None]
+    return cb
+
+
+def pq_encode(ds: "ray.data.Dataset", codebooks: np.ndarray) -> "ray.data.Dataset":
+    """(vec_id, embedding) -> (vec_id, c0..c{m-1} uint8) PQ codes Dataset
+    — the compressed serving artifact (parquet-sinkable; m bytes/vec)."""
+    m, ksub, dsub = codebooks.shape
+    cb_ref = ray.put(codebooks)
+
+    def enc(batch: pa.Table) -> pa.Table:
+        c = ray.get(cb_ref)
+        mat = _to_matrix(batch)
+        norms = np.linalg.norm(mat, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        mn = mat / norms
+        cols = {"vec_id": batch.column("vec_id").cast(pa.int64())}
+        for j in range(m):
+            sub = mn[:, j * dsub : (j + 1) * dsub]
+            a = np.argmax(
+                2.0 * (sub @ c[j].T) - (c[j] * c[j]).sum(axis=1), axis=1
+            )
+            cols["c%d" % j] = pa.array(a.astype(np.uint8), pa.uint8())
+        return pa.table(cols)
+
+    return ds.select_columns(["vec_id", "embedding"]).map_batches(
+        enc, batch_format="pyarrow"
+    )
+
+
+def knn_pq(
+    codes: "ray.data.Dataset",
+    codebooks: np.ndarray,
+    queries: np.ndarray,
+    query_ids: list[int],
+    *,
+    k: int = 10,
+    as_dataset: bool = False,
+):
+    """ADC top-k over a PQ-codes Dataset: per query, an (m, ksub) table
+    of subspace inner products is broadcast once; each batch's score is
+    m uint8 table lookups + adds (never touches float vectors). Output
+    schema/reduce identical to knn_brute — cos_ppm holds the ADC
+    APPROXIMATION of the cosine (floor ppm)."""
+    m, ksub, dsub = codebooks.shape
+    qn = queries.astype(np.float64)
+    qn = qn / np.linalg.norm(qn, axis=1, keepdims=True)
+    # tab[q, j, code] = <q_sub_j, codebook_j[code]>
+    tab = np.stack(
+        [qn[:, j * dsub : (j + 1) * dsub] @ codebooks[j].T for j in range(m)],
+        axis=1,
+    )
+    t_ref = ray.put(tab)
+    qids = list(query_ids)
+
+    def score(batch: pa.Table) -> pa.Table:
+        t = ray.get(t_ref)  # (nq, m, ksub)
+        n = batch.num_rows
+        acc = np.zeros((len(qids), n), np.float64)
+        for j in range(m):
+            cj = batch.column("c%d" % j).to_numpy()
+            acc += t[:, j, :][:, cj]
+        vec_ids = batch.column("vec_id").to_numpy()
+        out_q, out_v, out_c = [], [], []
+        for qi in range(acc.shape[0]):
+            s = acc[qi]
+            top = _partial_topk(s, k)
+            out_q.extend([qids[qi]] * len(top))
+            out_v.extend(vec_ids[top].tolist())
+            out_c.extend(s[top].tolist())
+        return pa.table(
+            {"query_id": pa.array(out_q, pa.int64()),
+             "vec_id": pa.array(out_v, pa.int64()),
+             "cos": pa.array(out_c, pa.float64())}
+        )
+
+    partials = codes.map_batches(score, batch_format="pyarrow")
+    if as_dataset:
+        return _topk_reduce_ds(partials, k)
+    return _topk_reduce(partials, k)
