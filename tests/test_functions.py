@@ -2297,3 +2297,39 @@ def test_pq_ann_recall_and_determinism(ray_session):
     codes = pq_encode(ds, cb).materialize()
     d = knn_pq(codes, cb, q, qids, k=10, as_dataset=True).to_pandas()
     assert d.reset_index(drop=True).equals(got16.reset_index(drop=True))
+
+
+def test_ivf_pq_composition(ray_session):
+    """IVFADC: pq_encode with a coarse quantizer adds the cell column;
+    knn_pq with nprobe == n_cells is bit-identical to the full PQ scan,
+    and pruned probes keep the self-hit."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    import ray.data
+    from textindex_ray.functions.similarity import (
+        kmeans_fit, knn_pq, pq_encode, pq_train)
+
+    sf = "/root/testdata/sf0.01"
+    ds = ray.data.read_parquet(sf + "/embeddings.parquet")
+    cb = pq_train(ds, m=16, ksub=16, n_iter=5)
+    cents = kmeans_fit(ds, k=8, n_iter=4)
+    codes = pq_encode(ds, cb, centroids=cents).materialize()
+    assert "cell" in codes.schema().names
+
+    t = pq.read_table(sf + "/embeddings.parquet",
+                      columns=["vec_id", "embedding"])
+    q = np.array(t.column("embedding").to_pylist()[:4], np.float64)
+    qids = [0, 1, 2, 3]
+
+    full = knn_pq(codes, cb, q, qids, k=10).to_pandas()
+    degen = knn_pq(codes, cb, q, qids, k=10,
+                   centroids=cents, nprobe=8).to_pandas()
+    assert degen.reset_index(drop=True).equals(full.reset_index(drop=True))
+
+    pruned = knn_pq(codes, cb, q, qids, k=10,
+                    centroids=cents, nprobe=2).to_pandas()
+    for qi in qids:
+        rows = pruned[pruned.query_id == qi]
+        assert 0 < len(rows) <= 10
+        assert qi in set(rows.vec_id.iloc[:3]), qi

@@ -948,19 +948,29 @@ def pq_train(
     return cb
 
 
-def pq_encode(ds: "ray.data.Dataset", codebooks: np.ndarray) -> "ray.data.Dataset":
+def pq_encode(
+    ds: "ray.data.Dataset", codebooks: np.ndarray,
+    *, centroids: np.ndarray | None = None,
+) -> "ray.data.Dataset":
     """(vec_id, embedding) -> (vec_id, c0..c{m-1} uint8) PQ codes Dataset
-    — the compressed serving artifact (parquet-sinkable; m bytes/vec)."""
+    — the compressed serving artifact (parquet-sinkable; m bytes/vec).
+    With ``centroids`` (the IVF coarse quantizer from kmeans_fit), a
+    ``cell`` column is added so :func:`knn_pq` can probe-prune — the
+    classic IVFADC index layout."""
     m, ksub, dsub = codebooks.shape
-    cb_ref = ray.put(codebooks)
+    cb_ref = ray.put((codebooks, centroids))
 
     def enc(batch: pa.Table) -> pa.Table:
-        c = ray.get(cb_ref)
+        c, cents = ray.get(cb_ref)
         mat = _to_matrix(batch)
         norms = np.linalg.norm(mat, axis=1, keepdims=True)
         norms[norms == 0] = 1.0
         mn = mat / norms
         cols = {"vec_id": batch.column("vec_id").cast(pa.int64())}
+        if cents is not None:
+            cols["cell"] = pa.array(
+                np.argmax(mn @ cents.T, axis=1).astype(np.uint16), pa.uint16()
+            )
         for j in range(m):
             sub = mn[:, j * dsub : (j + 1) * dsub]
             a = np.argmax(
@@ -981,13 +991,20 @@ def knn_pq(
     query_ids: list[int],
     *,
     k: int = 10,
+    centroids: np.ndarray | None = None,
+    nprobe: int = 2,
     as_dataset: bool = False,
 ):
     """ADC top-k over a PQ-codes Dataset: per query, an (m, ksub) table
     of subspace inner products is broadcast once; each batch's score is
     m uint8 table lookups + adds (never touches float vectors). Output
     schema/reduce identical to knn_brute — cos_ppm holds the ADC
-    APPROXIMATION of the cosine (floor ppm)."""
+    APPROXIMATION of the cosine (floor ppm).
+
+    With ``centroids`` (and a ``cell`` column from
+    ``pq_encode(..., centroids=...)``) each query scores only its
+    ``nprobe`` nearest coarse cells — IVFADC; nprobe == n_cells
+    degenerates to the full PQ scan (bit-identical, tested)."""
     m, ksub, dsub = codebooks.shape
     qn = queries.astype(np.float64)
     qn = qn / np.linalg.norm(qn, axis=1, keepdims=True)
@@ -996,23 +1013,35 @@ def knn_pq(
         [qn[:, j * dsub : (j + 1) * dsub] @ codebooks[j].T for j in range(m)],
         axis=1,
     )
-    t_ref = ray.put(tab)
+    probes = None
+    if centroids is not None:
+        probes = np.argsort(-(qn @ centroids.T), axis=1)[:, : max(1, nprobe)]
+    t_ref = ray.put((tab, probes))
     qids = list(query_ids)
 
     def score(batch: pa.Table) -> pa.Table:
-        t = ray.get(t_ref)  # (nq, m, ksub)
+        t, pr = ray.get(t_ref)  # (nq, m, ksub), (nq, nprobe) | None
         n = batch.num_rows
         acc = np.zeros((len(qids), n), np.float64)
         for j in range(m):
             cj = batch.column("c%d" % j).to_numpy()
             acc += t[:, j, :][:, cj]
         vec_ids = batch.column("vec_id").to_numpy()
+        cells = (
+            batch.column("cell").to_numpy() if pr is not None else None
+        )
         out_q, out_v, out_c = [], [], []
         for qi in range(acc.shape[0]):
-            s = acc[qi]
+            if cells is not None:
+                sel = np.flatnonzero(np.isin(cells, pr[qi]))
+                if sel.size == 0:
+                    continue
+                s, vids = acc[qi][sel], vec_ids[sel]
+            else:
+                s, vids = acc[qi], vec_ids
             top = _partial_topk(s, k)
             out_q.extend([qids[qi]] * len(top))
-            out_v.extend(vec_ids[top].tolist())
+            out_v.extend(vids[top].tolist())
             out_c.extend(s[top].tolist())
         return pa.table(
             {"query_id": pa.array(out_q, pa.int64()),
