@@ -2333,3 +2333,87 @@ def test_ivf_pq_composition(ray_session):
         rows = pruned[pruned.query_id == qi]
         assert 0 < len(rows) <= 10
         assert qi in set(rows.vec_id.iloc[:3]), qi
+
+
+def test_semantic_dedup(ray_session):
+    """SemDeDup: planted within-cluster near-dups are dropped keep-first;
+    every input vector gets a row; partition layout doesn't matter."""
+    import numpy as np
+
+    import ray.data
+    from textindex_ray.functions.similarity import kmeans_fit, semantic_dedup
+
+    rng = np.random.default_rng(3)
+    base = rng.normal(size=(40, 16))
+    rows = [{"vec_id": i, "embedding": base[i].tolist()} for i in range(40)]
+    # exact duplicates of vectors 5 and 7 (cos == 1 -> same cluster)
+    rows.append({"vec_id": 100, "embedding": base[5].tolist()})
+    rows.append({"vec_id": 101, "embedding": (base[7] * 2.0).tolist()})  # scaled
+    ds = ray.data.from_items(rows)
+    cents = kmeans_fit(ds, k=4, n_iter=4)
+
+    out = (
+        semantic_dedup(ds, cents, threshold_ppm=999_000)
+        .to_pandas().sort_values("vec_id").reset_index(drop=True)
+    )
+    assert len(out) == len(rows)
+    keep = dict(zip(out.vec_id, out.keep))
+    assert keep[5] and not keep[100]     # keep-first: lower vec_id wins
+    assert keep[7] and not keep[101]     # scale-invariant (cosine)
+    assert sum(1 for v in keep.values() if not v) == 2  # nothing else dropped
+
+    out2 = (
+        semantic_dedup(ds.repartition(7), cents, threshold_ppm=999_000)
+        .to_pandas().sort_values("vec_id").reset_index(drop=True)
+    )
+    assert out.equals(out2)
+
+
+def test_ivfpq_persisted_layout(ray_session, tmp_path):
+    """Persisted IVFADC: hive cell=K code layout; full probe over codes
+    == in-memory knn_pq; pruned probe reads a strict file subset and
+    keeps the self-hit."""
+    import os
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    import ray.data
+    from textindex_ray.functions.similarity import (
+        ivf_probed_dataset, ivfpq_build, kmeans_fit, knn_ivfpq_persisted,
+        knn_pq, pq_encode, pq_train)
+
+    sf = "/root/testdata/sf0.01"
+    ds = ray.data.read_parquet(sf + "/embeddings.parquet")
+    cb = pq_train(ds, m=16, ksub=16, n_iter=5)
+    cents = kmeans_fit(ds, k=8, n_iter=4)
+    out = str(tmp_path / "ivfpq")
+    meta = ivfpq_build(ds, cents, cb, out)
+    assert meta == {"n_cells": 8, "m": 16, "ksub": 16, "dsub": 4}
+    assert os.path.isdir(os.path.join(out, "cells"))
+
+    t = pq.read_table(sf + "/embeddings.parquet",
+                      columns=["vec_id", "embedding"])
+    q = np.array(t.column("embedding").to_pylist()[:4], np.float64)
+    qids = [0, 1, 2, 3]
+
+    # full probe == the in-memory IVFADC path (bit-identical rows)
+    codes = pq_encode(ds, cb, centroids=cents).materialize()
+    mem = knn_pq(codes, cb, q, qids, k=10, centroids=cents,
+                 nprobe=8).to_pandas()
+    per = knn_ivfpq_persisted(out, q, qids, k=10, nprobe=8).to_pandas()
+    assert per.reset_index(drop=True).equals(mem.reset_index(drop=True))
+
+    # pruned probe: strict IO subset + self-hit survives
+    pruned = knn_ivfpq_persisted(out, q, qids, k=10, nprobe=2).to_pandas()
+    for qi in qids:
+        assert qi in set(pruned[pruned.query_id == qi].vec_id.iloc[:3])
+    all_files = set(ivf_probed_dataset(out, np.arange(8)).input_files())
+    import numpy as _np
+    cn = np.array(
+        pq.read_table(os.path.join(out, "centroids.parquet"))
+        .column("centroid").to_pylist())
+    qn = q / np.linalg.norm(q, axis=1, keepdims=True)
+    probes = np.argsort(-(qn @ cn.T), axis=1)[:, :2]
+    probe_files = set(ivf_probed_dataset(out, probes).input_files())
+    assert probe_files < all_files

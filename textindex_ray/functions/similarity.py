@@ -1053,3 +1053,195 @@ def knn_pq(
     if as_dataset:
         return _topk_reduce_ds(partials, k)
     return _topk_reduce(partials, k)
+
+
+# ---------------------------------------------------------------------------
+# Semantic deduplication (SemDeDup, Abbas et al. 2023)
+
+def semantic_dedup(
+    ds: "ray.data.Dataset",
+    centroids: np.ndarray,
+    *,
+    threshold_ppm: int = 950_000,
+) -> "ray.data.Dataset":
+    """SemDeDup-style embedding dedup: assign every vector to its nearest
+    kmeans centroid (cluster), then WITHIN each cluster drop any vector
+    whose cosine to a LOWER-vec_id cluster member reaches
+    ``threshold_ppm`` — semantic near-duplicates are pruned keep-first,
+    like the exact-dedup keep-min contract. Output (vec_id, keep bool,
+    cell) for every input vector, parquet-sinkable.
+
+    Scale shape: one assignment map_batches (k x dim broadcast) + one
+    cluster groupby; the within-cluster compare is O(b^2) on cluster
+    size b — size k ~ n/target_cluster exactly like the LSH bucket
+    bound (lsh_dup_pairs docstring). Deterministic: the keep rule
+    depends only on vec_id order inside a cluster, never on partition
+    layout. Cross-cluster near-dups are missed by construction — the
+    documented SemDeDup trade (raise k for smaller, purer clusters;
+    recall/cost dial)."""
+    c_ref = ray.put(centroids.astype(np.float64))
+    thr = threshold_ppm / 1e6
+
+    def assign(batch: pa.Table) -> pa.Table:
+        c = ray.get(c_ref)
+        m = _to_matrix(batch)
+        norms = np.linalg.norm(m, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        mn = m / norms
+        return pa.table(
+            {"vec_id": batch.column("vec_id").cast(pa.int64()),
+             "embedding": batch.column("embedding"),
+             "cell": pa.array(
+                 np.argmax(mn @ c.T, axis=1).astype(np.int32), pa.int32())}
+        )
+
+    def prune(g: pa.Table) -> pa.Table:
+        ids = g.column("vec_id").to_numpy()
+        order = np.argsort(ids)
+        m = _to_matrix(g)[order]
+        ids = ids[order]
+        norms = np.linalg.norm(m, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        mn = m / norms
+        sims = mn @ mn.T
+        # drop i iff some earlier (lower vec_id) member reaches the bar
+        drop = (np.triu(sims >= thr, 1)).any(axis=0)
+        cell = g.column("cell")[0].as_py()
+        return pa.table(
+            {"vec_id": pa.array(ids, pa.int64()),
+             "keep": pa.array(~drop, pa.bool_()),
+             "cell": pa.array(np.full(ids.size, cell, np.int32), pa.int32())}
+        )
+
+    return (
+        ds.select_columns(["vec_id", "embedding"])
+        .map_batches(assign, batch_format="pyarrow")
+        .groupby("cell")
+        .map_groups(prune, batch_format="pyarrow")
+    )
+
+
+def ivfpq_build(
+    ds: "ray.data.Dataset",
+    centroids: np.ndarray,
+    codebooks: np.ndarray,
+    out_dir: str,
+) -> dict:
+    """Persist the IVFADC serving artifact: PQ codes hive-partitioned by
+    coarse cell (``cells/cell=K/``) plus the centroid matrix and
+    codebooks. The probed read is then BOTH path-pruned (only probed
+    cell dirs open — ivf_probed_dataset) and byte-pruned (each row is
+    m code bytes, not 4*dim floats): at dim=64, m=8, nprobe 2/32 the
+    scan touches ~0.2% of the raw embedding bytes."""
+    import json
+
+    import pyarrow.parquet as pq
+
+    cn = centroids.astype(np.float64)
+    cn = cn / np.maximum(np.linalg.norm(cn, axis=1, keepdims=True), 1e-12)
+    codes = pq_encode(ds, codebooks, centroids=cn)
+
+    def hoist(batch: pa.Table) -> pa.Table:
+        # cell as the hive key AND as an in-file column (cell_id) so the
+        # scorer sees it without re-deriving from the path
+        cell = batch.column("cell").to_numpy().astype(np.int64)
+        batch = batch.drop_columns(["cell"])
+        batch = batch.append_column("cell", pa.array(cell, pa.int64()))
+        return batch.append_column("cell_id", pa.array(cell, pa.int64()))
+
+    os.makedirs(out_dir, exist_ok=True)
+    codes.map_batches(hoist, batch_format="pyarrow").write_parquet(
+        os.path.join(out_dir, "cells"), partition_cols=["cell"]
+    )
+    pq.write_table(
+        pa.table(
+            {"cell": pa.array(np.arange(len(cn)), pa.int64()),
+             "centroid": pa.array([r.tolist() for r in cn], pa.list_(pa.float64()))}
+        ),
+        os.path.join(out_dir, "centroids.parquet"),
+    )
+    m, ksub, dsub = codebooks.shape
+    pq.write_table(
+        pa.table({"codebooks": pa.array([codebooks.ravel().tolist()],
+                                        pa.list_(pa.float64()))}),
+        os.path.join(out_dir, "codebooks.parquet"),
+    )
+    meta = {"n_cells": int(len(cn)), "m": int(m), "ksub": int(ksub),
+            "dsub": int(dsub)}
+    with open(os.path.join(out_dir, "meta.json"), "w") as f:
+        json.dump(meta, f)
+    return meta
+
+
+def ivfpq_codebooks(index_dir: str) -> np.ndarray:
+    import json
+
+    import pyarrow.parquet as pq
+
+    meta = json.load(open(os.path.join(index_dir, "meta.json")))
+    t = pq.read_table(os.path.join(index_dir, "codebooks.parquet"))
+    return np.array(t.column("codebooks")[0].as_py(), np.float64).reshape(
+        meta["m"], meta["ksub"], meta["dsub"]
+    )
+
+
+def knn_ivfpq_persisted(
+    index_dir: str,
+    queries: np.ndarray,
+    query_ids: list[int],
+    *,
+    k: int = 10,
+    nprobe: int = 2,
+    as_dataset: bool = False,
+):
+    """IVFADC top-k over the persisted layout: open ONLY probed cell
+    dirs, score each batch by ADC table lookups against the queries that
+    probed its cell. nprobe == n_cells reads every cell (still only code
+    bytes). Same output schema/reduce as knn_brute; cos_ppm is the ADC
+    approximation."""
+    cb = ivfpq_codebooks(index_dir)
+    cn = ivf_centroids(index_dir)
+    m, ksub, dsub = cb.shape
+    qn = queries.astype(np.float64)
+    qn = qn / np.linalg.norm(qn, axis=1, keepdims=True)
+    probes = np.argsort(-(qn @ cn.T), axis=1)[:, : max(1, nprobe)]
+    tab = np.stack(
+        [qn[:, j * dsub : (j + 1) * dsub] @ cb[j].T for j in range(m)], axis=1
+    )
+    state_ref = ray.put((tab, probes))
+    qids = list(query_ids)
+
+    def score(batch: pa.Table) -> pa.Table:
+        t, pr = ray.get(state_ref)
+        n = batch.num_rows
+        acc = np.zeros((len(qids), n), np.float64)
+        for j in range(m):
+            cj = batch.column("c%d" % j).to_numpy()
+            acc += t[:, j, :][:, cj]
+        cell = batch.column("cell_id").to_numpy().astype(np.int64)
+        vec_ids = batch.column("vec_id").to_numpy()
+        out_q, out_v, out_c = [], [], []
+        for qi in range(len(qids)):
+            cand = np.flatnonzero(np.isin(cell, pr[qi]))
+            if cand.size == 0:
+                continue
+            s = acc[qi][cand]
+            top = _partial_topk(s, k)
+            out_q.extend([qids[qi]] * len(top))
+            out_v.extend(vec_ids[cand[top]].tolist())
+            out_c.extend(s[top].tolist())
+        return pa.table(
+            {"query_id": pa.array(out_q, pa.int64()),
+             "vec_id": pa.array(out_v, pa.int64()),
+             "cos": pa.array(out_c, pa.float64())}
+        )
+
+    ds = ivf_probed_dataset(index_dir, probes)
+    if "c0" not in ds.schema().names:
+        # every probed cell is empty on disk (the fallback schema is the
+        # raw-embedding one): nothing to score
+        return ray.data.from_arrow(_EMPTY_KNN) if as_dataset else _EMPTY_KNN
+    partials = ds.map_batches(score, batch_format="pyarrow")
+    if as_dataset:
+        return _topk_reduce_ds(partials, k)
+    return _topk_reduce(partials, k)
