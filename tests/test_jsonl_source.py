@@ -122,3 +122,26 @@ def test_curate_jsonl_export_roundtrip(ray_session, tmp_path):
     assert len(got) == stat["kept_docs"]
     assert sorted(got.columns) == ["html", "url"]
     assert got["html"].str.len().gt(0).all()
+
+
+def test_jsonl_mixed_payload_fields(ray_session, tmp_path):
+    """A dump mixing {"url","html"} and {"url","text"} rows union-reads
+    into both columns with nulls; the adapter must coalesce, never blank
+    a row whose payload lives in the lower-priority field."""
+    from textindex_ray.sources.jsonl import read_jsonl_corpus
+
+    d = tmp_path / "mixed"
+    d.mkdir()
+    rows = [
+        {"url": "a", "html": "<b>alpha</b>"},
+        {"url": "b", "text": "beta gamma"},
+        {"url": "c", "html": None, "text": "fallback"},
+    ]
+    with open(d / "x.jsonl", "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+    got = (
+        read_jsonl_corpus(str(d)).to_pandas()
+        .sort_values("url").reset_index(drop=True)
+    )
+    assert got["html"].tolist() == [b"<b>alpha</b>", b"beta gamma", b"fallback"]

@@ -901,6 +901,11 @@ def pq_train(
         ksub
     ).to_pandas()
     cents = np.array(init["embedding"].tolist(), dtype=np.float64)
+    if cents.shape[0] < ksub:
+        raise ValueError(
+            "pq_train needs at least ksub=%d vectors, got %d"
+            % (ksub, cents.shape[0])
+        )
     dim = cents.shape[1]
     if dim % m:
         raise ValueError("dim %d not divisible by m=%d" % (dim, m))
@@ -1021,28 +1026,40 @@ def knn_pq(
 
     def score(batch: pa.Table) -> pa.Table:
         t, pr = ray.get(t_ref)  # (nq, m, ksub), (nq, nprobe) | None
-        n = batch.num_rows
-        acc = np.zeros((len(qids), n), np.float64)
-        for j in range(m):
-            cj = batch.column("c%d" % j).to_numpy()
-            acc += t[:, j, :][:, cj]
         vec_ids = batch.column("vec_id").to_numpy()
-        cells = (
-            batch.column("cell").to_numpy() if pr is not None else None
-        )
+        cmat = np.stack(
+            [batch.column("c%d" % j).to_numpy() for j in range(m)]
+        )  # (m, n) uint8
         out_q, out_v, out_c = [], [], []
-        for qi in range(acc.shape[0]):
-            if cells is not None:
-                sel = np.flatnonzero(np.isin(cells, pr[qi]))
-                if sel.size == 0:
+        if pr is None:
+            # full scan: one (nq, n) accumulation across all queries
+            acc = np.zeros((len(qids), batch.num_rows), np.float64)
+            for j in range(m):
+                acc += t[:, j, :][:, cmat[j]]
+            for qi in range(acc.shape[0]):
+                s = acc[qi]
+                top = _partial_topk(s, k)
+                out_q.extend([qids[qi]] * len(top))
+                out_v.extend(vec_ids[top].tolist())
+                out_c.extend(s[top].tolist())
+        else:
+            # probed: slice candidates BEFORE scoring so ADC work is
+            # proportional to the probe set, not the batch (same j-order
+            # float adds as the full path -> bit-identical when the
+            # probe covers every cell)
+            cells = batch.column("cell").to_numpy()
+            for qi in range(len(qids)):
+                cand = np.flatnonzero(np.isin(cells, pr[qi]))
+                if cand.size == 0:
                     continue
-                s, vids = acc[qi][sel], vec_ids[sel]
-            else:
-                s, vids = acc[qi], vec_ids
-            top = _partial_topk(s, k)
-            out_q.extend([qids[qi]] * len(top))
-            out_v.extend(vids[top].tolist())
-            out_c.extend(s[top].tolist())
+                sub = cmat[:, cand]
+                s = np.zeros(cand.size, np.float64)
+                for j in range(m):
+                    s += t[qi, j][sub[j]]
+                top = _partial_topk(s, k)
+                out_q.extend([qids[qi]] * len(top))
+                out_v.extend(vec_ids[cand[top]].tolist())
+                out_c.extend(s[top].tolist())
         return pa.table(
             {"query_id": pa.array(out_q, pa.int64()),
              "vec_id": pa.array(out_v, pa.int64()),
@@ -1079,6 +1096,17 @@ def semantic_dedup(
     layout. Cross-cluster near-dups are missed by construction — the
     documented SemDeDup trade (raise k for smaller, purer clusters;
     recall/cost dial)."""
+    from textindex_ray.functions._util import probe_count
+
+    out_schema = pa.table(
+        {"vec_id": pa.array([], pa.int64()),
+         "keep": pa.array([], pa.bool_()),
+         "cell": pa.array([], pa.int32())}
+    )
+    ds, n_vecs = probe_count(ds)
+    if n_vecs == 0:
+        # groupby on a zero-row dataset loses the schema (CLAUDE.md)
+        return ray.data.from_arrow(out_schema)
     c_ref = ray.put(centroids.astype(np.float64))
     thr = threshold_ppm / 1e6
 
@@ -1149,6 +1177,14 @@ def ivfpq_build(
         batch = batch.append_column("cell", pa.array(cell, pa.int64()))
         return batch.append_column("cell_id", pa.array(cell, pa.int64()))
 
+    # rebuild into the same out_dir must not leave the previous run's
+    # uuid-named part files beside this run's (double-counted vectors):
+    # wipe the cell tree first, like jobs/curate.py's export guard
+    cells_dir = os.path.join(out_dir, "cells")
+    if os.path.isdir(cells_dir):
+        import shutil
+
+        shutil.rmtree(cells_dir)
     os.makedirs(out_dir, exist_ok=True)
     codes.map_batches(hoist, batch_format="pyarrow").write_parquet(
         os.path.join(out_dir, "cells"), partition_cols=["cell"]
@@ -1213,19 +1249,23 @@ def knn_ivfpq_persisted(
 
     def score(batch: pa.Table) -> pa.Table:
         t, pr = ray.get(state_ref)
-        n = batch.num_rows
-        acc = np.zeros((len(qids), n), np.float64)
-        for j in range(m):
-            cj = batch.column("c%d" % j).to_numpy()
-            acc += t[:, j, :][:, cj]
+        cmat = np.stack(
+            [batch.column("c%d" % j).to_numpy() for j in range(m)]
+        )  # (m, n) uint8
         cell = batch.column("cell_id").to_numpy().astype(np.int64)
         vec_ids = batch.column("vec_id").to_numpy()
         out_q, out_v, out_c = [], [], []
+        # candidates sliced BEFORE the ADC adds: per-query work is
+        # proportional to its probe set within this batch (same j-order
+        # float adds as knn_pq's full path -> bit-identical results)
         for qi in range(len(qids)):
             cand = np.flatnonzero(np.isin(cell, pr[qi]))
             if cand.size == 0:
                 continue
-            s = acc[qi][cand]
+            sub = cmat[:, cand]
+            s = np.zeros(cand.size, np.float64)
+            for j in range(m):
+                s += t[qi, j][sub[j]]
             top = _partial_topk(s, k)
             out_q.extend([qids[qi]] * len(top))
             out_v.extend(vec_ids[cand[top]].tolist())

@@ -479,15 +479,16 @@ def doc_hybrid_rerank(sf_dir: str) -> pa.Table:
 
     enc = EmbedDocs(d=HYBRID_DIM, normalize=False)
     qv = enc._vec(" ".join(HYBRID_TERMS))
-    idset = frozenset(int(i) for i in cand_ids)
+    cand_sorted = np.sort(cand_ids)
 
     def cand_dots(batch: pa.Table) -> pa.Table:
         ids = batch.column("doc_id").to_numpy()
-        keep = np.fromiter((int(i) in idset for i in ids), bool, len(ids))
+        keep = np.isin(ids, cand_sorted)
         sub = batch.filter(pa.array(keep))
-        e = EmbedDocs(d=HYBRID_DIM, normalize=False)
+        # enc rides the closure: one instance per task, its token memo
+        # reused across the task's batches
         dots = np.fromiter(
-            (int(e._vec(t) @ qv) for t in sub.column("text").to_pylist()),
+            (int(enc._vec(t) @ qv) for t in sub.column("text").to_pylist()),
             np.int64, sub.num_rows,
         )
         return pa.table(

@@ -87,13 +87,16 @@ def read_jsonl_corpus(
                 "jsonl corpus rows lack the %r field (have: %s); pass "
                 "url_field=" % (url_field, batch.column_names)
             )
-        fld = text_field
-        if fld is None:
-            for c in TEXT_FIELDS:
-                if c in batch.column_names:
-                    fld = c
-                    break
-        if fld is None or fld not in batch.column_names:
+        # a dump mixing conventions (some rows {"url","html"}, some
+        # {"url","text"}) union-reads into BOTH columns with nulls;
+        # coalesce across the conventions in priority order so no row's
+        # payload is silently blanked by a null sibling column
+        flds = (
+            [text_field] if text_field is not None
+            else [c for c in TEXT_FIELDS if c in batch.column_names]
+        )
+        flds = [c for c in flds if c in batch.column_names]
+        if not flds:
             raise ValueError(
                 "jsonl corpus rows lack a document payload field "
                 "(tried %s; have: %s); pass text_field="
@@ -101,7 +104,9 @@ def read_jsonl_corpus(
                    batch.column_names)
             )
         url = pc.fill_null(batch.column(url_field).cast(pa.string()), "")
-        payload = pc.fill_null(batch.column(fld).cast(pa.string()), "")
+        cols = [batch.column(c).cast(pa.string()) for c in flds]
+        payload = cols[0] if len(cols) == 1 else pc.coalesce(*cols)
+        payload = pc.fill_null(payload, "")
         return pa.table({"url": url, "html": payload.cast(pa.binary())})
 
     return ds.map_batches(adapt, batch_format="pyarrow")
