@@ -670,6 +670,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # metadata-filtered retrieval (faceted search): full-corpus BM25
         # stats, result set restricted to lang='de'
         "doc_bm25_filtered": D.doc_bm25_filtered,
+        # index-level phrase matching from the persisted positional
+        # store (doc_phrase, graded in-window, is the scan-verify twin)
+        "doc_phrase_positions": D.doc_phrase_positions,
         # sibling-covered: dedup_keep (graded, #16) computes dup_clusters
         # internally over the same pair list, so the cluster relation
         # stays exercised in-window; this standalone key is sweep-checked
@@ -782,6 +785,19 @@ SELECT term, doc_id, count(*)::BIGINT AS tf FROM filt GROUP BY term, doc_id"""
         BM25_QUERIES["q_scan_filter_sort"],
         filter_join="JOIN documents USING (doc_id) WHERE lang = 'de'",
     )
+
+    # positional-store phrase: adjacency on the unfiltered \pL+ token
+    # stream (1-based generate_series positions, as the store persists)
+    sql["doc_phrase_positions"] = r"""
+WITH l AS (SELECT doc_id, regexp_extract_all(lower(text), '\pL+') AS tk
+           FROM documents),
+idx AS (SELECT doc_id, tk, unnest(generate_series(1, len(tk))) AS i FROM l),
+pos AS (SELECT doc_id, tk[i] AS term, i FROM idx),
+a AS (SELECT doc_id, i FROM pos WHERE term = 'hash'),
+b AS (SELECT doc_id, i FROM pos WHERE term = 'join')
+SELECT DISTINCT a.doc_id
+FROM a JOIN b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+ORDER BY a.doc_id"""
 
     # hybrid retrieval: BM25 top-k1 candidates re-ranked by the integer
     # feature-hash embedding dot product (stages/embed.py projection);

@@ -557,3 +557,33 @@ def doc_bm25_filtered(sf_dir: str, lang: str = FILTER_LANG,
          "score_t4": pa.array(
              np.floor(scores[keep][order] * 1e4).astype(np.int64), pa.int64())}
     )
+
+
+# -- positional-index phrase search ------------------------------------------
+
+def _positions_store(sf_dir: str) -> str:
+    """Build (or reuse) the positional store over sf_dir's documents —
+    same /tmp cache contract as documents_reader (keyed by git HEAD)."""
+    from textindex_ray.index.positions import build_positions
+
+    key = os.path.abspath(sf_dir)
+    out = os.path.join(
+        "/tmp/textindex_ray_cache",
+        "pos-%s-%s" % (_code_tag(), key.strip("/").replace("/", "_")),
+    )
+    if not os.path.exists(os.path.join(out, "meta.json")):
+        build_positions(documents_ds(sf_dir), out)
+    return out
+
+
+def doc_phrase_positions(sf_dir: str) -> pa.Table:
+    """Index-level phrase matching: 'hash join' answered from the
+    persisted positional store by integer position algebra — candidate
+    text is never rescanned (contrast doc_phrase's pruned regex verify).
+    Adjacency is defined on the unfiltered \\pL+ token stream, the SQL
+    oracle's generate_series positions; on the testdata charset this
+    coincides with doc_phrase's regex semantics (cross-checked in
+    tests)."""
+    from textindex_ray.index.positions import phrase_docs
+
+    return phrase_docs(_positions_store(sf_dir), list(PHRASE))
