@@ -670,9 +670,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # metadata-filtered retrieval (faceted search): full-corpus BM25
         # stats, result set restricted to lang='de'
         "doc_bm25_filtered": D.doc_bm25_filtered,
-        # index-level phrase matching from the persisted positional
-        # store (doc_phrase, graded in-window, is the scan-verify twin)
+        # index-level phrase/proximity from the persisted positional
+        # store (doc_phrase / doc_proximity, graded in-window, are the
+        # scan-verify twins)
         "doc_phrase_positions": D.doc_phrase_positions,
+        "doc_proximity_positions": D.doc_proximity_positions,
         # sibling-covered: dedup_keep (graded, #16) computes dup_clusters
         # internally over the same pair list, so the cluster relation
         # stays exercised in-window; this standalone key is sweep-checked
@@ -1431,6 +1433,8 @@ a AS (SELECT doc_id, i FROM pos WHERE term = 'scan'),
 b AS (SELECT doc_id, i FROM pos WHERE term = 'filter')
 SELECT DISTINCT a.doc_id
 FROM a JOIN b ON a.doc_id = b.doc_id AND abs(a.i - b.i) <= 4"""
+    # the positional-store proximity twin shares doc_proximity's oracle
+    sql["doc_proximity_positions"] = sql["doc_proximity"]
 
     sql["events_sliding_window"] = """
 WITH w AS (

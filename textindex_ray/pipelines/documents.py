@@ -587,3 +587,12 @@ def doc_phrase_positions(sf_dir: str) -> pa.Table:
     from textindex_ray.index.positions import phrase_docs
 
     return phrase_docs(_positions_store(sf_dir), list(PHRASE))
+
+
+def doc_proximity_positions(sf_dir: str) -> pa.Table:
+    """Proximity from the positional store ('scan'/'filter' within
+    PROX_K positions) — the no-rescan twin of doc_proximity; shares its
+    SQL oracle verbatim."""
+    from textindex_ray.index.positions import proximity_docs
+
+    return proximity_docs(_positions_store(sf_dir), PROX[0], PROX[1], PROX_K)
