@@ -136,6 +136,9 @@ def test_jsonl_mixed_payload_fields(ray_session, tmp_path):
         {"url": "a", "html": "<b>alpha</b>"},
         {"url": "b", "text": "beta gamma"},
         {"url": "c", "html": None, "text": "fallback"},
+        # exporters that emit every key write "" for the unused
+        # convention: the empty string must not shadow the real payload
+        {"url": "d", "html": "", "text": "empty sibling"},
     ]
     with open(d / "x.jsonl", "w") as f:
         for r in rows:
@@ -144,4 +147,5 @@ def test_jsonl_mixed_payload_fields(ray_session, tmp_path):
         read_jsonl_corpus(str(d)).to_pandas()
         .sort_values("url").reset_index(drop=True)
     )
-    assert got["html"].tolist() == [b"<b>alpha</b>", b"beta gamma", b"fallback"]
+    assert got["html"].tolist() == [
+        b"<b>alpha</b>", b"beta gamma", b"fallback", b"empty sibling"]

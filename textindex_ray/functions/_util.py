@@ -81,3 +81,26 @@ def join_right(ds, num_partitions: int):
     both removes the hazard and right-sizes the build side of the join.
     """
     return ds.repartition(max(1, int(num_partitions)))
+
+
+def sorted_min_gap(a, b) -> int:
+    """Smallest |x - y| over x in a, y in b — both SORTED int arrays
+    (np.iinfo(int64).max when either is empty). Nearest-neighbor gap via
+    merge: for each a-position the closest b-position sits at its
+    searchsorted insertion point or one before it. Shared by the
+    scan-verify proximity check (pipelines/documents._min_token_gap) and
+    the positional-store one (index/positions.proximity_docs)."""
+    import numpy as np
+
+    big = np.iinfo(np.int64).max
+    if len(a) == 0 or len(b) == 0:
+        return int(big)
+    a = np.asarray(a, np.int64)
+    b = np.asarray(b, np.int64)
+    j = np.searchsorted(b, a)
+    best = np.full(a.shape, big, np.int64)
+    lo = j > 0
+    best[lo] = a[lo] - b[j[lo] - 1]
+    hi = j < b.size
+    best[hi] = np.minimum(best[hi], b[j[hi]] - a[hi])
+    return int(best.min())

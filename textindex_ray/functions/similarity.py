@@ -1179,13 +1179,19 @@ def ivfpq_build(
 
     # rebuild into the same out_dir must not leave the previous run's
     # uuid-named part files beside this run's (double-counted vectors):
-    # wipe the cell tree first, like jobs/curate.py's export guard
+    # wipe the cell tree first, like jobs/curate.py's export guard.
+    # meta.json is the COMMIT MARKER (knn_ivfpq_persisted reads it before
+    # anything else): drop it first so a crash mid-rebuild leaves a
+    # loudly-invalid store, never new codes scored against old codebooks
+    os.makedirs(out_dir, exist_ok=True)
+    meta_path = os.path.join(out_dir, "meta.json")
+    if os.path.exists(meta_path):
+        os.remove(meta_path)
     cells_dir = os.path.join(out_dir, "cells")
     if os.path.isdir(cells_dir):
         import shutil
 
         shutil.rmtree(cells_dir)
-    os.makedirs(out_dir, exist_ok=True)
     codes.map_batches(hoist, batch_format="pyarrow").write_parquet(
         os.path.join(out_dir, "cells"), partition_cols=["cell"]
     )

@@ -77,16 +77,23 @@ def build_positions(
         )
 
     data_dir = os.path.join(out_dir, "data")
+    meta_path = os.path.join(out_dir, "meta.json")
+    os.makedirs(out_dir, exist_ok=True)
+    # meta.json is the COMMIT MARKER: drop it before touching data so an
+    # interrupted rebuild leaves a loudly-invalid store (readers raise
+    # FileNotFoundError) instead of a stale marker validating wiped or
+    # differently-partitioned data
+    if os.path.exists(meta_path):
+        os.remove(meta_path)
     if os.path.isdir(data_dir):
         import shutil
 
         shutil.rmtree(data_dir)
-    os.makedirs(out_dir, exist_ok=True)
     ds.select_columns([id_col, text_col]).map_batches(
         explode, batch_format="pyarrow"
     ).write_parquet(data_dir, partition_cols=["part"])
     meta = {"num_partitions": P}
-    with open(os.path.join(out_dir, "meta.json"), "w") as f:
+    with open(meta_path, "w") as f:
         json.dump(meta, f)
     return meta
 
@@ -196,14 +203,9 @@ def phrase_docs(out_dir: str, terms: list[str]) -> pa.Table:
 
 def proximity_docs(out_dir: str, t1: str, t2: str, k: int) -> pa.Table:
     """Docs where t1 and t2 occur within k token positions (unordered)."""
+    from textindex_ray.functions._util import sorted_min_gap
 
     def combine(by_term: dict) -> bool:
-        a, b = by_term[t1], by_term[t2]
-        i = np.searchsorted(b, a)
-        left = np.clip(i - 1, 0, b.size - 1)
-        right = np.clip(i, 0, b.size - 1)
-        return bool(
-            (np.abs(a - b[left]) <= k).any() or (np.abs(a - b[right]) <= k).any()
-        )
+        return sorted_min_gap(by_term[t1], by_term[t2]) <= k
 
     return _docs_matching(out_dir, [t1, t2], combine)

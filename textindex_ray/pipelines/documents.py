@@ -380,21 +380,13 @@ PROX_K = 4
 
 def _min_token_gap(toks: list, t1: str, t2: str) -> int:
     """Smallest |i - j| over positions of t1 and t2 in toks (a large
-    sentinel when either is absent). Nearest-neighbor gap via merge:
-    for each t1 position the closest t2 position is at its searchsorted
-    insertion point or one before it."""
-    big = np.iinfo(np.int64).max
+    sentinel when either is absent) — the shared sorted-arrays merge
+    kernel lives in functions/_util.sorted_min_gap."""
+    from textindex_ray.functions._util import sorted_min_gap
+
     p1 = np.flatnonzero(np.fromiter((w == t1 for w in toks), bool, len(toks)))
     p2 = np.flatnonzero(np.fromiter((w == t2 for w in toks), bool, len(toks)))
-    if p1.size == 0 or p2.size == 0:
-        return big
-    j = np.searchsorted(p2, p1)
-    best = np.full(p1.shape, big, np.int64)
-    lo = j > 0
-    best[lo] = p1[lo] - p2[j[lo] - 1]
-    hi = j < p2.size
-    best[hi] = np.minimum(best[hi], p2[j[hi]] - p1[hi])
-    return int(best.min())
+    return sorted_min_gap(p1, p2)
 
 
 def doc_proximity(sf_dir: str) -> pa.Table:

@@ -105,7 +105,17 @@ def read_jsonl_corpus(
             )
         url = pc.fill_null(batch.column(url_field).cast(pa.string()), "")
         cols = [batch.column(c).cast(pa.string()) for c in flds]
-        payload = cols[0] if len(cols) == 1 else pc.coalesce(*cols)
+        if len(cols) == 1:
+            payload = cols[0]
+        else:
+            # exporters that emit every key write "" (not null) for the
+            # unused convention — treat empty strings as absent too, or
+            # an "html": "" sibling would still blank a real "text"
+            cols = [
+                pc.if_else(pc.equal(c, ""), pa.scalar(None, pa.string()), c)
+                for c in cols
+            ]
+            payload = pc.coalesce(*cols)
         payload = pc.fill_null(payload, "")
         return pa.table({"url": url, "html": payload.cast(pa.binary())})
 
