@@ -90,3 +90,18 @@ def test_positions_match_scan_phrase(ray_session):
     a = doc_phrase_positions(sf).column("doc_id").to_pylist()
     b = doc_phrase(sf).column("doc_id").to_pylist()
     assert a == b and len(a) > 0
+
+
+def test_positions_empty_corpus(ray_session, tmp_path):
+    import pyarrow as pa
+
+    import ray.data
+
+    empty = ray.data.from_arrow(
+        pa.table({"doc_id": pa.array([], pa.int64()),
+                  "text": pa.array([], pa.string())})
+    )
+    out = str(tmp_path / "pos")
+    build_positions(empty, out, num_partitions=8)
+    assert phrase_docs(out, ["a", "b"]).num_rows == 0
+    assert proximity_docs(out, "a", "b", 3).num_rows == 0
