@@ -296,6 +296,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
             docs_ds(sf_dir), k=5, min_ppm=700_000
         )
 
+    def q_mixture_sample(sf_dir):
+        # two-tier target mixture: even-numbered sources 6%, odd 2%,
+        # 15k-token total budget — per-source greedy fill in md5 rank
+        return textstats.mixture_sample(
+            docs_ds(sf_dir), MIXTURE_WEIGHTS, MIXTURE_TOTAL, num_buckets=16
+        )
+
     def q_dup_ngram(sf_dir):
         # corpus-level duplicated-span measure (exact-substring dedup,
         # Lee et al. 2022): per-doc ppm of distinct 8-token grams with
@@ -675,6 +682,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # scan-verify twins)
         "doc_phrase_positions": D.doc_phrase_positions,
         "doc_proximity_positions": D.doc_proximity_positions,
+        # domain-mixture selection (data mixing): per-source token
+        # budgets, md5-rank greedy fill
+        "mixture_sample": q_mixture_sample,
         # sibling-covered: dedup_keep (graded, #16) computes dup_clusters
         # internally over the same pair list, so the cluster relation
         # stays exercised in-window; this standalone key is sweep-checked
@@ -704,6 +714,13 @@ def _stoplist_sql() -> str:
     from textindex_ray.kernel.stopwords import STOP_WORDS
 
     return ", ".join("'%s'" % w.replace("'", "''") for w in sorted(STOP_WORDS))
+
+
+# mixture_sample's graded configuration (shared by query and oracle)
+MIXTURE_WEIGHTS = {
+    ("src%d" % i): (60_000 if i % 2 == 0 else 20_000) for i in range(20)
+}
+MIXTURE_TOTAL = 15_000
 
 
 _TOKS = (
@@ -1435,6 +1452,24 @@ SELECT DISTINCT a.doc_id
 FROM a JOIN b ON a.doc_id = b.doc_id AND abs(a.i - b.i) <= 4"""
     # the positional-store proximity twin shares doc_proximity's oracle
     sql["doc_proximity_positions"] = sql["doc_proximity"]
+
+    # domain-mixture selection: per-source window cumsum over
+    # (md5 rank, doc_id), keep while the EXCLUSIVE prefix < budget
+    _mix_case = " ".join(
+        "WHEN '%s' THEN %d" % (s, (p * MIXTURE_TOTAL) // 1_000_000)
+        for s, p in sorted(MIXTURE_WEIGHTS.items())
+    )
+    sql["mixture_sample"] = rf"""
+WITH tok AS (SELECT doc_id, source,
+                    len(regexp_extract_all(lower(text), '\pL+'))::BIGINT AS n_tokens,
+                    ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT AS rk
+             FROM documents),
+w AS (SELECT *, coalesce(sum(n_tokens) OVER (PARTITION BY source
+               ORDER BY rk, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+      FROM tok)
+SELECT doc_id, source, n_tokens FROM w
+WHERE cb < CASE source {_mix_case} ELSE 0 END"""
 
     sql["events_sliding_window"] = """
 WITH w AS (

@@ -2417,3 +2417,50 @@ def test_ivfpq_persisted_layout(ray_session, tmp_path):
     probes = np.argsort(-(qn @ cn.T), axis=1)[:, :2]
     probe_files = set(ivf_probed_dataset(out, probes).input_files())
     assert probe_files < all_files
+
+
+def test_mixture_sample(ray_session):
+    """Domain-mixture selection: per-source greedy token fill in md5-rank
+    order — bucket count doesn't change the result (the boundary
+    refinement is exact); unknown sources get budget 0; budgets bind."""
+    import ray.data
+    from textindex_ray.functions.textstats import _tokens, mixture_sample
+
+    sf = "/root/testdata/sf0.001"
+    docs = ray.data.read_parquet(sf + "/documents.parquet")
+    weights = {("src%d" % i): 50_000 for i in range(0, 20, 2)}  # evens only
+    a = (
+        mixture_sample(docs, weights, 8_000, num_buckets=4)
+        .to_pandas().sort_values(["source", "doc_id"]).reset_index(drop=True)
+    )
+    b = (
+        mixture_sample(docs, weights, 8_000, num_buckets=64)
+        .to_pandas().sort_values(["source", "doc_id"]).reset_index(drop=True)
+    )
+    assert a.equals(b), "bucket count changed the selection"
+    assert len(a) > 0
+    # odd sources absent from weights -> dropped entirely
+    assert all(int(s[3:]) % 2 == 0 for s in a.source.unique())
+
+    # ground truth per kept source: md5-rank greedy fill
+    import hashlib
+
+    import pandas as pd
+
+    full = docs.to_pandas()
+    full["n_tokens"] = [len(_tokens(t)) for t in full.text]
+    full["rk"] = [
+        int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16)
+        for i in full.doc_id
+    ]
+    budget = (50_000 * 8_000) // 1_000_000
+    for s, grp in full.groupby("source"):
+        want: list = []
+        if s in weights:
+            cum = 0
+            for _, row in grp.sort_values(["rk", "doc_id"]).iterrows():
+                if cum < budget:
+                    want.append(row.doc_id)
+                cum += row.n_tokens
+        got = a[a.source == s].doc_id.tolist()
+        assert got == sorted(want), s

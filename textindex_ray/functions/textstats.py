@@ -1210,3 +1210,145 @@ def heavy_bigrams(ds: "ray.data.Dataset", *, min_ppm: int = 2_000):
         return [a + " " + b for a, b in zip(toks, toks[1:])]
 
     return _heavy_exact(ds, "bigram", bigrams_of, min_ppm)
+
+
+def mixture_sample(
+    ds: "ray.data.Dataset",
+    weights_ppm: dict,
+    total_tokens: int,
+    *,
+    num_buckets: int = 64,
+) -> "ray.data.Dataset":
+    """Domain-mixture selection — the data-mixing step of a pretraining
+    pipeline (DoReMi/The-Pile-style target proportions): per source,
+    keep documents in deterministic md5(doc_id)-rank order while the
+    source's EXCLUSIVE token prefix stays below its budget
+    ``weights_ppm[source] * total_tokens // 1e6`` (greedy fill, the
+    select_budget contract; sources absent from ``weights_ppm`` get
+    budget 0). Output (doc_id, source, n_tokens). All-integer ->
+    exact SQL twin (per-source window cumsum over (rank, doc_id)).
+
+    Scale shape (no per-source group ever materializes): one tokenize
+    pass tags each doc with its uniform rank BUCKET; per-block partials
+    reduce to a driver matrix of sources x num_buckets token sums
+    (tiny); the driver classifies each (source, bucket) as full-keep /
+    full-drop / boundary by bucket-level prefix sums; full-keep rows
+    stream through a filter, and ONLY the <=1 boundary bucket per
+    source (~ source_tokens / num_buckets) takes the within-group
+    ordered cumsum. Driver state is O(sources x num_buckets)."""
+    import hashlib
+
+    from textindex_ray.functions._util import probe_count
+
+    B = int(num_buckets)
+    budgets = {
+        str(s): (int(p) * int(total_tokens)) // 1_000_000
+        for s, p in weights_ppm.items()
+    }
+    empty = pa.table(
+        {"doc_id": pa.array([], pa.int64()),
+         "source": pa.array([], pa.string()),
+         "n_tokens": pa.array([], pa.int64())}
+    )
+
+    def gate(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_pylist()
+        md5 = hashlib.md5
+        rk = np.fromiter(
+            (int(md5(str(i).encode()).hexdigest()[:8], 16) for i in ids),
+            np.int64, len(ids),
+        )
+        nt = np.fromiter(
+            (len(_tokens(t)) for t in b.column("text").to_pylist()),
+            np.int64, len(ids),
+        )
+        return pa.table(
+            {"doc_id": pa.array(np.asarray(ids, np.int64), pa.int64()),
+             "source": b.column("source").cast(pa.string()),
+             "n_tokens": pa.array(nt, pa.int64()),
+             "rk": pa.array(rk, pa.int64()),
+             "bucket": pa.array((rk * B) // (1 << 32), pa.int64())}
+        )
+
+    feats, n = probe_count(
+        ds.select_columns(["doc_id", "source", "text"]).map_batches(
+            gate, batch_format="pyarrow"
+        )
+    )
+    if n == 0:
+        return empty
+
+    # driver matrix: token sum per (source, bucket) — O(sources x B)
+    sums: dict = {}
+    for blk in feats.select_columns(["source", "bucket", "n_tokens"]).iter_batches(
+        batch_format="pyarrow"
+    ):
+        t = blk.group_by(["source", "bucket"]).aggregate([("n_tokens", "sum")])
+        for s, bk, v in zip(
+            t.column("source").to_pylist(),
+            t.column("bucket").to_pylist(),
+            t.column("n_tokens_sum").to_pylist(),
+        ):
+            sums[(s, bk)] = sums.get((s, bk), 0) + int(v)
+
+    keep_full: set = set()   # (source, bucket) entirely kept
+    boundary: dict = {}      # (source, bucket) -> tokens before the bucket
+    for s in {k[0] for k in sums}:
+        budget = budgets.get(s, 0)
+        pre = 0
+        for bk in range(B):
+            tok = sums.get((s, bk), 0)
+            if tok == 0:
+                continue
+            if pre + tok <= budget:
+                keep_full.add((s, bk))     # every exclusive prefix < budget
+            elif pre < budget:
+                boundary[(s, bk)] = pre    # the one partial bucket
+            pre += tok
+            if pre >= budget:
+                break
+
+    def keep_filter(b: pa.Table) -> pa.Table:
+        src = b.column("source").to_pylist()
+        bk = b.column("bucket").to_pylist()
+        m = np.fromiter(
+            ((s, k) in keep_full for s, k in zip(src, bk)), bool, len(src)
+        )
+        return b.filter(pa.array(m)).select(["doc_id", "source", "n_tokens"])
+
+    def boundary_filter(b: pa.Table) -> pa.Table:
+        src = b.column("source").to_pylist()
+        bk = b.column("bucket").to_pylist()
+        m = np.fromiter(
+            ((s, k) in boundary for s, k in zip(src, bk)), bool, len(src)
+        )
+        return b.filter(pa.array(m))
+
+    kept = feats.map_batches(keep_filter, batch_format="pyarrow")
+    if not boundary:
+        return kept
+
+    def refine(g: pa.Table) -> pa.Table:
+        s = g.column("source")[0].as_py()
+        budget = budgets.get(s, 0)
+        pre = boundary[(s, g.column("bucket")[0].as_py())]
+        rk = g.column("rk").to_numpy()
+        ids = g.column("doc_id").to_numpy()
+        nt = g.column("n_tokens").to_numpy()
+        order = np.lexsort((ids, rk))
+        cum_before = pre + np.concatenate(
+            ([0], np.cumsum(nt[order])[:-1])
+        )
+        sel = order[cum_before < budget]
+        return pa.table(
+            {"doc_id": pa.array(ids[sel], pa.int64()),
+             "source": pa.array([s] * sel.size, pa.string()),
+             "n_tokens": pa.array(nt[sel], pa.int64())}
+        )
+
+    refined = (
+        feats.map_batches(boundary_filter, batch_format="pyarrow")
+        .groupby("source")  # <=1 boundary bucket per source
+        .map_groups(refine, batch_format="pyarrow")
+    )
+    return kept.union(refined)
