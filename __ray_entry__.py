@@ -296,6 +296,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
             docs_ds(sf_dir), k=5, min_ppm=700_000
         )
 
+    def q_blocklist(sf_dir):
+        # C4-style badword gate over fixed mid-df testdata vocabulary
+        return textstats.blocklist_filter(docs_ds(sf_dir), BLOCKLIST)
+
     def q_mixture_sample(sf_dir):
         # two-tier target mixture: even-numbered sources 6%, odd 2%,
         # 15k-token total budget — per-source greedy fill in md5 rank
@@ -685,6 +689,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # domain-mixture selection (data mixing): per-source token
         # budgets, md5-rank greedy fill
         "mixture_sample": q_mixture_sample,
+        # blocklist gate (C4-style badword filter)
+        "blocklist_filter": q_blocklist,
         # sibling-covered: dedup_keep (graded, #16) computes dup_clusters
         # internally over the same pair list, so the cluster relation
         # stays exercised in-window; this standalone key is sweep-checked
@@ -715,6 +721,9 @@ def _stoplist_sql() -> str:
 
     return ", ".join("'%s'" % w.replace("'", "''") for w in sorted(STOP_WORDS))
 
+
+# blocklist_filter's graded configuration (shared by query and oracle)
+BLOCKLIST = ("spark", "vector", "anomaly")
 
 # mixture_sample's graded configuration (shared by query and oracle)
 MIXTURE_WEIGHTS = {
@@ -1470,6 +1479,18 @@ w AS (SELECT *, coalesce(sum(n_tokens) OVER (PARTITION BY source
       FROM tok)
 SELECT doc_id, source, n_tokens FROM w
 WHERE cb < CASE source {_mix_case} ELSE 0 END"""
+
+    # blocklist gate: count blocklisted tokens per doc, keep = no hits
+    _bl = ", ".join("'%s'" % w for w in sorted(BLOCKLIST))
+    sql["blocklist_filter"] = rf"""
+WITH toks AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '\pL+')) AS w
+              FROM documents),
+hits AS (SELECT doc_id, count(*)::BIGINT AS c FROM toks
+         WHERE w IN ({_bl}) GROUP BY doc_id)
+SELECT d.doc_id,
+       coalesce(h.c, 0)::BIGINT AS n_blocked,
+       CASE WHEN coalesce(h.c, 0) = 0 THEN 1 ELSE 0 END::BIGINT AS keep
+FROM documents d LEFT JOIN hits h USING (doc_id)"""
 
     sql["events_sliding_window"] = """
 WITH w AS (

@@ -2464,3 +2464,20 @@ def test_mixture_sample(ray_session):
                 cum += row.n_tokens
         got = a[a.source == s].doc_id.tolist()
         assert got == sorted(want), s
+
+
+def test_blocklist_filter_forms(ray_session):
+    """keep_hits=False returns exactly the keep==1 docs of the full form;
+    empty blocklist keeps everything."""
+    import ray.data
+    from textindex_ray.functions.textstats import blocklist_filter
+
+    sf = "/root/testdata/sf0.001"
+    docs = ray.data.read_parquet(sf + "/documents.parquet")
+    full = blocklist_filter(docs, ["spark", "vector"]).to_pandas()
+    clean = blocklist_filter(
+        docs, ["spark", "vector"], keep_hits=False
+    ).to_pandas()
+    assert sorted(clean.doc_id) == sorted(full[full.keep == 1].doc_id)
+    allkept = blocklist_filter(docs, []).to_pandas()
+    assert int(allkept.keep.sum()) == len(allkept)

@@ -1352,3 +1352,38 @@ def mixture_sample(
         .map_groups(refine, batch_format="pyarrow")
     )
     return kept.union(refined)
+
+
+def blocklist_filter(
+    ds: "ray.data.Dataset", blocked, *, keep_hits: bool = True
+) -> "ray.data.Dataset":
+    """(doc_id, n_blocked, keep): blocklist gate — the C4-style
+    badword-list curation step. Counts occurrences of blocklisted
+    tokens per document (word-run tokenizer, frozenset membership);
+    ``keep`` = 1 iff zero hits. ``keep_hits=False`` returns only the
+    clean docs (the filter form). All-integer -> exact SQL twin
+    (token CTE + IN-list count). The blocklist rides the closure —
+    real badword lists are a few thousand entries, far under broadcast
+    concern; a corpus-sized list would use the decontaminate
+    partitioned plan instead."""
+    bset = frozenset(str(w).lower() for w in blocked)
+
+    def gate(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id")
+        hits = np.fromiter(
+            (sum(1 for w in _tokens(t) if w in bset)
+             for t in b.column("text").to_pylist()),
+            np.int64, b.num_rows,
+        )
+        t = pa.table(
+            {"doc_id": ids.cast(pa.int64()),
+             "n_blocked": pa.array(hits, pa.int64()),
+             "keep": pa.array((hits == 0).astype(np.int64), pa.int64())}
+        )
+        if not keep_hits:
+            t = t.filter(pa.array(hits == 0)).select(["doc_id"])
+        return t
+
+    return ds.select_columns(["doc_id", "text"]).map_batches(
+        gate, batch_format="pyarrow"
+    )
