@@ -2481,3 +2481,49 @@ def test_blocklist_filter_forms(ray_session):
     assert sorted(clean.doc_id) == sorted(full[full.keep == 1].doc_id)
     allkept = blocklist_filter(docs, []).to_pandas()
     assert int(allkept.keep.sum()) == len(allkept)
+
+
+def test_paragraph_dedup_stats(ray_session):
+    """C4-style line dedup: first (doc_id, line_idx) occurrence wins —
+    across docs AND within a doc; empty-text docs have no lines (the
+    string_split('') == [] SQL contract) and are absent; batch-size
+    independence (the per-batch combiner is exact)."""
+    import ray.data
+
+    from textindex_ray.functions import dedup
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+            "text": pa.array(
+                [
+                    "alpha\nbeta\nalpha",      # within-doc repeat: kept 2 of 3
+                    "beta\ngamma",             # beta lost to doc 1
+                    "",                        # no lines -> absent
+                    "gamma\n\ndelta",          # '' line is a line; gamma lost
+                ],
+                pa.string(),
+            ),
+        }
+    )
+    for bs in (1, 4):
+        ds = ray.data.from_arrow(t).map_batches(
+            lambda b: b, batch_format="pyarrow", batch_size=bs
+        )
+        got = (
+            dedup.paragraph_dedup_stats(ds)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        assert got.doc_id.tolist() == [1, 2, 4]
+        assert got.n_lines.tolist() == [3, 2, 3]
+        assert got.kept_lines.tolist() == [2, 1, 2]
+        # kept chars: doc1 alpha+beta=9, doc2 gamma=5, doc4 ''+delta=5
+        assert got.kept_chars.tolist() == [9, 5, 5]
+
+    e = pa.table({"doc_id": pa.array([], pa.int64()),
+                  "text": pa.array([], pa.string())})
+    r = dedup.paragraph_dedup_stats(ray.data.from_arrow(e))
+    assert r.num_rows == 0
+    assert r.column_names == ["doc_id", "n_lines", "kept_lines", "kept_chars"]

@@ -1643,3 +1643,144 @@ def dup_ngram_stats(
         .groupby("dpart")
         .map_groups(doc_sum, batch_format="pyarrow")
     )
+
+
+# ---------------------------------------------------------------------------
+# corpus-level paragraph (line) dedup, C4 / Dolma style
+
+def paragraph_dedup_stats(
+    ds: "ray.data.Dataset",
+    *,
+    num_partitions: int = 32,
+) -> "ray.data.Dataset":
+    """C4-style corpus-level line deduplication, as per-doc statistics:
+    every newline-delimited line in the corpus survives only at its
+    FIRST occurrence in (doc_id, line_idx) order; all later occurrences
+    (in other docs or later in the same doc) are removed ("Exploring the
+    Limits of Transfer Learning..." C4 pipeline, three-sentence-span
+    dedup; here at line granularity like Dolma's paragraph dedupe).
+
+    Output (doc_id, n_lines, kept_lines, kept_chars) for every doc with
+    at least one line; ``text == ''`` docs have NO lines (the SQL
+    ``string_split('', chr(10)) = []`` contract, see repetition_batch)
+    and are absent from the output. All-integer, so the SQL oracle (a
+    row_number() window over exploded lines) matches bit-for-bit.
+
+    Plan (the dup_ngram_stats two-shuffle shape, no driver state):
+    1. explode each batch's lines, COMBINE per distinct line to one
+       (line_hash, min occurrence key, len) partial — the shuffle moves
+       one row per distinct-line-per-batch, never one per occurrence;
+    2. groupby(part = crc32-prefix of the line hash): a line lives
+       wholly in one partition, so the partition min of the occurrence
+       key IS the global first; winners pre-aggregate per doc to
+       (doc_id, kept_lines, kept_chars) partials;
+    3. union with a cheap per-doc local pass (doc_id, n_lines) and one
+       doc-hash groupby sums partials into final rows.
+    Occurrence keys are 32-hex-char strings "%016x%016x" % (doc_id,
+    line_idx) — string min == tuple min (doc_ids are non-negative by
+    the docID contract). Dedup is by md5(line): a collision would merge
+    two distinct lines, vanishingly unlikely and accepted corpus-wide
+    (same tradeoff as exact_dedup_groups).
+    """
+    from textindex_ray.functions._util import probe_count
+
+    out_schema = pa.table(
+        {"doc_id": pa.array([], pa.int64()),
+         "n_lines": pa.array([], pa.int64()),
+         "kept_lines": pa.array([], pa.int64()),
+         "kept_chars": pa.array([], pa.int64())}
+    )
+    # probe_count: empty guard + materialize-once for derived inputs
+    # (this operator consumes ds TWICE — winner relation + local pass)
+    ds, n_docs = probe_count(ds.select_columns(["doc_id", "text"]))
+    if n_docs == 0:
+        return out_schema
+    P = int(num_partitions)
+    GOLD = np.uint64(0x9E3779B97F4A7C15)
+
+    def explode_lines(batch: pa.Table) -> pa.Table:
+        # one partial per distinct line per batch: (md5, min key, len)
+        best: dict[bytes, tuple[str, int]] = {}
+        for d, t in zip(
+            batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
+        ):
+            lines = t.split("\n") if t else []
+            for i, ln in enumerate(lines, start=1):
+                lh = hashlib.md5(ln.encode("utf-8")).digest()
+                key = "%016x%016x" % (d, i)
+                cur = best.get(lh)
+                if cur is None or key < cur[0]:
+                    best[lh] = (key, len(ln))
+        lhs = list(best)
+        return pa.table(
+            {"lh": pa.array(lhs, pa.binary()),
+             "key": pa.array([best[h][0] for h in lhs], pa.string()),
+             "nch": pa.array([best[h][1] for h in lhs], pa.int64()),
+             "part": pa.array(
+                 [int.from_bytes(h[:4], "big") % P for h in lhs], pa.int32()
+             )}
+        )
+
+    def part_winners(g: pa.Table) -> pa.Table:
+        # global first occurrence per line (min key), then per-doc
+        # winner partials
+        t = g.group_by("lh").aggregate([("key", "min"), ("nch", "min")])
+        keys = t.column("key_min").to_pylist()
+        doc = np.array([int(k[:16], 16) for k in keys], np.int64)
+        nch = t.column("nch_min").to_numpy().astype(np.int64)
+        w = pa.table(
+            {"doc_id": pa.array(doc, pa.int64()),
+             "kept": pa.array(np.ones(len(doc), np.int64), pa.int64()),
+             "chars": pa.array(nch, pa.int64())}
+        ).group_by("doc_id").aggregate([("kept", "sum"), ("chars", "sum")])
+        ids = w.column("doc_id").to_numpy().astype(np.uint64)
+        dpart = ((ids * GOLD) % np.uint64(P)).astype(np.int32)
+        z = np.zeros(len(ids), np.int64)
+        return pa.table(
+            {"doc_id": w.column("doc_id").cast(pa.int64()),
+             "n_lines": pa.array(z, pa.int64()),
+             "kept_lines": w.column("kept_sum").cast(pa.int64()),
+             "kept_chars": w.column("chars_sum").cast(pa.int64()),
+             "dpart": pa.array(dpart, pa.int32())}
+        )
+
+    def doc_local(batch: pa.Table) -> pa.Table:
+        ids, nls = [], []
+        for d, t in zip(
+            batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
+        ):
+            nl = len(t.split("\n")) if t else 0
+            if nl:
+                ids.append(d)
+                nls.append(nl)
+        a = np.asarray(ids, np.uint64) if ids else np.array([], np.uint64)
+        dpart = ((a * GOLD) % np.uint64(P)).astype(np.int32)
+        z = np.zeros(len(ids), np.int64)
+        return pa.table(
+            {"doc_id": pa.array(ids, pa.int64()),
+             "n_lines": pa.array(nls, pa.int64()),
+             "kept_lines": pa.array(z, pa.int64()),
+             "kept_chars": pa.array(z, pa.int64()),
+             "dpart": pa.array(dpart, pa.int32())}
+        )
+
+    def doc_sum(g: pa.Table) -> pa.Table:
+        t = g.group_by("doc_id").aggregate(
+            [("n_lines", "sum"), ("kept_lines", "sum"), ("kept_chars", "sum")]
+        )
+        return pa.table(
+            {"doc_id": t.column("doc_id").cast(pa.int64()),
+             "n_lines": t.column("n_lines_sum").cast(pa.int64()),
+             "kept_lines": t.column("kept_lines_sum").cast(pa.int64()),
+             "kept_chars": t.column("kept_chars_sum").cast(pa.int64())}
+        )
+
+    winners = (
+        ds.map_batches(explode_lines, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(part_winners, batch_format="pyarrow")
+    )
+    local = ds.map_batches(doc_local, batch_format="pyarrow")
+    return winners.union(local).groupby("dpart").map_groups(
+        doc_sum, batch_format="pyarrow"
+    )
