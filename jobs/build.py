@@ -44,6 +44,9 @@ def main(argv=None) -> int:
     ap.add_argument("--jsonl", action="store_true",
                     help="corpus is NDJSON document dumps (url + "
                          "html/text/content field per line)")
+    ap.add_argument("--warc", action="store_true",
+                    help="corpus is Common-Crawl WARC/WET archives "
+                         "(.warc / .warc.gz files)")
     ap.add_argument("--track-alloc", action="store_true",
                     help="record per-phase memory snapshots (driver RSS, "
                          "tracemalloc, object-store fill) into each phase's "
@@ -89,7 +92,8 @@ def main(argv=None) -> int:
             batch_size=args.batch_size,
             checkpoint=not args.no_checkpoint, resume=not args.no_resume,
             input_format=("files" if args.files
-                          else "jsonl" if args.jsonl else "parquet"),
+                          else "jsonl" if args.jsonl
+                          else "warc" if args.warc else "parquet"),
         )
     print(json.dumps(meta))
     ray.shutdown()

@@ -1,0 +1,132 @@
+"""WARC source: Common-Crawl-style archives build an index identical
+to the Parquet corpus path over the same (url, payload) captures."""
+
+import gzip
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from textindex_ray.corpus import generate_corpus
+from textindex_ray.index.build import build_index
+from textindex_ray.query.engine import IndexReader
+from textindex_ray.sources.warc import (
+    read_warc_corpus,
+    warc_has_records,
+)
+
+
+def _rec(rtype: bytes, uri: bytes | None, block: bytes) -> bytes:
+    hdrs = [b"WARC/1.0", b"WARC-Type: " + rtype]
+    if uri is not None:
+        hdrs.append(b"WARC-Target-URI: " + uri)
+    hdrs.append(b"Content-Length: %d" % len(block))
+    return b"\r\n".join(hdrs) + b"\r\n\r\n" + block + b"\r\n\r\n"
+
+
+def _http(body: bytes, extra: bytes = b"") -> bytes:
+    return b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n" + extra + b"\r\n" + body
+
+
+def test_warc_build_matches_parquet_build(ray_session, tmp_path):
+    corpus = generate_corpus(60)
+    urls = corpus.column("url").to_pylist()
+    raws = corpus.column("html").to_pylist()
+
+    # shard 0: plain .warc; shard 1: .warc.gz of concatenated
+    # per-record gzip members (the Common Crawl layout)
+    d = tmp_path / "crawl"
+    d.mkdir()
+    with open(d / "part-0.warc", "wb") as f:
+        for i in range(0, len(urls), 2):
+            f.write(_rec(b"response", urls[i].encode(), _http(raws[i])))
+    with open(d / "part-1.warc.gz", "wb") as f:
+        for i in range(1, len(urls), 2):
+            f.write(gzip.compress(
+                _rec(b"response", urls[i].encode(), _http(raws[i]))))
+
+    pq_dir = tmp_path / "pqcorpus"
+    pq_dir.mkdir()
+    pq.write_table(
+        pa.table({"url": pa.array(urls, pa.string()),
+                  "html": pa.array(raws, pa.binary())}),
+        pq_dir / "part.parquet",
+    )
+
+    idx_w = str(tmp_path / "idx_warc")
+    idx_p = str(tmp_path / "idx_parquet")
+    build_index(str(d), idx_w, num_buckets=8, input_format="warc")
+    build_index(str(pq_dir), idx_p, num_buckets=8)
+
+    rw, rp = IndexReader(idx_w), IndexReader(idx_p)
+    assert rw.n_docs == rp.n_docs
+    assert rw._dict.column("term").to_pylist() == rp._dict.column("term").to_pylist()
+    assert rw._dict.column("df").to_pylist() == rp._dict.column("df").to_pylist()
+    for term in rw._dict.column("term").to_pylist()[::17]:
+        ids_w, tf_w = rw.postings(term)
+        ids_p, tf_p = rp.postings(term)
+        assert ids_w.tolist() == ids_p.tolist(), term
+        assert tf_w.tolist() == tf_p.tolist(), term
+    qw = rw.bm25_topk(["lorem", "ipsum"], 10)
+    qp = rp.bm25_topk(["lorem", "ipsum"], 10)
+    assert qw[0].tolist() == qp[0].tolist()
+    assert qw[1].tolist() == qp[1].tolist()
+
+
+def test_warc_record_variants(ray_session, tmp_path):
+    """HTTP header stripping, chunked de-framing, content-encoding
+    decode, skip types, WET conversion records, bracketed URIs."""
+    import zlib
+
+    chunked = b"7\r\nalpha b\r\n3\r\neta\r\n0\r\n\r\n"
+    gz_body = gzip.compress(b"gzipped payload")
+    recs = [
+        _rec(b"warcinfo", None, b"software: test\r\n"),
+        _rec(b"request", b"http://x/1", b"GET / HTTP/1.1\r\n\r\n"),
+        _rec(b"response", b"http://x/plain", _http(b"plain body")),
+        _rec(b"response", b"http://x/chunked",
+             _http(chunked, b"Transfer-Encoding: chunked\r\n")),
+        _rec(b"response", b"http://x/gz",
+             _http(gz_body, b"Content-Encoding: gzip\r\n")),
+        _rec(b"response", b"http://x/defl",
+             _http(zlib.compress(b"deflated"), b"Content-Encoding: deflate\r\n")),
+        _rec(b"conversion", b"<http://x/wet>", b"extracted text only"),
+        _rec(b"resource", b"http://x/res", b"raw resource bytes"),
+        _rec(b"metadata", b"http://x/meta", b"ignore: me\r\n"),
+    ]
+    d = tmp_path / "mixed"
+    d.mkdir()
+    (d / "a.warc").write_bytes(b"".join(recs))
+
+    got = (
+        read_warc_corpus(str(d)).to_pandas()
+        .sort_values("url").reset_index(drop=True)
+    )
+    want = {
+        "http://x/plain": b"plain body",
+        "http://x/chunked": b"alpha beta",
+        "http://x/gz": b"gzipped payload",
+        "http://x/defl": b"deflated",
+        "http://x/wet": b"extracted text only",
+        "http://x/res": b"raw resource bytes",
+    }
+    assert dict(zip(got["url"], got["html"])) == want
+
+
+def test_warc_empty_and_garbage(ray_session, tmp_path):
+    d = tmp_path / "junk"
+    d.mkdir()
+    (d / "x.warc").write_bytes(b"not a warc at all")
+    (d / "y.txt").write_bytes(b"ignored extension")
+    assert not warc_has_records(str(d))
+    meta = build_index(str(d), str(tmp_path / "idx_empty"),
+                       num_buckets=8, input_format="warc")
+    assert meta["n_docs"] == 0
+    r = IndexReader(str(tmp_path / "idx_empty"))
+    assert r.find(["anything"]).size == 0
+
+    # a truncated tail loses only its own record, never raises
+    ok = _rec(b"response", b"http://x/ok", _http(b"kept"))
+    (d / "z.warc").write_bytes(ok + b"WARC/1.0\r\nWARC-Type: resp")
+    got = read_warc_corpus(str(d)).to_pandas()
+    assert got["url"].tolist() == ["http://x/ok"]
+    assert got["html"].tolist() == [b"kept"]

@@ -550,7 +550,9 @@ def build_index(
     directory tree, the reference's walk source — read_binary_files with
     the O1 name filter applied at the read, sources/files.py), or
     "jsonl" (NDJSON document dumps, the webtext interchange format —
-    sources/jsonl.py auto-detects the payload field).
+    sources/jsonl.py auto-detects the payload field), or "warc"
+    (Common-Crawl WARC/WET archives, one file per read task —
+    sources/warc.py).
     """
     import pyarrow.dataset as pads
 
@@ -578,6 +580,11 @@ def build_index(
 
             if not jsonl_has_rows(corpus_path):
                 return _write_empty_index(out_dir, num_buckets, chunk_size)
+        elif input_format == "warc":
+            from textindex_ray.sources.warc import warc_has_records
+
+            if not warc_has_records(corpus_path):
+                return _write_empty_index(out_dir, num_buckets, chunk_size)
         # metadata-only row count (no Ray job)
         elif pads.dataset(corpus_path).count_rows() == 0:
             return _write_empty_index(out_dir, num_buckets, chunk_size)
@@ -594,6 +601,10 @@ def build_index(
             from textindex_ray.sources.jsonl import read_jsonl_corpus
 
             ds = read_jsonl_corpus(corpus_path)
+        elif input_format == "warc":
+            from textindex_ray.sources.warc import read_warc_corpus
+
+            ds = read_warc_corpus(corpus_path)
         else:
             ds = ray.data.read_parquet(corpus_path, columns=["url", "html"])
         # classification is fused into the actor (ExtractTokenize
