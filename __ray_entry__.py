@@ -392,6 +392,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def q_token_count(sf_dir):
         return docs_ds(sf_dir).map_batches(textstats.token_count_batch, batch_format="pyarrow")
 
+    def q_pack_sequences(sf_dir):
+        # GPT-style sequence packing: global ordered token-offset scan
+        # (distributed prefix sum) -> fixed 256-token window assignment;
+        # integer-exact window-cumsum SQL twin
+        return textstats.pack_sequences(docs_ds(sf_dir), seq_len=256)
+
     def q_embed_docs(sf_dir):
         # embedding-generation stage (stages/embed.py): deterministic
         # md5 feature-hash projection, graded as exact integer
@@ -638,7 +644,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # text analysis
         "lang_id": q_langid,
         "quality_score": q_quality,
-        "token_count": q_token_count,
+        "pack_sequences": q_pack_sequences,
         "doc_fingerprint": q_fingerprint,
         "heavy_terms": q_heavy_terms,
         "doc_top_terms": q_top_terms,
@@ -697,6 +703,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mixture_sample": q_mixture_sample,
         # blocklist gate (C4-style badword filter)
         "blocklist_filter": q_blocklist,
+        # sibling-covered: the n_tokens column of the graded
+        # pack_sequences is this op's n_tokens over the same tokenizer;
+        # displaced by pack_sequences
+        "token_count": q_token_count,
         # sibling-covered: shares _heavy_exact (MG sketch + exact
         # recount) with the graded heavy_terms and doc_top_terms — only
         # the token-pair key differs; displaced by paragraph_dedup_stats
@@ -979,6 +989,23 @@ SELECT d.doc_id,
        CASE WHEN coalesce(p.n_total, 0) > 0
             THEN (p.n_dup * 1000000) // p.n_total ELSE 0 END::BIGINT AS dup_ppm
 FROM documents d LEFT JOIN per p USING (doc_id)"""
+
+    # sequence packing (pack_sequences): exclusive window cumsum over
+    # doc_id order = the distributed prefix-sum's oracle; seq_len=256
+    sql["pack_sequences"] = f"""
+WITH t AS (SELECT doc_id,
+                  len(regexp_extract_all(lower(text), '\\pL+'))::BIGINT
+                    AS n_tokens
+           FROM documents),
+c AS (SELECT doc_id, n_tokens,
+             coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+               0)::BIGINT AS tok_offset
+      FROM t WHERE n_tokens > 0)
+SELECT doc_id, n_tokens, tok_offset,
+       (tok_offset // 256)::BIGINT AS seq_first,
+       ((tok_offset + n_tokens - 1) // 256)::BIGINT AS seq_last
+FROM c"""
 
     # C4-style line dedup (paragraph_dedup_stats): a line occurrence is
     # kept iff it is the corpus-first in (doc_id, line_idx) order;

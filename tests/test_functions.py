@@ -2527,3 +2527,44 @@ def test_paragraph_dedup_stats(ray_session):
     r = dedup.paragraph_dedup_stats(ray.data.from_arrow(e))
     assert r.num_rows == 0
     assert r.column_names == ["doc_id", "n_lines", "kept_lines", "kept_chars"]
+
+
+def test_pack_sequences(ray_session):
+    """Distributed prefix sum: offsets follow doc_id order regardless of
+    block layout; zero-token docs occupy no slots;sequence-spanning docs get
+    seq_first < seq_last; empty corpus yields the contract schema."""
+    import ray.data
+
+    from textindex_ray.functions import textstats
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([4, 1, 3, 2], pa.int64()),  # unordered input
+            "text": pa.array(
+                ["e f g h i", "a b c", "", "d"], pa.string()
+            ),
+        }
+    )
+    for nr in (2, 64):
+        got = (
+            textstats.pack_sequences(
+                ray.data.from_arrow(t).repartition(3), seq_len=4,
+                num_ranges=nr,
+            )
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        # doc 1: 3 toks @0; doc 2: 1 tok @3; doc 3: absent; doc 4: 5 toks @4
+        assert got.doc_id.tolist() == [1, 2, 4]
+        assert got.n_tokens.tolist() == [3, 1, 5]
+        assert got.tok_offset.tolist() == [0, 3, 4]
+        assert got.seq_first.tolist() == [0, 0, 1]
+        assert got.seq_last.tolist() == [0, 0, 2]  # doc 4 spans seqs 1-2
+
+    e = pa.table({"doc_id": pa.array([9], pa.int64()),
+                  "text": pa.array([""], pa.string())})
+    r = textstats.pack_sequences(ray.data.from_arrow(e))
+    assert r.num_rows == 0
+    assert r.column_names == [
+        "doc_id", "n_tokens", "tok_offset", "seq_first", "seq_last"]

@@ -1387,3 +1387,111 @@ def blocklist_filter(
     return ds.select_columns(["doc_id", "text"]).map_batches(
         gate, batch_format="pyarrow"
     )
+
+
+def pack_sequences(
+    ds: "ray.data.Dataset",
+    *,
+    seq_len: int = 2048,
+    num_ranges: int = 64,
+) -> "pa.Table | ray.data.Dataset":
+    """GPT-style training-sequence packing plan: conceptually
+    concatenate every document's token stream in ``doc_id`` order and
+    cut fixed ``seq_len`` windows; emit each doc's slot in that global
+    stream — (doc_id, n_tokens, tok_offset, seq_first, seq_last), all
+    int64. Zero-token docs occupy no slots and are absent. The SQL twin
+    is a window cumsum (``sum() OVER (ORDER BY doc_id ... 1
+    PRECEDING)``), so every value is integer-exact.
+
+    This is the distributed PREFIX-SUM (scan) primitive: a global
+    ordered cumulative offset, which no single groupby expresses.
+    Plan:
+    1. one tokenize pass reduces the corpus to a tiny (doc_id,
+       n_tokens) relation (16 B/doc), materialized once — at the
+       10^12-doc scale this checkpoint would be a parquet write, the
+       same pattern as the build's tokenized staging table;
+    2. docs partition into ``num_ranges`` contiguous doc_id ranges
+       (fixed width over the observed max — range r's ids all precede
+       range r+1's); per-range token totals are batch-combined partial
+       sums, and the driver scans the R totals into exclusive base
+       offsets (O(num_ranges) driver state, the bounded-reduce rule);
+    3. one groupby(range) over the counts relation sorts each range by
+       doc_id and adds base + within-range exclusive cumsum.
+    Size ``num_ranges`` so a range's counts fit one task (~docs/R
+    rows); seq boundaries then derive per row with no further shuffle.
+    """
+    from textindex_ray.functions._util import probe_count
+
+    S = int(seq_len)
+    R = int(num_ranges)
+    out_schema = pa.table(
+        {"doc_id": pa.array([], pa.int64()),
+         "n_tokens": pa.array([], pa.int64()),
+         "tok_offset": pa.array([], pa.int64()),
+         "seq_first": pa.array([], pa.int64()),
+         "seq_last": pa.array([], pa.int64())}
+    )
+
+    def count(batch: pa.Table) -> pa.Table:
+        n = np.fromiter(
+            (len(_tokens(t)) for t in batch.column("text").to_pylist()),
+            np.int64, batch.num_rows,
+        )
+        keep = n > 0
+        return pa.table(
+            {"doc_id": batch.column("doc_id").cast(pa.int64()).filter(
+                pa.array(keep)),
+             "n_tokens": pa.array(n[keep], pa.int64())}
+        )
+
+    counts, n_rows = probe_count(
+        ds.select_columns(["doc_id", "text"]).map_batches(
+            count, batch_format="pyarrow"
+        )
+    )
+    if n_rows == 0:
+        return out_schema
+    max_id = counts.max("doc_id")
+    width = max_id // R + 1
+
+    def range_partials(batch: pa.Table) -> pa.Table:
+        rg = batch.column("doc_id").to_numpy() // width
+        # int64 scatter-add (bincount's weights= would sum in float64)
+        tot = np.zeros(R, np.int64)
+        np.add.at(tot, rg, batch.column("n_tokens").to_numpy())
+        nz = np.flatnonzero(tot)
+        return pa.table(
+            {"rg": pa.array(nz, pa.int64()),
+             "tot": pa.array(tot[nz], pa.int64())}
+        )
+
+    # driver reduce: R-bounded totals -> exclusive-scan base offsets
+    parts = counts.map_batches(
+        range_partials, batch_format="pyarrow"
+    ).to_pandas()
+    totals = np.zeros(R, np.int64)
+    np.add.at(totals, parts["rg"].to_numpy(), parts["tot"].to_numpy())
+    bases = np.concatenate(([0], np.cumsum(totals)[:-1]))
+
+    def add_rg(batch: pa.Table) -> pa.Table:
+        rg = batch.column("doc_id").to_numpy() // width
+        return batch.append_column("rg", pa.array(rg, pa.int64()))
+
+    def scan_range(g: pa.Table) -> pa.Table:
+        t = g.sort_by("doc_id")
+        n = t.column("n_tokens").to_numpy()
+        rg = int(t.column("rg")[0].as_py())
+        off = bases[rg] + np.concatenate(([0], np.cumsum(n)[:-1]))
+        return pa.table(
+            {"doc_id": t.column("doc_id"),
+             "n_tokens": t.column("n_tokens"),
+             "tok_offset": pa.array(off, pa.int64()),
+             "seq_first": pa.array(off // S, pa.int64()),
+             "seq_last": pa.array((off + n - 1) // S, pa.int64())}
+        )
+
+    return (
+        counts.map_batches(add_rg, batch_format="pyarrow")
+        .groupby("rg")
+        .map_groups(scan_range, batch_format="pyarrow")
+    )
