@@ -2568,3 +2568,39 @@ def test_pack_sequences(ray_session):
     assert r.num_rows == 0
     assert r.column_names == [
         "doc_id", "n_tokens", "tok_offset", "seq_first", "seq_last"]
+
+
+def test_paragraph_dedup_all_empty_texts(ray_session):
+    """A corpus whose every doc has empty text must keep the contract
+    schema (the all-empty-groups map_groups hazard — PAD-row guard)."""
+    import ray.data
+
+    from textindex_ray.functions import dedup
+
+    t = pa.table({"doc_id": pa.array([1, 2], pa.int64()),
+                  "text": pa.array(["", ""], pa.string())})
+    got = dedup.paragraph_dedup_stats(ray.data.from_arrow(t)).materialize()
+    assert got.count() == 0
+    # without the PAD rows the all-empty groupbys drop the schema
+    assert got.schema().names == [
+        "doc_id", "n_lines", "kept_lines", "kept_chars"]
+
+    # negative ids can't encode into the hex occurrence key: loud error
+    import pytest
+
+    bad = pa.table({"doc_id": pa.array([-1], pa.int64()),
+                    "text": pa.array(["x"], pa.string())})
+    with pytest.raises(Exception, match="non-negative"):
+        dedup.paragraph_dedup_stats(ray.data.from_arrow(bad)).materialize()
+
+
+def test_pack_sequences_negative_doc_id(ray_session):
+    import pytest
+    import ray.data
+
+    from textindex_ray.functions import textstats
+
+    t = pa.table({"doc_id": pa.array([-1, 2], pa.int64()),
+                  "text": pa.array(["a b", "c"], pa.string())})
+    with pytest.raises(Exception, match="non-negative"):
+        textstats.pack_sequences(ray.data.from_arrow(t)).materialize()

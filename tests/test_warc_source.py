@@ -130,3 +130,64 @@ def test_warc_empty_and_garbage(ray_session, tmp_path):
     got = read_warc_corpus(str(d)).to_pandas()
     assert got["url"].tolist() == ["http://x/ok"]
     assert got["html"].tolist() == [b"kept"]
+
+
+def test_warc_header_token_matching_and_truncated_length(ray_session, tmp_path):
+    """Content-Type: application/gzip must NOT trigger body decode
+    (exact header-name+token matching), and a record whose
+    Content-Length runs past EOF is dropped, never emitted short."""
+    import gzip as _gz
+
+    gz_payload = _gz.compress(b"a crawled archive download")
+    recs = [
+        # gzip CONTENT, identity encoding: body must stay compressed
+        _rec(b"response", b"http://x/download",
+             _http(gz_payload,
+                   b"Content-Type: application/gzip\r\n"
+                   b"Content-Encoding: identity\r\n")),
+        # x-gzip token IS a gzip encoding
+        _rec(b"response", b"http://x/xgz",
+             _http(_gz.compress(b"legacy token"),
+                   b"Content-Encoding: x-gzip\r\n")),
+    ]
+    d = tmp_path / "hdrs"
+    d.mkdir()
+    (d / "a.warc").write_bytes(b"".join(recs))
+    got = (
+        read_warc_corpus(str(d)).to_pandas()
+        .sort_values("url").reset_index(drop=True)
+    )
+    assert got["html"].tolist() == [gz_payload, b"legacy token"]
+
+    # Content-Length past EOF: the broken record is dropped entirely
+    ok = _rec(b"response", b"http://x/ok", _http(b"kept"))
+    bad = (b"WARC/1.0\r\nWARC-Type: response\r\n"
+           b"WARC-Target-URI: http://x/bad\r\nContent-Length: 999999"
+           b"\r\n\r\npartial")
+    d2 = tmp_path / "trunc"
+    d2.mkdir()
+    (d2 / "b.warc").write_bytes(ok + bad)
+    got2 = read_warc_corpus(str(d2)).to_pandas()
+    assert got2["url"].tolist() == ["http://x/ok"]
+
+
+def test_warc_streaming_decompress_and_flush(ray_session, tmp_path):
+    """Member-wise streaming decompression parses many concatenated gz
+    members without ever calling gzip.decompress on the whole file, and
+    a truncated final member loses only its own record."""
+    import gzip as _gz
+
+    from textindex_ray.sources.warc import _iter_decompressed, parse_warc_bytes
+
+    raw = b"".join(
+        _gz.compress(_rec(b"response", b"http://s/%d" % i,
+                          _http(b"body %d" % i)))
+        for i in range(50)
+    )
+    chunks = list(_iter_decompressed(raw))
+    assert len(chunks) >= 50  # streamed, not one blob
+    assert len(parse_warc_bytes(raw)) == 50
+
+    # truncated last member: 49 records survive
+    cut = parse_warc_bytes(raw[:-20])
+    assert len(cut) == 49

@@ -1704,6 +1704,11 @@ def paragraph_dedup_stats(
         for d, t in zip(
             batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
         ):
+            if d < 0:
+                # the hex occurrence key cannot encode negatives —
+                # silent mis-sorting otherwise, so fail loud
+                raise ValueError(
+                    "paragraph_dedup_stats requires non-negative doc_id")
             lines = t.split("\n") if t else []
             for i, ln in enumerate(lines, start=1):
                 lh = hashlib.md5(ln.encode("utf-8")).digest()
@@ -1711,6 +1716,15 @@ def paragraph_dedup_stats(
                 cur = best.get(lh)
                 if cur is None or key < cur[0]:
                     best[lh] = (key, len(ln))
+        if not best:
+            # PAD partial: a batch of all-empty texts must still flow
+            # through BOTH groupbys, or a corpus of only empty texts
+            # makes every relation zero-row and the groupby loses the
+            # output schema (the all-empty-groups map_groups hazard).
+            # lh=b'' is unreachable by real lines (theirs is a 16-byte
+            # md5 digest); key='' decodes to the pad doc_id -1,
+            # dropped after doc_sum.
+            best[b""] = ("", 0)
         lhs = list(best)
         return pa.table(
             {"lh": pa.array(lhs, pa.binary()),
@@ -1726,7 +1740,7 @@ def paragraph_dedup_stats(
         # winner partials
         t = g.group_by("lh").aggregate([("key", "min"), ("nch", "min")])
         keys = t.column("key_min").to_pylist()
-        doc = np.array([int(k[:16], 16) for k in keys], np.int64)
+        doc = np.array([int(k[:16], 16) if k else -1 for k in keys], np.int64)
         nch = t.column("nch_min").to_numpy().astype(np.int64)
         w = pa.table(
             {"doc_id": pa.array(doc, pa.int64()),
@@ -1753,7 +1767,14 @@ def paragraph_dedup_stats(
             if nl:
                 ids.append(d)
                 nls.append(nl)
-        a = np.asarray(ids, np.uint64) if ids else np.array([], np.uint64)
+        if not ids:
+            # PAD row: a batch of all-empty texts must still reach the
+            # final groupby, or a corpus of only empty texts makes every
+            # relation zero-row and the groupby loses the output schema
+            # (the all-empty-groups map_groups hazard); pads are dropped
+            # after doc_sum
+            ids, nls = [-1], [0]
+        a = np.asarray(ids, np.int64).astype(np.uint64)
         dpart = ((a * GOLD) % np.uint64(P)).astype(np.int32)
         z = np.zeros(len(ids), np.int64)
         return pa.table(
@@ -1775,12 +1796,20 @@ def paragraph_dedup_stats(
              "kept_chars": t.column("kept_chars_sum").cast(pa.int64())}
         )
 
+    def drop_pad(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return b.filter(pc.greater_equal(b.column("doc_id"), 0))
+
     winners = (
         ds.map_batches(explode_lines, batch_format="pyarrow")
         .groupby("part")
         .map_groups(part_winners, batch_format="pyarrow")
     )
     local = ds.map_batches(doc_local, batch_format="pyarrow")
-    return winners.union(local).groupby("dpart").map_groups(
-        doc_sum, batch_format="pyarrow"
+    return (
+        winners.union(local)
+        .groupby("dpart")
+        .map_groups(doc_sum, batch_format="pyarrow")
+        .map_batches(drop_pad, batch_format="pyarrow")
     )

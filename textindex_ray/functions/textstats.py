@@ -1433,14 +1433,18 @@ def pack_sequences(
     )
 
     def count(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").cast(pa.int64())
+        if batch.num_rows and ids.to_numpy().min() < 0:
+            # a negative id would wrap the range arithmetic (rg // width
+            # and bases[rg]) into silent offset corruption — fail loud
+            raise ValueError("pack_sequences requires non-negative doc_id")
         n = np.fromiter(
             (len(_tokens(t)) for t in batch.column("text").to_pylist()),
             np.int64, batch.num_rows,
         )
         keep = n > 0
         return pa.table(
-            {"doc_id": batch.column("doc_id").cast(pa.int64()).filter(
-                pa.array(keep)),
+            {"doc_id": ids.filter(pa.array(keep)),
              "n_tokens": pa.array(n[keep], pa.int64())}
         )
 

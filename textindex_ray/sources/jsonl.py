@@ -31,17 +31,9 @@ TEXT_FIELDS = ("html", "text", "content", "raw_content")
 def jsonl_paths(path: str) -> list[str]:
     """Deterministic (sorted) listing of .json/.jsonl files under path
     (or [path] itself when it's a file)."""
-    if os.path.isfile(path):
-        return [path]
-    out = []
-    for dirpath, dirs, files in os.walk(path):
-        dirs.sort()
-        out.extend(
-            os.path.join(dirpath, f)
-            for f in sorted(files)
-            if f.endswith((".json", ".jsonl"))
-        )
-    return out
+    from textindex_ray.sources import walk_paths
+
+    return walk_paths(path, (".json", ".jsonl"))
 
 
 def jsonl_has_rows(path: str) -> bool:
