@@ -82,6 +82,9 @@ def main(argv=None) -> int:
             args.corpus, args.out,
             num_buckets=args.num_buckets, chunk_size=args.chunk_size,
             mode=args.mode, compact_ratio=args.compact_ratio,
+            input_format=("files" if args.files
+                          else "jsonl" if args.jsonl
+                          else "warc" if args.warc else "parquet"),
         )
     else:
         from textindex_ray.index.build import build_index

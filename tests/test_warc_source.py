@@ -191,3 +191,30 @@ def test_warc_streaming_decompress_and_flush(ray_session, tmp_path):
     # truncated last member: 49 records survive
     cut = parse_warc_bytes(raw[:-20])
     assert len(cut) == 49
+
+
+def test_warc_incremental_update(ray_session, tmp_path):
+    """update_index accepts a WARC delta (input_format plumbs through
+    read_corpus): the delta appends as a segment and the segmented
+    reader sees base + delta docs."""
+    from textindex_ray.corpus import write_corpus
+    from textindex_ray.index.merge import update_index
+    from textindex_ray.query.segmented import open_reader
+
+    write_corpus(str(tmp_path / "c1"), 30, rows_per_file=16)
+    idx = str(tmp_path / "idx")
+    base = build_index(str(tmp_path / "c1"), idx, num_buckets=8)
+
+    d = tmp_path / "delta"
+    d.mkdir()
+    with open(d / "p.warc", "wb") as f:
+        for i in range(10):
+            body = ("zzznew delta doc %d lorem" % i).encode()
+            f.write(_rec(b"response", b"http://delta/%d" % i, _http(body)))
+    m = update_index(str(d), idx, num_buckets=8, compact_ratio=10.0,
+                     input_format="warc")
+    assert m["added_docs"] == 10
+    r = open_reader(idx)
+    # base n_docs may be < 30 (the synthetic corpus dedups by url)
+    assert r.n_docs == base["n_docs"] + 10
+    assert len(r.find(["zzznew"])) == 10

@@ -497,6 +497,30 @@ def default_concurrency() -> int:
     return max(2, cpus - 2)
 
 
+def read_corpus(corpus_path, input_format: str = "parquet") -> "ray.data.Dataset":
+    """Corpus path -> (url:string, html:binary) Dataset for any ingest
+    format: "parquet" (column-pruned read), "files" (directory walk,
+    sources/files.py), "jsonl" (NDJSON dumps, sources/jsonl.py), or
+    "warc" (Common-Crawl archives, sources/warc.py). Shared by
+    build_index and merge.update_index so every lifecycle entry point
+    accepts every source."""
+    if input_format == "files":
+        from textindex_ray.sources.files import read_file_corpus
+
+        return read_file_corpus(corpus_path)
+    if input_format == "jsonl":
+        from textindex_ray.sources.jsonl import read_jsonl_corpus
+
+        return read_jsonl_corpus(corpus_path)
+    if input_format == "warc":
+        from textindex_ray.sources.warc import read_warc_corpus
+
+        return read_warc_corpus(corpus_path)
+    if input_format != "parquet":
+        raise ValueError("unknown input_format: %r" % (input_format,))
+    return ray.data.read_parquet(corpus_path, columns=["url", "html"])
+
+
 def _build_postings_shuffled(tok, docmap_dir, index_dir, shuffle, chunk_size,
                              heavy_df, timings, t0):
     """Shuffled postings construction (non-partitioned staging or
@@ -593,20 +617,7 @@ def build_index(
         concurrency = default_concurrency()
 
     def extract_pipeline():
-        if input_format == "files":
-            from textindex_ray.sources.files import read_file_corpus
-
-            ds = read_file_corpus(corpus_path)
-        elif input_format == "jsonl":
-            from textindex_ray.sources.jsonl import read_jsonl_corpus
-
-            ds = read_jsonl_corpus(corpus_path)
-        elif input_format == "warc":
-            from textindex_ray.sources.warc import read_warc_corpus
-
-            ds = read_warc_corpus(corpus_path)
-        else:
-            ds = ray.data.read_parquet(corpus_path, columns=["url", "html"])
+        ds = read_corpus(corpus_path, input_format)
         # classification is fused into the actor (ExtractTokenize
         # classifies when no doctype column is present)
         return ds.map_batches(

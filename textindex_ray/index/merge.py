@@ -547,7 +547,8 @@ def update_index(corpus_path, index_dir: str, *, work_dir: str | None = None,
                  num_buckets: int = 64, chunk_size: int = 1024,
                  membership: str = "auto", exact_limit: int = 1_000_000,
                  fp_rate: float = 0.01, num_partitions: int = 4,
-                 mode: str = "segment", compact_ratio: float = 0.5) -> dict:
+                 mode: str = "segment", compact_ratio: float = 0.5,
+                 input_format: str = "parquet") -> dict:
     """Incremental indexing: index only not-yet-committed urls.
 
     mode picks the lifecycle:
@@ -607,7 +608,9 @@ def update_index(corpus_path, index_dir: str, *, work_dir: str | None = None,
     if membership == "auto":
         membership = "exact" if n_committed <= exact_limit else "bloom"
 
-    ds = ray.data.read_parquet(corpus_path, columns=["url", "html"])
+    from textindex_ray.index.build import read_corpus
+
+    ds = read_corpus(corpus_path, input_format)
 
     if membership == "exact":
         committed: set = set()
