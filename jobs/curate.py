@@ -44,9 +44,12 @@ def main(argv=None) -> int:
                          "k-shingle overlap reaches --max-hit-ppm "
                          "(eval-leakage decontamination gate)")
     ap.add_argument("--max-hit-ppm", type=int, default=100_000)
-    ap.add_argument("--format", choices=["parquet", "jsonl"], default="parquet",
-                    help="export format: hive-partitioned parquet (default) "
-                         "or NDJSON shards (the webtext interchange format)")
+    ap.add_argument("--format", choices=["parquet", "jsonl", "wet"],
+                    default="parquet",
+                    help="export format: hive-partitioned parquet (default), "
+                         "NDJSON shards (the webtext interchange format), or "
+                         "WET archives (one .warc.gz of conversion records "
+                         "per shard, re-ingestable via --warc)")
     args = ap.parse_args(argv)
 
     params = {
@@ -123,6 +126,33 @@ def main(argv=None) -> int:
         # sources/jsonl.py
         sharded.write_json(data_dir, min_rows_per_file=50_000)
         n = ray.data.read_json(data_dir).count()
+    elif args.format == "wet":
+        # WET export: one .warc.gz per shard, per-record gzip members
+        # (the Common Crawl layout, so re-ingest streams member-wise);
+        # rows sort by doc_id inside a shard for deterministic bytes
+        import gzip
+
+        from textindex_ray.sources.warc import wet_record
+
+        os.makedirs(data_dir, exist_ok=True)
+
+        def write_shard(g: pa.Table) -> pa.Table:
+            g = g.sort_by("doc_id")
+            sh = int(g.column("shard")[0].as_py())
+            path = os.path.join(data_dir, "shard-%05d.warc.gz" % sh)
+            with open(path, "wb") as f:
+                for did, text in zip(g.column("doc_id").to_pylist(),
+                                     g.column("text").to_pylist()):
+                    f.write(gzip.compress(
+                        wet_record(str(did), text.encode("utf-8"))))
+            return pa.table({"n": pa.array([g.num_rows], pa.int64())})
+
+        parts = (
+            sharded.groupby("shard")
+            .map_groups(write_shard, batch_format="pyarrow")
+            .to_pandas()
+        )
+        n = int(parts["n"].sum()) if len(parts) else 0
     else:
         sharded.write_parquet(
             data_dir, partition_cols=["shard"], min_rows_per_file=50_000

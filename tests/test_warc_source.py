@@ -218,3 +218,30 @@ def test_warc_incremental_update(ray_session, tmp_path):
     # base n_docs may be < 30 (the synthetic corpus dedups by url)
     assert r.n_docs == base["n_docs"] + 10
     assert len(r.find(["zzznew"])) == 10
+
+
+def test_curate_wet_export_roundtrip(ray_session, tmp_path):
+    """curate --format wet exports per-shard .warc.gz conversion
+    records that re-ingest through sources/warc.py with the same kept
+    documents."""
+    import json
+    import subprocess
+    import sys
+
+    out = str(tmp_path / "cur")
+    r = subprocess.run(
+        [sys.executable, "jobs/curate.py",
+         "--docs", "/root/testdata/sf0.001/documents.parquet",
+         "--out", out, "--langs", "en,de", "--min-tokens", "5",
+         "--format", "wet"],
+        capture_output=True, text=True, cwd="/root/repo",
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    stat = json.loads(r.stdout.strip().splitlines()[-1])
+    assert stat["status"] == "ok" and stat["kept_docs"] > 0
+
+    back = read_warc_corpus(out + "/data").to_pandas()
+    assert len(back) == stat["kept_docs"]
+    assert back["html"].str.len().gt(0).all()
+    # urls are the doc_ids; payloads are the curated texts
+    assert back["url"].str.isdigit().all()

@@ -289,3 +289,16 @@ def read_warc_corpus(path: str) -> "ray.data.Dataset":
             )
 
     return ds.map_batches(explode, batch_format="pyarrow")
+
+
+def wet_record(uri: str, payload: bytes) -> bytes:
+    """Serialize one WET ``conversion`` record (the Common-Crawl
+    extracted-text convention) — the inverse of iter_warc_records for
+    round-trippable curated-text export."""
+    hdrs = [
+        b"WARC/1.0",
+        b"WARC-Type: conversion",
+        b"WARC-Target-URI: " + uri.encode("utf-8"),
+        b"Content-Length: %d" % len(payload),
+    ]
+    return b"\r\n".join(hdrs) + b"\r\n\r\n" + payload + b"\r\n\r\n"
