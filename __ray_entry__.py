@@ -389,6 +389,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def q_quality(sf_dir):
         return docs_ds(sf_dir).map_batches(textstats.quality_batch, batch_format="pyarrow")
 
+    def q_gopher_rules(sf_dir):
+        # Gopher composite quality gate (Rae et al. 2021): threshold
+        # conjunction over the integer quality/repetition signals;
+        # thresholds tuned so the sf corpus has a pass/fail mix across
+        # every bit
+        return docs_ds(sf_dir).map_batches(
+            textstats.gopher_rules(
+                min_tokens=25, max_tokens=100_000,
+                min_wlen_ppm=4_200_000, max_wlen_ppm=4_800_000,
+                min_stop_ppm=10_000, max_punct_ppm=100_000,
+                max_dup_line_ppm=300_000, max_top_bigram_ppm=90_000,
+            ),
+            batch_format="pyarrow",
+        )
+
     def q_token_count(sf_dir):
         return docs_ds(sf_dir).map_batches(textstats.token_count_batch, batch_format="pyarrow")
 
@@ -643,7 +658,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_dup_pairs": q_emb_dup,
         # text analysis
         "lang_id": q_langid,
-        "quality_score": q_quality,
+        "gopher_rules": q_gopher_rules,
         "pack_sequences": q_pack_sequences,
         "doc_fingerprint": q_fingerprint,
         "heavy_terms": q_heavy_terms,
@@ -707,6 +722,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # pack_sequences is this op's n_tokens over the same tokenizer;
         # displaced by pack_sequences
         "token_count": q_token_count,
+        # sibling-covered: every column feeds the graded gopher_rules
+        # verbatim (its kernel calls quality_batch directly); displaced
+        # by gopher_rules
+        "quality_score": q_quality,
         # sibling-covered: shares _heavy_exact (MG sketch + exact
         # recount) with the graded heavy_terms and doc_top_terms — only
         # the token-pair key differs; displaced by paragraph_dedup_stats
@@ -1463,6 +1482,53 @@ SELECT d.doc_id,
        CASE WHEN coalesce(a.n_tokens, 0) = 0 THEN 0
             ELSE (a.sum_len * 1000000) // a.n_tokens END::BIGINT AS mean_word_len_ppm
 FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id"""
+
+    # Gopher composite gate: threshold conjunction over the verified
+    # quality_score + repetition oracle bodies (thresholds mirror
+    # q_gopher_rules exactly)
+    sql["gopher_rules"] = f"""
+WITH {_TOKS},
+agg AS (SELECT doc_id, count(*)::BIGINT AS n_tokens,
+               count(*) FILTER (WHERE term IN ({inlist(markers_all)}))::BIGINT AS n_stop,
+               sum(length(term))::BIGINT AS sum_len
+        FROM toks GROUP BY doc_id),
+q AS (SELECT d.doc_id,
+       coalesce(a.n_tokens, 0)::BIGINT AS n_tokens,
+       CASE WHEN coalesce(a.n_tokens, 0) = 0 THEN 0
+            ELSE (a.n_stop * 1000000) // a.n_tokens END::BIGINT AS stp,
+       CASE WHEN length(d.text) = 0 THEN 0
+            ELSE (length(regexp_replace(d.text, '[a-zA-Z0-9 \\t\\n\\r]', '', 'g')) * 1000000)
+                 // length(d.text) END::BIGINT AS pu,
+       CASE WHEN coalesce(a.n_tokens, 0) = 0 THEN 0
+            ELSE (a.sum_len * 1000000) // a.n_tokens END::BIGINT AS wl
+      FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id),
+l AS (SELECT doc_id, string_split(text, chr(10)) AS ls,
+             regexp_extract_all(lower(text), '\\pL+') AS tk
+      FROM documents),
+idx AS (SELECT doc_id, tk, unnest(generate_series(1, len(tk) - 1)) AS i FROM l),
+bg AS (SELECT doc_id, tk[i] || ' ' || tk[i + 1] AS bg FROM idx),
+cnt AS (SELECT doc_id, bg, count(*) AS c FROM bg GROUP BY doc_id, bg),
+mx AS (SELECT doc_id, max(c) AS mc FROM cnt GROUP BY doc_id),
+r AS (SELECT l.doc_id,
+       CASE WHEN len(l.ls) = 0 THEN 0
+            ELSE ((len(l.ls) - len(list_distinct(l.ls))) * 1000000)
+                 // len(l.ls) END::BIGINT AS dl,
+       CASE WHEN len(l.tk) < 2 THEN 0
+            ELSE (coalesce(m.mc, 0) * 1000000) // (len(l.tk) - 1)
+            END::BIGINT AS tb
+      FROM l LEFT JOIN mx m ON l.doc_id = m.doc_id),
+f AS (SELECT q.doc_id,
+       (CASE WHEN q.n_tokens < 25 OR q.n_tokens > 100000 THEN 1 ELSE 0 END
+      + CASE WHEN q.wl < 4200000 OR q.wl > 4800000 THEN 2 ELSE 0 END
+      + CASE WHEN q.stp < 10000 THEN 4 ELSE 0 END
+      + CASE WHEN q.pu > 100000 THEN 8 ELSE 0 END
+      + CASE WHEN r.dl > 300000 THEN 16 ELSE 0 END
+      + CASE WHEN r.tb > 90000 THEN 32 ELSE 0 END)::BIGINT AS fail_bits
+      FROM q JOIN r ON q.doc_id = r.doc_id)
+SELECT doc_id,
+       CASE WHEN fail_bits = 0 THEN 1 ELSE 0 END::BIGINT AS keep,
+       fail_bits
+FROM f"""
 
     sql["token_count"] = f"""
 WITH {_TOKS},

@@ -2604,3 +2604,39 @@ def test_pack_sequences_negative_doc_id(ray_session):
                   "text": pa.array(["a b", "c"], pa.string())})
     with pytest.raises(Exception, match="non-negative"):
         textstats.pack_sequences(ray.data.from_arrow(t)).materialize()
+
+
+def test_gopher_rules(ray_session):
+    """Composite Gopher gate: each rule trips its own fail bit; a doc
+    passing every rule has keep=1/fail_bits=0."""
+    import ray.data
+
+    from textindex_ray.functions import textstats
+
+    good = "the fast key order sort tables merge part window small hash"
+    docs = [
+        good,                                   # passes all
+        "the and one",                          # bit 0: too few tokens
+        "a aa ab ac ad ae af ag ah ai",         # bit 1: word len too low
+        "zebra yonder quartz jumble wobble xylem kelp vortex nymph glyph",  # bit 2: no stopwords
+        good + " !!!???!!!???!!!???",           # bit 3: punct ratio
+        "\n".join([good] * 5),                  # bit 4: duplicate lines
+        ("the cat " * 10).strip(),              # bit 5: top bigram
+    ]
+    t = pa.table(
+        {"doc_id": pa.array(list(range(len(docs))), pa.int64()),
+         "text": pa.array(docs, pa.string())}
+    )
+    fn = textstats.gopher_rules(
+        min_tokens=8, max_tokens=100, min_wlen_ppm=3_000_000,
+        max_wlen_ppm=8_000_000, min_stop_ppm=50_000, max_punct_ppm=100_000,
+        max_dup_line_ppm=300_000, max_top_bigram_ppm=300_000,
+    )
+    got = (
+        ray.data.from_arrow(t).map_batches(fn, batch_format="pyarrow")
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    assert got.keep.tolist()[0] == 1 and got.fail_bits[0] == 0
+    for i, bit in [(1, 1), (2, 2), (3, 4), (4, 8), (5, 16), (6, 32)]:
+        assert got.fail_bits[i] & bit, (i, bit, got.fail_bits[i])
+        assert got.keep[i] == 0

@@ -1499,3 +1499,59 @@ def pack_sequences(
         .groupby("rg")
         .map_groups(scan_range, batch_format="pyarrow")
     )
+
+
+def gopher_rules(
+    *,
+    min_tokens: int = 50,
+    max_tokens: int = 100_000,
+    min_wlen_ppm: int = 3_000_000,
+    max_wlen_ppm: int = 10_000_000,
+    min_stop_ppm: int = 60_000,
+    max_punct_ppm: int = 100_000,
+    max_dup_line_ppm: int = 300_000,
+    max_top_bigram_ppm: int = 180_000,
+):
+    """Gopher quality rules ("Scaling Language Models...", Rae et al.
+    2021, table A1 analog over this engine's integer signals): the
+    composite document gate every web-scale curation pipeline applies
+    before dedup. Returns a map_batches fn emitting
+    (doc_id, keep, fail_bits) for EVERY doc — keep = 1 iff no rule
+    fails; fail_bits is the diagnostic bitmask (bit 0 token count out
+    of [min,max], 1 mean word length out of range, 2 stopword ratio
+    below floor, 3 punctuation ratio above cap, 4 duplicate-line ppm
+    above cap, 5 top-bigram ppm above cap).
+
+    Signals come from quality_batch and repetition_batch VERBATIM (the
+    same kernels behind the graded quality_score / repetition queries),
+    so the SQL twin is a threshold conjunction over those two verified
+    oracles — all-integer, bit-exact. Pure per-row map: no shuffle, no
+    state; composes with curate's fused-gate plan at any scale.
+    """
+    B = dict(mnt=int(min_tokens), mxt=int(max_tokens),
+             mnw=int(min_wlen_ppm), mxw=int(max_wlen_ppm),
+             mns=int(min_stop_ppm), mxp=int(max_punct_ppm),
+             mxd=int(max_dup_line_ppm), mxb=int(max_top_bigram_ppm))
+
+    def fn(batch: pa.Table) -> pa.Table:
+        q = quality_batch(batch)
+        r = repetition_batch(batch)
+        nt = q.column("n_tokens").to_numpy()
+        wl = q.column("mean_word_len_ppm").to_numpy()
+        st = q.column("stop_ratio_ppm").to_numpy()
+        pu = q.column("punct_ratio_ppm").to_numpy()
+        dl = r.column("dup_line_ppm").to_numpy()
+        tb = r.column("top_bigram_ppm").to_numpy()
+        bits = ((nt < B["mnt"]) | (nt > B["mxt"])).astype(np.int64)
+        bits |= (((wl < B["mnw"]) | (wl > B["mxw"])).astype(np.int64)) << 1
+        bits |= ((st < B["mns"]).astype(np.int64)) << 2
+        bits |= ((pu > B["mxp"]).astype(np.int64)) << 3
+        bits |= ((dl > B["mxd"]).astype(np.int64)) << 4
+        bits |= ((tb > B["mxb"]).astype(np.int64)) << 5
+        return pa.table(
+            {"doc_id": q.column("doc_id").cast(pa.int64()),
+             "keep": pa.array((bits == 0).astype(np.int64), pa.int64()),
+             "fail_bits": pa.array(bits, pa.int64())}
+        )
+
+    return fn
