@@ -105,3 +105,34 @@ def test_positions_empty_corpus(ray_session, tmp_path):
     build_positions(empty, out, num_partitions=8)
     assert phrase_docs(out, ["a", "b"]).num_rows == 0
     assert proximity_docs(out, "a", "b", 3).num_rows == 0
+
+
+def test_positions_delta_stores(ray_session, tmp_path):
+    """A base store plus a delta store (the segmented-lifecycle analog)
+    answers phrase/proximity identically to one store over the union —
+    deltas may even use a different partition count."""
+    import ray.data
+
+    base_rows = [
+        {"doc_id": 1, "text": "alpha beta gamma"},
+        {"doc_id": 2, "text": "gamma beta alpha"},
+    ]
+    delta_rows = [
+        {"doc_id": 10, "text": "alpha beta zeta"},
+        {"doc_id": 11, "text": "zeta alpha"},
+    ]
+    b = str(tmp_path / "base")
+    d = str(tmp_path / "delta")
+    u = str(tmp_path / "union")
+    build_positions(ray.data.from_items(base_rows), b, num_partitions=8)
+    build_positions(ray.data.from_items(delta_rows), d, num_partitions=3)
+    build_positions(ray.data.from_items(base_rows + delta_rows), u,
+                    num_partitions=8)
+
+    for terms in (["alpha", "beta"], ["beta", "zeta"], ["zeta"]):
+        got = phrase_docs([b, d], terms).column("doc_id").to_pylist()
+        want = phrase_docs(u, terms).column("doc_id").to_pylist()
+        assert got == want, terms
+    got = proximity_docs([b, d], "alpha", "zeta", 2).column("doc_id").to_pylist()
+    want = proximity_docs(u, "alpha", "zeta", 2).column("doc_id").to_pylist()
+    assert got == want == [10, 11]

@@ -103,25 +103,36 @@ def _load_meta(out_dir: str) -> dict:
         return json.load(f)
 
 
-def term_part_files(out_dir: str, terms: list[str]) -> list[str]:
+def term_part_files(out_dir, terms: list[str]) -> list[str]:
     """The parquet files a query for ``terms`` must read — only the
-    terms' part directories (the IO-pruning evidence for tests)."""
-    P = _load_meta(out_dir)["num_partitions"]
+    terms' part directories (the IO-pruning evidence for tests).
+
+    ``out_dir`` may be a single store or a LIST of stores (a base plus
+    delta stores, the positional analog of the index's segment list:
+    an increment builds a small delta store with build_positions and
+    queries union the part files — each store prunes by its own
+    num_partitions, so deltas can use fewer partitions than the base).
+    """
+    dirs = [out_dir] if isinstance(out_dir, str) else list(out_dir)
     files = []
-    for p in sorted({_term_part(t, P) for t in terms}):
-        d = os.path.join(out_dir, "data", "part=%d" % p)
-        if os.path.isdir(d):
-            files.extend(
-                os.path.join(d, f) for f in sorted(os.listdir(d))
-                if f.endswith(".parquet")
-            )
+    for od in dirs:
+        P = _load_meta(od)["num_partitions"]
+        for p in sorted({_term_part(t, P) for t in terms}):
+            d = os.path.join(od, "data", "part=%d" % p)
+            if os.path.isdir(d):
+                files.extend(
+                    os.path.join(d, f) for f in sorted(os.listdir(d))
+                    if f.endswith(".parquet")
+                )
     return files
 
 
-def positions_dataset(out_dir: str, terms: list[str]) -> "ray.data.Dataset":
+def positions_dataset(out_dir, terms: list[str]) -> "ray.data.Dataset":
     """Path-pruned Dataset of the query terms' position rows: opens ONLY
     the terms' part directories (term_part_files), then filters to the
-    exact terms."""
+    exact terms. ``out_dir`` may be a store or a list of stores (base +
+    deltas; doc_ids must be disjoint across stores, which the engine's
+    update anti-join guarantees for new-url deltas)."""
     files = term_part_files(out_dir, terms)
     empty = pa.table(
         {"term": pa.array([], pa.string()),
@@ -143,7 +154,7 @@ def positions_dataset(out_dir: str, terms: list[str]) -> "ray.data.Dataset":
 
 
 def _docs_matching(
-    out_dir: str, terms: list[str], combine
+    out_dir, terms: list[str], combine
 ) -> pa.Table:
     """Shared driver: fetch the terms' rows, group per doc (k rows per
     group), apply ``combine(positions_by_term) -> bool``."""
@@ -186,9 +197,10 @@ def _docs_matching(
     return pa.table({"doc_id": pa.array(out["doc_id"].to_numpy(), pa.int64())})
 
 
-def phrase_docs(out_dir: str, terms: list[str]) -> pa.Table:
+def phrase_docs(out_dir, terms: list[str]) -> pa.Table:
     """Docs where ``terms`` occur as adjacent words in order (position
-    algebra: P1 ∩ (P2 - 1) ∩ (P3 - 2) ... nonempty) — no text rescans."""
+    algebra: P1 ∩ (P2 - 1) ∩ (P3 - 2) ... nonempty) — no text rescans.
+    ``out_dir``: a store dir or a list of them (base + deltas)."""
 
     def combine(by_term: dict) -> bool:
         cand = by_term[terms[0]]
@@ -201,8 +213,9 @@ def phrase_docs(out_dir: str, terms: list[str]) -> pa.Table:
     return _docs_matching(out_dir, terms, combine)
 
 
-def proximity_docs(out_dir: str, t1: str, t2: str, k: int) -> pa.Table:
-    """Docs where t1 and t2 occur within k token positions (unordered)."""
+def proximity_docs(out_dir, t1: str, t2: str, k: int) -> pa.Table:
+    """Docs where t1 and t2 occur within k token positions (unordered).
+    ``out_dir``: a store dir or a list of them (base + deltas)."""
     from textindex_ray.functions._util import sorted_min_gap
 
     def combine(by_term: dict) -> bool:
