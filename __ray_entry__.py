@@ -319,6 +319,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # (n_lines, kept_lines, kept_chars), all-integer SQL twin
         return dedup.paragraph_dedup_stats(docs_ds(sf_dir))
 
+    def q_paragraph_dedup_keep(sf_dir):
+        # the APPLIED transform: docs rewritten with non-first line
+        # occurrences removed (string_agg-over-kept-lines SQL twin)
+        return dedup.paragraph_dedup_keep(docs_ds(sf_dir))
+
     def q_dup_clusters(sf_dir):
         # connected components (hash-to-min) over the exact near-dup
         # pair list; cluster_id = component-min doc_id
@@ -651,6 +656,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_keep": q_dedup_keep,
         "dup_ngram_stats": q_dup_ngram,
         "paragraph_dedup_stats": q_paragraph_dedup,
+        "paragraph_dedup_keep": q_paragraph_dedup_keep,
         "doc_hybrid_rerank": D.doc_hybrid_rerank,
         # similarity search
         "embedding_knn": q_knn,
@@ -660,7 +666,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_id": q_langid,
         "gopher_rules": q_gopher_rules,
         "pack_sequences": q_pack_sequences,
-        "doc_fingerprint": q_fingerprint,
         "heavy_terms": q_heavy_terms,
         "doc_top_terms": q_top_terms,
         "term_cooccurrence": q_cooccurrence,
@@ -726,6 +731,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # verbatim (its kernel calls quality_batch directly); displaced
         # by gopher_rules
         "quality_score": q_quality,
+        # sibling-covered: the graded curate's dedup gate computes the
+        # same ws-normalized md5 fingerprint (sql[curate] inlines this
+        # oracle verbatim); displaced by paragraph_dedup_keep
+        "doc_fingerprint": q_fingerprint,
         # sibling-covered: shares _heavy_exact (MG sketch + exact
         # recount) with the graded heavy_terms and doc_top_terms — only
         # the token-pair key differs; displaced by paragraph_dedup_stats
@@ -1048,6 +1057,23 @@ SELECT doc_id,
        sum(CASE WHEN kept THEN 1 ELSE 0 END)::BIGINT AS kept_lines,
        sum(CASE WHEN kept THEN length(line) ELSE 0 END)::BIGINT AS kept_chars
 FROM flagged GROUP BY doc_id"""
+
+    # applied C4 line dedup (paragraph_dedup_keep): kept lines re-join
+    # in line order; docs with no lines (or none kept) return ''
+    sql["paragraph_dedup_keep"] = """
+WITH ls AS (SELECT doc_id, string_split(text, chr(10)) AS l
+            FROM documents WHERE text <> ''),
+lines AS (SELECT doc_id, unnest(l) AS line,
+                 unnest(generate_series(1, len(l))) AS idx FROM ls),
+flagged AS (SELECT doc_id, line, idx,
+                   (row_number() OVER (PARTITION BY line ORDER BY doc_id, idx) = 1)
+                     AS kept
+            FROM lines),
+k AS (SELECT doc_id,
+             string_agg(line, chr(10) ORDER BY idx) FILTER (WHERE kept) AS txt
+      FROM flagged GROUP BY doc_id)
+SELECT d.doc_id, coalesce(k.txt, '') AS text
+FROM documents d LEFT JOIN k USING (doc_id)"""
 
     sql["hash_split"] = """
 SELECT doc_id,

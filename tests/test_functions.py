@@ -2640,3 +2640,59 @@ def test_gopher_rules(ray_session):
     for i, bit in [(1, 1), (2, 2), (3, 4), (4, 8), (5, 16), (6, 32)]:
         assert got.fail_bits[i] & bit, (i, bit, got.fail_bits[i])
         assert got.keep[i] == 0
+
+
+def test_paragraph_dedup_keep(ray_session):
+    """The applied C4 transform matches a naive single-process oracle:
+    first (doc_id, line_idx) occurrence survives, later ones are cut,
+    every doc comes back (possibly with text='')."""
+    import ray.data
+
+    from textindex_ray.functions import dedup
+
+    docs = [
+        (1, "alpha\nbeta\nalpha"),
+        (2, "beta\ngamma"),
+        (3, ""),                    # no lines: back with ''
+        (4, "alpha\nbeta"),         # every line loses: back with ''
+        (5, "gamma\n\ndelta"),
+        (6, "\ndelta"),             # '' line lost to doc 5's
+    ]
+
+    # naive oracle
+    seen: set[str] = set()
+    want = {}
+    for d, t in docs:
+        kept = []
+        for ln in (t.split("\n") if t else []):
+            if ln not in seen:
+                seen.add(ln)
+                kept.append(ln)
+        want[d] = "\n".join(kept)
+
+    t = pa.table(
+        {"doc_id": pa.array([d for d, _ in docs], pa.int64()),
+         "text": pa.array([x for _, x in docs], pa.string())}
+    )
+    for bs in (2, 6):
+        ds = ray.data.from_arrow(t).map_batches(
+            lambda b: b, batch_format="pyarrow", batch_size=bs
+        )
+        got = (
+            dedup.paragraph_dedup_keep(ds, num_partitions=4)
+            .to_pandas().sort_values("doc_id").reset_index(drop=True)
+        )
+        assert dict(zip(got.doc_id, got.text)) == want, bs
+
+    # consistency with the graded stats op: kept char counts agree
+    stats = (
+        dedup.paragraph_dedup_stats(
+            ray.data.from_arrow(t), num_partitions=4
+        ).to_pandas().set_index("doc_id")
+    )
+    for d, txt in want.items():
+        if d in stats.index:
+            kept_lines = stats.loc[d, "kept_lines"]
+            assert len([x for x in txt.split("\n") if True]) >= 0
+            assert stats.loc[d, "kept_chars"] == sum(
+                len(x) for x in (txt.split("\n") if txt or kept_lines else []))

@@ -1813,3 +1813,130 @@ def paragraph_dedup_stats(
         .map_groups(doc_sum, batch_format="pyarrow")
         .map_batches(drop_pad, batch_format="pyarrow")
     )
+
+
+def paragraph_dedup_keep(
+    ds: "ray.data.Dataset",
+    *,
+    num_partitions: int = 32,
+) -> "ray.data.Dataset":
+    """Apply C4-style corpus-level line dedup: return (doc_id, text)
+    for EVERY input doc with all non-first line occurrences removed
+    (first = minimum (doc_id, line_idx), exactly
+    paragraph_dedup_stats' winners; remaining lines re-join with
+    '\\n'; a doc whose every line loses — or whose text was empty —
+    comes back with text='').
+
+    Plan (one co-partitioned winner flag pass + one doc join):
+    occurrences explode to (lh, key, doc_id, idx, part) rows; within
+    one lh-prefix partition the min key IS the global winner, so each
+    partition flags its kept occurrences locally — no second shuffle
+    for the winner join. A per-doc SENTINEL occurrence (lh =
+    b'\\x00'+doc_id bytes, 17 bytes — no 16-byte md5 can collide)
+    always survives, guaranteeing every doc one row so the final
+    docs join is a plain inner join. Kept indexes aggregate per doc,
+    join back to the docs table (both sides join_right-wrapped — the
+    zero-row-block hazard), and a map reconstructs the text.
+    """
+    from textindex_ray.functions._util import join_right, probe_count
+
+    out_schema = pa.table(
+        {"doc_id": pa.array([], pa.int64()),
+         "text": pa.array([], pa.string())}
+    )
+    ds, n_docs = probe_count(ds.select_columns(["doc_id", "text"]))
+    if n_docs == 0:
+        return out_schema
+    P = int(num_partitions)
+
+    def explode(batch: pa.Table) -> pa.Table:
+        lhs, keys, dids, idxs, parts = [], [], [], [], []
+        for d, t in zip(
+            batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
+        ):
+            if d < 0:
+                raise ValueError(
+                    "paragraph_dedup_keep requires non-negative doc_id")
+            # sentinel: unique hash per doc, idx 0 (real lines are
+            # 1-based), always its own winner
+            lhs.append(b"\x00" + d.to_bytes(8, "big"))
+            keys.append("%016x%016x" % (d, 0))
+            dids.append(d)
+            idxs.append(0)
+            for i, ln in enumerate(t.split("\n") if t else [], start=1):
+                lhs.append(hashlib.md5(ln.encode("utf-8")).digest())
+                keys.append("%016x%016x" % (d, i))
+                dids.append(d)
+                idxs.append(i)
+        parts = [int.from_bytes(h[:4], "big") % P for h in lhs]
+        return pa.table(
+            {"lh": pa.array(lhs, pa.binary()),
+             "key": pa.array(keys, pa.string()),
+             "doc_id": pa.array(dids, pa.int64()),
+             "idx": pa.array(idxs, pa.int64()),
+             "part": pa.array(parts, pa.int32())}
+        )
+
+    GOLD = np.uint64(0x9E3779B97F4A7C15)
+
+    def flag_kept(g: pa.Table) -> pa.Table:
+        # min key per lh within the partition == global first occurrence
+        win = g.group_by("lh").aggregate([("key", "min")])
+        wmap = dict(zip(win.column("lh").to_pylist(),
+                        win.column("key_min").to_pylist()))
+        keep = pa.array(
+            [wmap[h] == k for h, k in zip(g.column("lh").to_pylist(),
+                                          g.column("key").to_pylist())]
+        )
+        t = g.filter(keep)
+        ids = t.column("doc_id").to_numpy().astype(np.uint64)
+        dpart = ((ids * GOLD) % np.uint64(P)).astype(np.int32)
+        return pa.table(
+            {"doc_id": t.column("doc_id"), "idx": t.column("idx"),
+             "dpart": pa.array(dpart, pa.int32())}
+        )
+
+    def per_part_docs(g: pa.Table) -> pa.Table:
+        # coarse doc-hash partition, fine per-doc grouping in-task (the
+        # exact_dedup_groups shape — one Ray group per doc would pay
+        # ~0.2 ms of Python per doc)
+        t = g.sort_by([("doc_id", "ascending"), ("idx", "ascending")])
+        ids = t.column("doc_id").to_numpy()
+        idxs = t.column("idx").to_numpy()
+        starts = np.concatenate(([0], np.flatnonzero(ids[1:] != ids[:-1]) + 1))
+        ends = np.concatenate((starts[1:], [len(ids)]))
+        # flat string encoding: Acero's hash join (Dataset.join) rejects
+        # nested payload columns, so the kept-index list travels as a
+        # comma-joined ascii column and rebuild() parses it back
+        return pa.table(
+            {"doc_id": pa.array(ids[starts], pa.int64()),
+             "idxs": pa.array(
+                 [",".join(map(str, idxs[s:e])) for s, e in
+                  zip(starts, ends)], pa.string())}
+        )
+
+    kept_lists = (
+        ds.map_batches(explode, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(flag_kept, batch_format="pyarrow")
+        .groupby("dpart")
+        .map_groups(per_part_docs, batch_format="pyarrow")
+    )
+
+    def rebuild(batch: pa.Table) -> pa.Table:
+        texts = []
+        for t, enc in zip(batch.column("text").to_pylist(),
+                          batch.column("idxs").to_pylist()):
+            idxs = [int(x) for x in enc.split(",")] if enc else []
+            lines = t.split("\n") if t else []
+            texts.append("\n".join(lines[i - 1] for i in idxs if i > 0))
+        return pa.table(
+            {"doc_id": batch.column("doc_id").cast(pa.int64()),
+             "text": pa.array(texts, pa.string())}
+        )
+
+    joined = join_right(kept_lists, P).join(
+        join_right(ds, P), join_type="inner", num_partitions=P,
+        on=("doc_id",),
+    )
+    return joined.map_batches(rebuild, batch_format="pyarrow")
