@@ -290,13 +290,21 @@ def main() -> None:
     def emb_full():
         return ray.data.read_parquet(emb_path)
 
-    from textindex_ray.functions.dedup import dup_ngram_stats
+    from textindex_ray.functions.dedup import (
+        dup_ngram_stats,
+        paragraph_dedup_stats,
+    )
     from textindex_ray.functions.similarity import knn_graph_lsh
+    from textindex_ray.functions.textstats import gopher_rules, pack_sequences
     from textindex_ray.pipelines.curate import curate
 
     sections = (
         ("exact_dedup", lambda: exact_dedup_groups(docs).count()),
         ("dup_ngram", lambda: dup_ngram_stats(docs, n=8).count()),
+        ("paragraph_dedup", lambda: paragraph_dedup_stats(docs).count()),
+        ("pack_sequences", lambda: pack_sequences(docs).count()),
+        ("gopher_rules", lambda: docs.map_batches(
+            gopher_rules(), batch_format="pyarrow").count()),
         ("curate", lambda: curate(docs).count()),
         # planes_per_band sized to the corpus (bucket ~ n / 2^r; see
         # knn_graph_lsh docstring) — r=6 puts ~30 vecs/bucket at sf0.1

@@ -245,3 +245,35 @@ def test_curate_wet_export_roundtrip(ray_session, tmp_path):
     assert back["html"].str.len().gt(0).all()
     # urls are the doc_ids; payloads are the curated texts
     assert back["url"].str.isdigit().all()
+
+
+def test_warc_parser_property(ray_session):
+    """Property: any payload bytes (including embedded 'WARC/1.0',
+    CRLFs, gzip magic) round-trip through the incremental parser at
+    arbitrary chunk boundaries — framing is Content-Length-driven."""
+    import random
+
+    from textindex_ray.sources.warc import iter_warc_records
+
+    rng = random.Random(0xC0FFEE)
+    alphabet = [b"a", b"\r\n", b"WARC/1.0\r\n", b"\x1f\x8b", b"\r\n\r\n",
+                b"Content-Length: 7\r\n", b"\x00", b"zz"]
+    for trial in range(50):
+        recs = []
+        want = []
+        for i in range(rng.randint(1, 8)):
+            payload = b"".join(
+                rng.choice(alphabet) for _ in range(rng.randint(0, 30)))
+            uri = ("http://p/%d/%d" % (trial, i)).encode()
+            want.append((uri.decode(), payload))
+            recs.append(_rec(b"resource", uri, payload))
+        raw = b"".join(recs)
+        # random chunking of the byte stream
+        chunks = []
+        pos = 0
+        while pos < len(raw):
+            n = rng.randint(1, 97)
+            chunks.append(raw[pos : pos + n])
+            pos += n
+        got = list(iter_warc_records(iter(chunks)))
+        assert got == want, trial
