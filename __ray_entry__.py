@@ -269,6 +269,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
             bpe_merge_count_batch(), batch_format="pyarrow"
         )
 
+    def q_lm_perplexity(sf_dir):
+        # CCNet-style bigram-LM cross-entropy quality score, trained on
+        # the corpus itself (textstats.lm_perplexity); graded against
+        # the independent naive single-process golden
+        # (goldens.golden_lm_perplexity) — integer count rules + libm
+        # math.log + one pairwise np.sum keep the scores bit-equal
+        import ray.data
+
+        return textstats.lm_perplexity(
+            ray.data.read_parquet(
+                os.path.join(sf_dir, "documents.parquet"),
+                columns=["doc_id", "text"],
+            )
+        )
+
     def q_decontaminate(sf_dir):
         # eval-leakage gate: benchmark = the deterministic doc_id %% 37
         # subset of the same table (no external data); exact distinct-
@@ -749,6 +764,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_containment_pairs": q_containment,
         "source_cap_sample": q_source_cap,
         "bpe_merge_counts": q_bpe_merge_counts,
+        # golden-graded (naive-LM parquet oracle), past the 50-key window
+        "lm_perplexity": q_lm_perplexity,
         "minhash_lsh_pairs": q_minhash_pairs,
         "shuffle_shards": q_shuffle_shards,
         # synthetic web-corpus pipeline (rows-only; pytest-verified vs oracle)
@@ -1839,6 +1856,7 @@ def _golden_sql() -> dict[str, str]:
     for name, fname in (
         ("minhash_lsh_pairs", "minhash_lsh_pairs"),
         ("bpe_merge_counts", "bpe_merge_counts"),
+        ("lm_perplexity", "lm_perplexity"),
         ("corpus_extract_stats", "corpus_extract_stats"),
         ("corpus_bm25_topk", "corpus_bm25_topk"),
         ("corpus_find_and", "corpus_find_and"),

@@ -2696,3 +2696,102 @@ def test_paragraph_dedup_keep(ray_session):
             assert len([x for x in txt.split("\n") if True]) >= 0
             assert stats.loc[d, "kept_chars"] == sum(
                 len(x) for x in (txt.split("\n") if txt or kept_lines else []))
+
+
+def test_lm_perplexity(ray_session):
+    """Ground truth vs an inline naive bigram LM (same integer count
+    rules + math.log + pairwise np.sum), partition invariance, and the
+    vocab/unk split at a threshold that keeps only 'the' in-vocab."""
+    import math
+    from collections import Counter
+
+    import ray.data
+
+    from textindex_ray.functions.textstats import lm_perplexity
+
+    texts = [
+        "the cat sat on the mat",
+        "the cat sat",
+        "zz qqq xy",
+        "a",
+        "",
+        "the the the the",
+    ]
+    ids = list(range(len(texts)))
+    tbl = pa.table(
+        {"doc_id": pa.array(ids, pa.int64()), "text": pa.array(texts)}
+    )
+
+    def naive(vocab_min_ppm):
+        import re
+
+        word_re = re.compile(r"[^\W\d_]+")
+        toks_all = [word_re.findall(t.lower()) for t in texts]
+        cf = Counter()
+        total = 0
+        for toks in toks_all:
+            cf.update(toks)
+            total += len(toks)
+        vocab = sorted(
+            w for w, c in cf.items() if c * 1_000_000 >= total * vocab_min_ppm
+        )
+        V = len(vocab)
+        vid = {w: i for i, w in enumerate(vocab)}
+        bg, c1 = Counter(), Counter()
+        for toks in toks_all:
+            m = [vid.get(w, V) for w in toks]
+            for a, b in zip(m, m[1:]):
+                bg[(a, b)] += 1
+                c1[a] += 1
+        out = {}
+        for d, toks in zip(ids, toks_all):
+            n = len(toks)
+            if n < 2:
+                out[d] = (n, 0)
+                continue
+            m = [vid.get(w, V) for w in toks]
+            vals = np.empty(n - 1, dtype=np.float64)
+            for i, (a, b) in enumerate(zip(m, m[1:])):
+                vals[i] = math.log(bg.get((a, b), 0) + 1) - math.log(
+                    c1.get(a, 0) + V + 1
+                )
+            out[d] = (n, int(math.floor(-vals.sum() / (n - 1) * 1e6)))
+        return out
+
+    for ppm in (50_000, 200_000):  # all-in-vocab vs only-'the'-in-vocab
+        want = naive(ppm)
+        for parts in (1, 4):
+            ds = ray.data.from_arrow(tbl).repartition(parts)
+            got = (
+                lm_perplexity(ds, vocab_min_ppm=ppm, num_partitions=4)
+                .to_pandas()
+                .sort_values("doc_id")
+            )
+            have = {
+                int(r.doc_id): (int(r.n_tokens), int(r.xent_unat))
+                for r in got.itertuples()
+            }
+            assert have == want, (ppm, parts)
+
+    # fluent repetition scores lower xent than the gibberish doc
+    want = naive(50_000)
+    assert want[5][1] < want[2][1]
+
+    # all-short-docs corpus: empty bigram table path, schema preserved
+    short = pa.table(
+        {"doc_id": pa.array([0, 1], pa.int64()),
+         "text": pa.array(["a", ""])}
+    )
+    got = lm_perplexity(
+        ray.data.from_arrow(short), vocab_min_ppm=50_000
+    ).to_pandas()
+    assert list(got.sort_values("doc_id").xent_unat) == [0, 0]
+
+    # empty input: schema-preserving degenerate result
+    empty = lm_perplexity(ray.data.from_arrow(tbl.slice(0, 0)))
+    cols = (
+        empty.to_pandas().columns
+        if hasattr(empty, "to_pandas")
+        else empty.column_names
+    )
+    assert set(cols) == {"doc_id", "n_tokens", "xent_unat"}

@@ -26,6 +26,7 @@ NAMES = [
     ("corpus_snippets", "corpus_snippets"),
     ("minhash_lsh_pairs", "minhash_lsh_pairs"),
     ("bpe_merge_counts", "bpe_merge_counts"),
+    ("lm_perplexity", "lm_perplexity"),
 ]
 
 
@@ -113,6 +114,16 @@ def test_bpe_apply_property():
         for w in t.split(" "):
             wb = (" " + w).encode()  # pretokenizer space-prefix shape
             assert bpe_encode(wb, r2) == naive_bpe_apply(wb, r2)
+
+
+def test_lm_perplexity_golden_regeneration():
+    """The committed lm_perplexity golden equals a fresh run of the
+    independent naive bigram-LM oracle."""
+    from textindex_ray.goldens import golden_lm_perplexity
+
+    fresh = golden_lm_perplexity(SF_DIR)
+    committed = pq.read_table(os.path.join(GDIR, "lm_perplexity.sf0.01.parquet"))
+    assert fresh.equals(committed)
 
 
 def test_minhash_golden_regeneration():

@@ -1819,6 +1819,7 @@ def paragraph_dedup_keep(
     ds: "ray.data.Dataset",
     *,
     num_partitions: int = 32,
+    join_partitions: int = 4,
 ) -> "ray.data.Dataset":
     """Apply C4-style corpus-level line dedup: return (doc_id, text)
     for EVERY input doc with all non-first line occurrences removed
@@ -1935,8 +1936,13 @@ def paragraph_dedup_keep(
              "text": pa.array(texts, pa.string())}
         )
 
-    joined = join_right(kept_lists, P).join(
-        join_right(ds, P), join_type="inner", num_partitions=P,
+    # join_partitions is deliberately separate from num_partitions: the
+    # hash join spins num_partitions aggregator ACTORS (0.125 CPU each)
+    # and deadlocks a small session when they swallow the CPU budget —
+    # task-based groupby fan-out above has no such constraint
+    J = int(join_partitions)
+    joined = join_right(kept_lists, J).join(
+        join_right(ds, J), join_type="inner", num_partitions=J,
         on=("doc_id",),
     )
     return joined.map_batches(rebuild, batch_format="pyarrow")

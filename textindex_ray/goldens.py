@@ -285,6 +285,67 @@ def golden_bpe_merge_counts(sf_dir: str, merges_path: str | None = None) -> pa.T
 
 
 # ---------------------------------------------------------------------------
+# lm_perplexity golden (documents table, independent naive bigram LM)
+
+def golden_lm_perplexity(sf_dir: str, *, vocab_min_ppm: int = 1_000) -> pa.Table:
+    """Naive single-process twin of textstats.lm_perplexity: full-corpus
+    Counter vocabulary + bigram table, per-position Python-loop scoring.
+    Bit-equality contract with the engine: integer count rules, libm
+    ``math.log`` of exact integers per position, one np.float64
+    pairwise ``.sum()`` per doc (the engine mirrors all three)."""
+    import math
+    import re as _re
+    from collections import Counter
+
+    t = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    word_re = _re.compile(r"[^\W\d_]+")
+    ids_col = t.column("doc_id").to_pylist()
+    toks_all = [word_re.findall(x.lower()) for x in t.column("text").to_pylist()]
+    cf: Counter = Counter()
+    total = 0
+    for toks in toks_all:
+        cf.update(toks)
+        total += len(toks)
+    vocab = sorted(
+        w for w, c in cf.items() if c * 1_000_000 >= total * vocab_min_ppm
+    )
+    V = len(vocab)
+    vid = {w: i for i, w in enumerate(vocab)}
+    bg: Counter = Counter()
+    c1: Counter = Counter()
+    for toks in toks_all:
+        mapped = [vid.get(w, V) for w in toks]
+        for a, b in zip(mapped, mapped[1:]):
+            bg[(a, b)] += 1
+            c1[a] += 1
+    out_id, out_n, out_x = [], [], []
+    for did, toks in zip(ids_col, toks_all):
+        n = len(toks)
+        out_id.append(int(did))
+        out_n.append(n)
+        if n < 2:
+            out_x.append(0)
+            continue
+        mapped = [vid.get(w, V) for w in toks]
+        vals = np.empty(n - 1, dtype=np.float64)
+        for i, (a, b) in enumerate(zip(mapped, mapped[1:])):
+            vals[i] = math.log(bg.get((a, b), 0) + 1) - math.log(
+                c1.get(a, 0) + V + 1
+            )
+        h = -vals.sum() / (n - 1)
+        out_x.append(int(math.floor(h * 1e6)))
+    return pa.table(
+        {
+            "doc_id": pa.array(out_id, pa.int64()),
+            "n_tokens": pa.array(out_n, pa.int64()),
+            "xent_unat": pa.array(out_x, pa.int64()),
+        }
+    )
+
+
+# ---------------------------------------------------------------------------
 
 def generate_all(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, pa.Table]:
     oracle = _corpus_oracle()
@@ -297,6 +358,7 @@ def generate_all(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, pa.Table]:
         "corpus_snippets": golden_corpus_snippets(oracle),
         "minhash_lsh_pairs": golden_minhash_lsh_pairs(sf_dir),
         "bpe_merge_counts": golden_bpe_merge_counts(sf_dir),
+        "lm_perplexity": golden_lm_perplexity(sf_dir),
     }
 
 
