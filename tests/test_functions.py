@@ -2795,3 +2795,70 @@ def test_lm_perplexity(ray_session):
         else empty.column_names
     )
     assert set(cols) == {"doc_id", "n_tokens", "xent_unat"}
+
+
+def test_lm_train_score_cross_corpus(ray_session):
+    """The CCNet shape: a model trained on a reference slice scores a
+    different corpus; matches the naive cross computation."""
+    import math
+    from collections import Counter
+
+    import ray.data
+
+    from textindex_ray.functions.textstats import lm_score, lm_train
+
+    ref_texts = ["the cat sat on the mat", "the dog sat on the rug the end"]
+    tgt_texts = ["the cat sat", "qq zz xx", "the"]
+
+    ref = pa.table(
+        {"doc_id": pa.array([0, 1], pa.int64()),
+         "text": pa.array(ref_texts)}
+    )
+    tgt = pa.table(
+        {"doc_id": pa.array([10, 11, 12], pa.int64()),
+         "text": pa.array(tgt_texts)}
+    )
+    model = lm_train(ray.data.from_arrow(ref), vocab_min_ppm=100_000)
+    got = (
+        lm_score(ray.data.from_arrow(tgt).repartition(2), model)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+
+    # naive cross twin
+    import re
+
+    word_re = re.compile(r"[^\W\d_]+")
+    ref_toks = [word_re.findall(t.lower()) for t in ref_texts]
+    cf = Counter()
+    total = 0
+    for toks in ref_toks:
+        cf.update(toks)
+        total += len(toks)
+    vocab = sorted(w for w, c in cf.items() if c * 1_000_000 >= total * 100_000)
+    assert vocab == model["vocab"]
+    V = len(vocab)
+    vid = {w: i for i, w in enumerate(vocab)}
+    bg, c1 = Counter(), Counter()
+    for toks in ref_toks:
+        m = [vid.get(w, V) for w in toks]
+        for a, b in zip(m, m[1:]):
+            bg[(a, b)] += 1
+            c1[a] += 1
+    for row, (did, txt) in zip(got.itertuples(), [(10, tgt_texts[0]),
+                                                  (11, tgt_texts[1]),
+                                                  (12, tgt_texts[2])]):
+        toks = word_re.findall(txt.lower())
+        n = len(toks)
+        assert int(row.doc_id) == did and int(row.n_tokens) == n
+        if n < 2:
+            assert int(row.xent_unat) == 0
+            continue
+        m = [vid.get(w, V) for w in toks]
+        vals = np.empty(n - 1, dtype=np.float64)
+        for i, (a, b) in enumerate(zip(m, m[1:])):
+            vals[i] = math.log(bg.get((a, b), 0) + 1) - math.log(
+                c1.get(a, 0) + V + 1
+            )
+        assert int(row.xent_unat) == int(
+            math.floor(-vals.sum() / (n - 1) * 1e6)
+        )

@@ -1560,61 +1560,28 @@ def gopher_rules(
 # ---------------------------------------------------------------------------
 # bigram-LM perplexity (CCNet-style quality filter, Wenzek et al. 2020)
 
-def lm_perplexity(
+def lm_train(
     ds: "ray.data.Dataset",
     *,
     vocab_min_ppm: int = 1_000,
     num_partitions: int = 32,
-) -> "ray.data.Dataset":
-    """(doc_id, n_tokens, xent_unat): per-document cross-entropy under
-    an add-one-smoothed bigram language model trained on the corpus
-    itself — the CCNet-style LM quality filter (Wenzek et al. 2020;
-    CCNet scores against a Wikipedia KenLM, here the reference corpus
-    is the input corpus so the operator is self-contained and
-    deterministic). High xent flags gibberish / OCR noise / boilerplate
-    soups; low xent flags fluent, in-distribution text.
+) -> dict:
+    """Train the bounded add-one bigram LM over a (reference) corpus;
+    returns a plain picklable model dict — ``vocab`` (sorted heavy
+    terms), ``keys`` (sorted composite int64 bigram ids), ``log_num`` /
+    ``log_den`` (libm-log tables) — that :func:`lm_score` broadcasts.
+    Bounds and determinism as documented on :func:`lm_perplexity`;
+    the CCNet shape is train on a curated slice, score the raw crawl.
 
-    Model. Vocabulary = the exact corpus heavy-hitter set (terms with
-    cf/total_tokens >= vocab_min_ppm via :func:`_heavy_exact`; at most
-    1e6/vocab_min_ppm types), everything else maps to <unk> (id V).
-    p(w2|w1) = (c(w1,w2) + 1) / (c1(w1) + V + 1) with c1 the
-    left-marginal of the bigram table over the (V+1)-type mapped
-    stream.  xent_unat = floor(1e6 * -sum(ln p) / (n_tokens - 1));
-    docs with n_tokens < 2 score 0.
-
-    Determinism contract (golden-graded): per-token ln values are
-    ``math.log`` of INTEGER numerators/denominators looked up from
-    precomputed per-distinct-value log tables (never a vectorized
-    np.log, which differs from libm in the last ulp), and the per-doc
-    sum is one ``np.sum`` over the position-ordered float64 array —
-    the same pairwise reduction the independent golden generator uses,
-    so scores are bit-equal to goldens.golden_lm_perplexity.
-
-    Scale. Three streaming corpus passes (vocab sketch, vocab recount
-    + bigram partials, score). Driver/broadcast state is bounded by
-    construction: vocab <= 1e6/vocab_min_ppm types, bigram table <=
-    (V+1)^2 int64 keys (~16 MB at the default V<=1000), log tables the
-    same size; bigram partials take ONE coarse hash(key) % P shuffle of
-    pre-combined per-batch counts. Nothing scales with corpus size on
-    the driver.
+    Consumes ``ds`` three times (vocab sketch, vocab recount, bigram
+    partials): pass a re-readable or materialized dataset.
     """
     import math
     from collections import Counter
 
     import ray
 
-    from textindex_ray.functions._util import probe_count
-
     P = int(num_partitions)
-    ds, n_docs = probe_count(ds)
-    if n_docs == 0:
-        return pa.table(
-            {
-                "doc_id": pa.array([], pa.int64()),
-                "n_tokens": pa.array([], pa.int64()),
-                "xent_unat": pa.array([], pa.int64()),
-            }
-        )
 
     vocab_tbl = _heavy_exact(ds, "term", _tokens, int(vocab_min_ppm))
     vocab = vocab_tbl.column("term").to_pylist()  # sorted by _heavy_exact
@@ -1674,11 +1641,31 @@ def lm_perplexity(
     log_den = np.array(
         [math.log(int(x) + V + 1) for x in c1], dtype=np.float64
     )
-    model_ref = ray.put((keys, log_num, log_den))
+    return {
+        "vocab": vocab,
+        "keys": keys,
+        "log_num": log_num,
+        "log_den": log_den,
+    }
+
+
+def lm_score(ds: "ray.data.Dataset", model: dict) -> "ray.data.Dataset":
+    """Score any corpus under a :func:`lm_train` model — the
+    cross-corpus half of the CCNet filter (model from a reference
+    slice, scores over the raw crawl). One stateless streaming pass;
+    the model is broadcast once via ray.put. Output and determinism
+    contract identical to :func:`lm_perplexity`."""
+    import math
+
+    import ray
+
+    vocab = model["vocab"]
+    V = len(vocab)
+    vid = {w: i for i, w in enumerate(vocab)}
+    bcast = ray.put((vid, model["keys"], model["log_num"], model["log_den"]))
 
     def score(batch: pa.Table) -> pa.Table:
-        m = ray.get(vid_ref)
-        skeys, slog_num, slog_den = ray.get(model_ref)
+        m, skeys, slog_num, slog_den = ray.get(bcast)
         out_n, out_x = [], []
         for t in batch.column("text").to_pylist():
             toks = _tokens(t)
@@ -1708,3 +1695,59 @@ def lm_perplexity(
         )
 
     return ds.map_batches(score, batch_format="pyarrow")
+
+
+def lm_perplexity(
+    ds: "ray.data.Dataset",
+    *,
+    vocab_min_ppm: int = 1_000,
+    num_partitions: int = 32,
+) -> "ray.data.Dataset":
+    """(doc_id, n_tokens, xent_unat): per-document cross-entropy under
+    an add-one-smoothed bigram language model trained on the corpus
+    itself — the CCNet-style LM quality filter (Wenzek et al. 2020;
+    CCNet scores against a Wikipedia KenLM; :func:`lm_train` +
+    :func:`lm_score` give that cross-corpus form, this convenience
+    composition self-trains so the operator is self-contained and
+    deterministic). High xent flags gibberish / OCR noise / boilerplate
+    soups; low xent flags fluent, in-distribution text.
+
+    Model. Vocabulary = the exact corpus heavy-hitter set (terms with
+    cf/total_tokens >= vocab_min_ppm via :func:`_heavy_exact`; at most
+    1e6/vocab_min_ppm types), everything else maps to <unk> (id V).
+    p(w2|w1) = (c(w1,w2) + 1) / (c1(w1) + V + 1) with c1 the
+    left-marginal of the bigram table over the (V+1)-type mapped
+    stream.  xent_unat = floor(1e6 * -sum(ln p) / (n_tokens - 1));
+    docs with n_tokens < 2 score 0.
+
+    Determinism contract (golden-graded): per-token ln values are
+    ``math.log`` of INTEGER numerators/denominators looked up from
+    precomputed per-distinct-value log tables (never a vectorized
+    np.log, which differs from libm in the last ulp), and the per-doc
+    sum is one ``np.sum`` over the position-ordered float64 array —
+    the same pairwise reduction the independent golden generator uses,
+    so scores are bit-equal to goldens.golden_lm_perplexity.
+
+    Scale. Three streaming corpus passes (vocab sketch, vocab recount
+    + bigram partials, score). Driver/broadcast state is bounded by
+    construction: vocab <= 1e6/vocab_min_ppm types, bigram table <=
+    (V+1)^2 int64 keys (~16 MB at the default V<=1000), log tables the
+    same size; bigram partials take ONE coarse hash(key) % P shuffle of
+    pre-combined per-batch counts. Nothing scales with corpus size on
+    the driver.
+    """
+    from textindex_ray.functions._util import probe_count
+
+    ds, n_docs = probe_count(ds)
+    if n_docs == 0:
+        return pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "n_tokens": pa.array([], pa.int64()),
+                "xent_unat": pa.array([], pa.int64()),
+            }
+        )
+    model = lm_train(
+        ds, vocab_min_ppm=vocab_min_ppm, num_partitions=num_partitions
+    )
+    return lm_score(ds, model)
