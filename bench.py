@@ -295,7 +295,11 @@ def main() -> None:
         paragraph_dedup_stats,
     )
     from textindex_ray.functions.similarity import knn_graph_lsh
-    from textindex_ray.functions.textstats import gopher_rules, pack_sequences
+    from textindex_ray.functions.textstats import (
+        gopher_rules,
+        lm_perplexity,
+        pack_sequences,
+    )
     from textindex_ray.pipelines.curate import curate
 
     sections = (
@@ -303,6 +307,7 @@ def main() -> None:
         ("dup_ngram", lambda: dup_ngram_stats(docs, n=8).count()),
         ("paragraph_dedup", lambda: paragraph_dedup_stats(docs).count()),
         ("pack_sequences", lambda: pack_sequences(docs).count()),
+        ("lm_perplexity", lambda: lm_perplexity(docs).count()),
         ("gopher_rules", lambda: docs.map_batches(
             gopher_rules(), batch_format="pyarrow").count()),
         ("curate", lambda: curate(docs).count()),
