@@ -22,7 +22,6 @@ build's resume contract).
 from __future__ import annotations
 
 import argparse
-import hashlib
 import json
 import os
 import sys
@@ -104,12 +103,10 @@ def main(argv=None) -> int:
 
     S = args.shards
 
+    from textindex_ray.functions._util import export_shard
+
     def add_shard(b: pa.Table) -> pa.Table:
-        ids = b.column("doc_id").to_pylist()
-        sh = [
-            int(hashlib.md5(str(i).encode("ascii")).hexdigest()[:8], 16) % S
-            for i in ids
-        ]
+        sh = export_shard(b.column("doc_id").to_pylist(), S)
         return b.append_column("shard", pa.array(sh, pa.int64()))
 
     data_dir = os.path.join(args.out, "data")

@@ -24,7 +24,6 @@ The output feeds every documents-table operator directly:
 from __future__ import annotations
 
 import argparse
-import hashlib
 import json
 import os
 import sys
@@ -64,6 +63,7 @@ def main(argv=None) -> int:
 
     import pyarrow as pa
 
+    from textindex_ray.functions._util import export_shard
     from textindex_ray.pipelines.ingest import ingest_corpus
 
     docs = ingest_corpus(
@@ -74,11 +74,7 @@ def main(argv=None) -> int:
     S = args.shards
 
     def add_shard(b: pa.Table) -> pa.Table:
-        ids = b.column("doc_id").to_pylist()
-        sh = [
-            int(hashlib.md5(str(i).encode("ascii")).hexdigest()[:8], 16) % S
-            for i in ids
-        ]
+        sh = export_shard(b.column("doc_id").to_pylist(), S)
         return b.append_column("shard", pa.array(sh, pa.int64()))
 
     data_dir = os.path.join(args.out, "data")

@@ -153,3 +153,61 @@ def test_ingest_cli_resumable(ray_session, tmp_path):
     with pytest.raises(SystemExit, match="different parameters"):
         main(["--in", str(src), "--format", "parquet",
               "--out", out, "--shards", "8"])
+
+
+def test_url_doc_id_sql_twin():
+    """url_doc_id's DuckDB twin (docstring contract) is bit-identical."""
+    import duckdb
+
+    con = duckdb.connect()
+    for u in ("http://a.example.com/page", "http://h/p?q=1#f", "", "x",
+              "http://ümlaut.example/é"):
+        got = con.sql(
+            "SELECT (('0x' || substr(md5(?),1,16))::UBIGINT >> 1)::BIGINT",
+            params=[u],
+        ).fetchone()[0]
+        assert got == url_doc_id(u), u
+
+
+def test_ingest_dedup_urls(ray_session, tmp_path):
+    """Duplicate captures of one url collapse keep-one (deterministic
+    lexicographic winner); dedup_urls=False keeps both; empty corpus
+    keeps the schema."""
+    import ray.data
+
+    src = tmp_path / "src"
+    src.mkdir()
+    pq.write_table(
+        pa.table({
+            "url": pa.array(["http://h/a", "http://h/a", "http://h/b"]),
+            "html": pa.array(
+                [b"recrawl words here", b"original words here", b"other"],
+                pa.binary(),
+            ),
+        }),
+        src / "p.parquet",
+    )
+    dd = (
+        ingest_corpus(str(src), input_format="parquet")
+        .to_pandas().sort_values("url").reset_index(drop=True)
+    )
+    assert list(dd["url"]) == ["http://h/a", "http://h/b"]
+    # lexicographic winner among the two texts for http://h/a
+    assert dd.loc[0, "text"] == "original words here"
+
+    raw = ingest_corpus(str(src), input_format="parquet", dedup_urls=False)
+    assert raw.count() == 3
+
+    # empty corpus: schema-preserving empty Dataset
+    empty_src = tmp_path / "empty"
+    empty_src.mkdir()
+    pq.write_table(
+        pa.table({"url": pa.array([], pa.string()),
+                  "html": pa.array([], pa.binary())}),
+        empty_src / "p.parquet",
+    )
+    e = ingest_corpus(str(empty_src), input_format="parquet")
+    assert e.count() == 0
+    assert set(e.schema().names) == {
+        "doc_id", "url", "text", "lang", "source", "n_chars"
+    }

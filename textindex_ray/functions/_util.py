@@ -104,3 +104,40 @@ def sorted_min_gap(a, b) -> int:
     hi = j < b.size
     best[hi] = np.minimum(best[hi], b[j[hi]] - a[hi])
     return int(best.min())
+
+
+def default_join_partitions(floor: int = 4, cap: int = 64) -> int:
+    """CPU-scaled default for Dataset.join ``num_partitions``.
+
+    The hash-shuffle join spawns ``num_partitions`` aggregator ACTORS
+    (0.125 CPU each on 2.49): too many starves a small session's CPU
+    budget (the documented P=32 deadlock on 4 CPUs), too few squeezes
+    the joined relation into a handful of giant blocks at cluster
+    scale. cluster_CPUs // 4 keeps the aggregator pool a small
+    fraction of the budget at every size; bounded to [floor, cap].
+    """
+    try:
+        import ray
+
+        cpus = int(ray.cluster_resources().get("CPU", floor * 4))
+    except Exception:
+        cpus = floor * 4
+    return max(floor, min(cap, cpus // 4))
+
+
+def export_shard(ids, num_shards: int):
+    """The cross-job export-shard rule: md5 of the DECIMAL doc_id
+    string, first 8 hex digits, mod num_shards. One definition shared
+    by jobs/ingest.py, jobs/curate.py and textstats.shuffle_shards so
+    exports stay resume-compatible across jobs.
+
+    DuckDB twin: ``('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT
+    % num_shards``.
+    """
+    import hashlib
+
+    md5 = hashlib.md5
+    return [
+        int(md5(str(int(i)).encode("ascii")).hexdigest()[:8], 16) % num_shards
+        for i in ids
+    ]

@@ -1819,7 +1819,7 @@ def paragraph_dedup_keep(
     ds: "ray.data.Dataset",
     *,
     num_partitions: int = 32,
-    join_partitions: int = 4,
+    join_partitions: int | None = None,
 ) -> "ray.data.Dataset":
     """Apply C4-style corpus-level line dedup: return (doc_id, text)
     for EVERY input doc with all non-first line occurrences removed
@@ -1939,8 +1939,12 @@ def paragraph_dedup_keep(
     # join_partitions is deliberately separate from num_partitions: the
     # hash join spins num_partitions aggregator ACTORS (0.125 CPU each)
     # and deadlocks a small session when they swallow the CPU budget —
-    # task-based groupby fan-out above has no such constraint
-    J = int(join_partitions)
+    # task-based groupby fan-out above has no such constraint. Default
+    # scales with cluster CPUs (floor 4) so the joined relation is not
+    # squeezed into a handful of giant blocks on a big cluster.
+    from textindex_ray.functions._util import default_join_partitions
+
+    J = int(join_partitions) if join_partitions else default_join_partitions()
     joined = join_right(kept_lists, J).join(
         join_right(ds, J), join_type="inner", num_partitions=J,
         on=("doc_id",),
