@@ -211,3 +211,30 @@ def test_ingest_dedup_urls(ray_session, tmp_path):
     assert set(e.schema().names) == {
         "doc_id", "url", "text", "lang", "source", "n_chars"
     }
+
+
+def test_util_shared_helpers(ray_session):
+    """export_shard matches its DuckDB twin; default_join_partitions
+    stays within [floor, cap] and small on a small session."""
+    import duckdb
+
+    from textindex_ray.functions._util import (
+        default_join_partitions,
+        export_shard,
+    )
+
+    ids = [0, 1, 17, 123456789, 2**62]
+    got = export_shard(ids, 16)
+    con = duckdb.connect()
+    for i, s in zip(ids, got):
+        want = con.sql(
+            "SELECT ('0x' || substr(md5(?::VARCHAR),1,8))::BIGINT % 16",
+            params=[i],
+        ).fetchone()[0]
+        assert s == want, i
+
+    j = default_join_partitions()
+    assert 4 <= j <= 64
+    # the 4-CPU test session must stay at the floor (aggregator-actor
+    # CPU-budget trap)
+    assert j == 4
