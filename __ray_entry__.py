@@ -328,6 +328,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # cross-doc df >= 2; all-integer, exact SQL twin
         return dedup.dup_ngram_stats(docs_ds(sf_dir), n=8)
 
+    def q_dup_ngram_remove(sf_dir):
+        # APPLIED exact-substring dedup (Lee et al. 2022): every
+        # duplicated 8-gram occurrence past the global first loses its
+        # covered token slots; kept_text is the surviving token stream.
+        # Deterministic winners + integer counts -> exact SQL twin
+        return dedup.dup_ngram_remove(docs_ds(sf_dir), n=8)
+
     def q_paragraph_dedup(sf_dir):
         # C4/Dolma-style corpus-level line dedup: every line survives
         # only at its first (doc_id, line_idx) occurrence; per-doc
@@ -670,7 +677,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tf_cosine_pairs": q_tf_cosine,
         "dedup_keep": q_dedup_keep,
         "dup_ngram_stats": q_dup_ngram,
-        "paragraph_dedup_stats": q_paragraph_dedup,
+        "dup_ngram_remove": q_dup_ngram_remove,
         "paragraph_dedup_keep": q_paragraph_dedup_keep,
         "doc_hybrid_rerank": D.doc_hybrid_rerank,
         # similarity search
@@ -758,6 +765,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # internally over the same pair list, so the cluster relation
         # stays exercised in-window; this standalone key is sweep-checked
         "dup_clusters": q_dup_clusters,
+        # sibling-covered: the in-window paragraph_dedup_keep computes the
+        # same line winners (its kept set IS the stats op's winner set);
+        # displaced by dup_ngram_remove, sweep-checked here
+        "paragraph_dedup_stats": q_paragraph_dedup,
         # sibling-covered: shares the full shingle-inverted-index plan
         # with the graded ngram_jaccard_pairs (only the ppm denominator
         # differs: min-size containment vs union Jaccard); sweep-checked
@@ -1034,6 +1045,46 @@ SELECT d.doc_id,
        CASE WHEN coalesce(p.n_total, 0) > 0
             THEN (p.n_dup * 1000000) // p.n_total ELSE 0 END::BIGINT AS dup_ppm
 FROM documents d LEFT JOIN per p USING (doc_id)"""
+
+    # applied exact-substring dedup (dup_ngram_remove): global winner =
+    # row_number over (doc_id, i) per gram; a token slot is removed iff
+    # a losing occurrence covers it (BETWEEN join); kept_text is the
+    # surviving token stream in position order
+    sql["dup_ngram_remove"] = """
+WITH toks AS (SELECT doc_id, regexp_extract_all(lower(text), '\\pL+') AS ts
+              FROM documents),
+tok AS (SELECT doc_id, i, ts[i] AS tok
+        FROM toks, UNNEST(range(1, len(ts) + 1)) AS t(i)),
+grams AS (
+  SELECT doc_id, i, array_to_string(ts[i : i+7], ' ') AS g
+  FROM toks, UNNEST(range(1, CASE WHEN len(ts) >= 8 THEN len(ts)-6
+                                  ELSE 1 END)) AS t(i)
+),
+ranked AS (SELECT doc_id, i,
+                  row_number() OVER (PARTITION BY g ORDER BY doc_id, i) AS rn
+           FROM grams),
+losers AS (SELECT doc_id, i FROM ranked WHERE rn > 1),
+removed AS (
+  SELECT DISTINCT t.doc_id, t.i
+  FROM tok t JOIN losers l
+    ON t.doc_id = l.doc_id AND t.i BETWEEN l.i AND l.i + 7
+),
+kept AS (
+  SELECT t.doc_id, t.i, t.tok FROM tok t
+  WHERE NOT EXISTS (SELECT 1 FROM removed r
+                    WHERE r.doc_id = t.doc_id AND r.i = t.i)
+),
+agg_r AS (SELECT doc_id, count(*)::BIGINT AS n_removed
+          FROM removed GROUP BY doc_id),
+agg_k AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY i) AS kt
+          FROM kept GROUP BY doc_id)
+SELECT s.doc_id,
+       len(s.ts)::BIGINT AS n_tokens,
+       coalesce(r.n_removed, 0)::BIGINT AS n_removed,
+       coalesce(k.kt, '') AS kept_text
+FROM toks s
+LEFT JOIN agg_r r USING (doc_id)
+LEFT JOIN agg_k k USING (doc_id)"""
 
     # sequence packing (pack_sequences): exclusive window cumsum over
     # doc_id order = the distributed prefix-sum's oracle; seq_len=256

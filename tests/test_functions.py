@@ -2862,3 +2862,66 @@ def test_lm_train_score_cross_corpus(ray_session):
         assert int(row.xent_unat) == int(
             math.floor(-vals.sum() / (n - 1) * 1e6)
         )
+
+
+def test_dup_ngram_remove(ray_session):
+    """Applied exact-substring dedup matches a naive single-process
+    oracle (global first occurrence wins, covered slots removed) at
+    n=3, across partitionings; short/empty docs come back whole."""
+    import re
+    import ray.data
+
+    from textindex_ray.functions import dedup
+
+    docs = [
+        (1, "a b c d e a b c d e x"),   # internal dup: tail removed
+        (2, "a b c d e f g"),           # loses its prefix to doc 1
+        (3, "zz"),                      # < n tokens: kept whole
+        (4, ""),                        # empty
+        (5, "c d e a b"),               # "c d e" at (5,1) loses to (1,3)
+    ]
+    word_re = re.compile(r"[^\W\d_]+")
+    N = 3
+
+    # naive oracle
+    occ: dict = {}
+    toks_of = {d: word_re.findall(t.lower()) for d, t in docs}
+    for d in sorted(toks_of):
+        toks = toks_of[d]
+        for i in range(len(toks) - N + 1):
+            occ.setdefault(" ".join(toks[i:i + N]), []).append((d, i))
+    want = {}
+    removed_of = {d: set() for d, _ in docs}
+    for g, lst in occ.items():
+        for d, i in sorted(lst)[1:]:
+            removed_of[d].update(range(i, i + N))
+    for d, _ in docs:
+        toks = toks_of[d]
+        rm = {i for i in removed_of[d] if i < len(toks)}
+        want[d] = (
+            len(toks), len(rm),
+            " ".join(t for i, t in enumerate(toks) if i not in rm),
+        )
+
+    t = pa.table(
+        {"doc_id": pa.array([d for d, _ in docs], pa.int64()),
+         "text": pa.array([x for _, x in docs], pa.string())}
+    )
+    for parts in (1, 3):
+        ds = ray.data.from_arrow(t).repartition(parts)
+        got = (
+            dedup.dup_ngram_remove(ds, n=N, num_partitions=4,
+                                   join_partitions=4)
+            .to_pandas().sort_values("doc_id").reset_index(drop=True)
+        )
+        have = {
+            int(r.doc_id): (int(r.n_tokens), int(r.n_removed), r.kept_text)
+            for r in got.itertuples()
+        }
+        assert have == want, parts
+
+    # hand-checked values for the canonical example
+    assert want[1] == (11, 5, "a b c d e x")
+    assert want[2] == (7, 5, "f g")
+    assert want[3] == (1, 0, "zz")
+    assert want[4] == (0, 0, "")

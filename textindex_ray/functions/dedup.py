@@ -1950,3 +1950,180 @@ def paragraph_dedup_keep(
         on=("doc_id",),
     )
     return joined.map_batches(rebuild, batch_format="pyarrow")
+
+
+def dup_ngram_remove(
+    ds: "ray.data.Dataset",
+    *,
+    n: int = 8,
+    num_partitions: int = 32,
+    join_partitions: int | None = None,
+) -> "ray.data.Dataset":
+    """Apply exact-substring dedup at token-n-gram granularity (the
+    applied transform behind Lee et al. 2022, as
+    :func:`paragraph_dedup_keep` is to C4 line dedup): for every
+    duplicated n-gram occurrence that is NOT the global first
+    occurrence (minimum (doc_id, position) over the whole corpus), all
+    n covered token slots are removed; a token survives iff no losing
+    occurrence covers it. Output (doc_id, n_tokens, n_removed,
+    kept_text) for EVERY input doc — kept_text is the surviving
+    lowercase token stream space-joined (token semantics identical to
+    :func:`dup_ngram_stats`; docs with fewer than ``n`` tokens keep
+    everything). All-integer counts + deterministic winners, so the
+    SQL oracle (token index CTE + gram row_number + coverage BETWEEN
+    join) matches bit-for-bit.
+
+    Plan (two coarse shuffles + one doc join, no driver state): all
+    gram OCCURRENCES explode to (g, doc_id, pos, part=crc32(g) % P)
+    rows — a gram lives wholly in one partition, so the partition-min
+    (doc_id, pos) IS the global winner; each partition emits its
+    LOSING positions pre-aggregated to one row per doc (comma-joined
+    ascii, the paragraph_dedup_keep flat encoding — Acero joins reject
+    nested payloads); a doc-hash groupby concatenates partition
+    partials; the docs join (both sides join_right-wrapped, CPU-scaled
+    ``join_partitions``) feeds a vectorized interval-coverage rebuild
+    (difference array + cumsum over token slots). A per-doc SENTINEL
+    row (part = P, pos = -1) guarantees every doc one losers row so
+    the final join is a plain inner join. Exact byte grams travel the
+    exchange (a hash collision would merge two grams' winner chains
+    and break oracle identity).
+    """
+    import zlib
+
+    from textindex_ray.functions._util import (
+        default_join_partitions,
+        join_right,
+        probe_count,
+    )
+    from textindex_ray.functions.textstats import _tokens
+
+    out_schema = pa.table(
+        {"doc_id": pa.array([], pa.int64()),
+         "n_tokens": pa.array([], pa.int64()),
+         "n_removed": pa.array([], pa.int64()),
+         "kept_text": pa.array([], pa.string())}
+    )
+    ds, n_docs = probe_count(ds.select_columns(["doc_id", "text"]))
+    if n_docs == 0:
+        return out_schema
+    P = int(num_partitions)
+    N = int(n)
+    GOLD = np.uint64(0x9E3779B97F4A7C15)
+
+    def explode(batch: pa.Table) -> pa.Table:
+        out_g, out_d, out_i, out_p = [], [], [], []
+        for d, t in zip(
+            batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
+        ):
+            if d < 0:
+                raise ValueError("dup_ngram_remove requires non-negative doc_id")
+            # sentinel: every doc must emit one losers row (pos = -1)
+            out_g.append(b"\x00" + d.to_bytes(8, "big"))
+            out_d.append(d)
+            out_i.append(-1)
+            out_p.append(P)
+            toks = _tokens(t)
+            for i in range(len(toks) - N + 1):
+                g = " ".join(toks[i : i + N]).encode("utf-8")
+                out_g.append(g)
+                out_d.append(d)
+                out_i.append(i)
+                out_p.append(zlib.crc32(g) % P)
+        return pa.table(
+            {"g": pa.array(out_g, pa.binary()),
+             "doc_id": pa.array(out_d, pa.int64()),
+             "pos": pa.array(out_i, pa.int64()),
+             "part": pa.array(out_p, pa.int32())}
+        )
+
+    def part_losers(g: pa.Table) -> pa.Table:
+        # partition-min (doc_id, pos) per gram == global winner
+        t = g.sort_by([("g", "ascending"), ("doc_id", "ascending"),
+                       ("pos", "ascending")])
+        ids = t.column("doc_id").to_numpy()
+        poss = t.column("pos").to_numpy()
+        gs = t.column("g")
+        if int(t.column("part")[0].as_py()) == P:
+            # sentinel partition: every row is its own (pad) loser row
+            lose_ids, lose_pos = ids, poss
+        else:
+            gcodes = gs.combine_chunks().dictionary_encode().indices.to_numpy()
+            first = np.concatenate(([True], gcodes[1:] != gcodes[:-1]))
+            lose_ids, lose_pos = ids[~first], poss[~first]
+        # pre-aggregate: one row per doc per partition
+        order = np.lexsort((lose_pos, lose_ids))
+        lose_ids, lose_pos = lose_ids[order], lose_pos[order]
+        starts = np.concatenate(
+            ([0], np.flatnonzero(lose_ids[1:] != lose_ids[:-1]) + 1)
+        ) if len(lose_ids) else np.array([], np.int64)
+        ends = np.concatenate((starts[1:], [len(lose_ids)])) if len(
+            lose_ids) else np.array([], np.int64)
+        d_out = lose_ids[starts.astype(np.int64)] if len(lose_ids) else lose_ids
+        enc = [
+            ",".join(map(str, lose_pos[s:e]))
+            for s, e in zip(starts, ends)
+        ]
+        dpart = ((d_out.astype(np.uint64) * GOLD) % np.uint64(P)).astype(np.int32)
+        return pa.table(
+            {"doc_id": pa.array(d_out.astype(np.int64), pa.int64()),
+             "poss": pa.array(enc, pa.string()),
+             "dpart": pa.array(dpart, pa.int32())}
+        )
+
+    def per_doc(g: pa.Table) -> pa.Table:
+        t = g.sort_by([("doc_id", "ascending"), ("poss", "ascending")])
+        ids = t.column("doc_id").to_numpy()
+        enc = t.column("poss").to_pylist()
+        starts = np.concatenate(([0], np.flatnonzero(ids[1:] != ids[:-1]) + 1))
+        ends = np.concatenate((starts[1:], [len(ids)]))
+        return pa.table(
+            {"doc_id": pa.array(ids[starts].astype(np.int64), pa.int64()),
+             "poss": pa.array(
+                 [",".join(enc[s:e]) for s, e in zip(starts, ends)],
+                 pa.string())}
+        )
+
+    losers = (
+        ds.map_batches(explode, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(part_losers, batch_format="pyarrow")
+        .groupby("dpart")
+        .map_groups(per_doc, batch_format="pyarrow")
+    )
+
+    def rebuild(batch: pa.Table) -> pa.Table:
+        out_nt, out_nr, out_text = [], [], []
+        for t, enc in zip(batch.column("text").to_pylist(),
+                          batch.column("poss").to_pylist()):
+            toks = _tokens(t)
+            m = len(toks)
+            poss = np.array(
+                [int(x) for x in enc.split(",") if x and x != "-1"],
+                dtype=np.int64,
+            )
+            out_nt.append(m)
+            if m == 0 or poss.size == 0:
+                out_nr.append(0)
+                out_text.append(" ".join(toks))
+                continue
+            cover = np.zeros(m + 1, dtype=np.int64)
+            np.add.at(cover, poss, 1)
+            np.add.at(cover, np.minimum(poss + N, m), -1)
+            removed = np.cumsum(cover[:m]) > 0
+            out_nr.append(int(removed.sum()))
+            out_text.append(
+                " ".join(tok for tok, r in zip(toks, removed) if not r)
+            )
+        return pa.table(
+            {"doc_id": batch.column("doc_id").cast(pa.int64()),
+             "n_tokens": pa.array(out_nt, pa.int64()),
+             "n_removed": pa.array(out_nr, pa.int64()),
+             "kept_text": pa.array(out_text, pa.string())}
+        )
+
+    J = int(join_partitions) if join_partitions else default_join_partitions()
+    joined = join_right(losers, J).join(
+        join_right(ds, J), join_type="inner", num_partitions=J,
+        on=("doc_id",),
+    )
+    return joined.map_batches(rebuild, batch_format="pyarrow")
