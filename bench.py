@@ -291,6 +291,7 @@ def main() -> None:
         return ray.data.read_parquet(emb_path)
 
     from textindex_ray.functions.dedup import (
+        dup_ngram_remove,
         dup_ngram_stats,
         paragraph_dedup_stats,
     )
@@ -305,6 +306,7 @@ def main() -> None:
     sections = (
         ("exact_dedup", lambda: exact_dedup_groups(docs).count()),
         ("dup_ngram", lambda: dup_ngram_stats(docs, n=8).count()),
+        ("dup_ngram_remove", lambda: dup_ngram_remove(docs, n=8).count()),
         ("paragraph_dedup", lambda: paragraph_dedup_stats(docs).count()),
         ("pack_sequences", lambda: pack_sequences(docs).count()),
         ("lm_perplexity", lambda: lm_perplexity(docs).count()),
