@@ -269,6 +269,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
             bpe_merge_count_batch(), batch_format="pyarrow"
         )
 
+    def q_centroid_outlier(sf_dir):
+        # corpus-centroid cosine quality score over the integer
+        # feature-hash vectors (model-based outlier-filter analog);
+        # integer partials + the tf_cosine one-float-step recipe
+        return textstats.centroid_outlier(docs_ds(sf_dir), d=16)
+
     def q_lm_perplexity(sf_dir):
         # CCNet-style bigram-LM cross-entropy quality score, trained on
         # the corpus itself (textstats.lm_perplexity); graded against
@@ -769,6 +775,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # same line winners (its kept set IS the stats op's winner set);
         # displaced by dup_ngram_remove, sweep-checked here
         "paragraph_dedup_stats": q_paragraph_dedup,
+        # corpus-centroid outlier score (model-based-filter analog);
+        # sweep-checked SQL twin past the window
+        "centroid_outlier": q_centroid_outlier,
         # sibling-covered: shares the full shingle-inverted-index plan
         # with the graded ngram_jaccard_pairs (only the ppm denominator
         # differs: min-size containment vs union Jaccard); sweep-checked
@@ -1360,6 +1369,31 @@ proj AS (SELECT doc_id,
 SELECT doc_id, dim, sum(v)::BIGINT AS val
 FROM proj GROUP BY doc_id, dim HAVING sum(v) <> 0
 ORDER BY doc_id, dim"""
+
+    # corpus-centroid outlier score: the embed_docs projection summed
+    # per doc and corpus-wide (integer, order-free), scored with the
+    # tf_cosine floor(dot*1e6/sqrt(n2v*n2S)) one-float-step recipe
+    sql["centroid_outlier"] = r"""
+WITH toks AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '\pL+')) AS w
+              FROM documents),
+tf AS (SELECT doc_id, w, count(*)::BIGINT AS c FROM toks GROUP BY doc_id, w),
+proj AS (SELECT doc_id,
+                ('0x' || substr(md5(w), 1, 8))::BIGINT % 16 AS dim,
+                CASE WHEN ('0x' || substr(md5(w), 9, 1))::BIGINT % 2 = 0
+                     THEN c ELSE -c END AS v
+         FROM tf),
+vec AS (SELECT doc_id, dim, sum(v)::BIGINT AS val FROM proj GROUP BY doc_id, dim),
+cent AS (SELECT dim, sum(val)::BIGINT AS s FROM vec GROUP BY dim),
+n2s AS (SELECT sum(s * s)::BIGINT AS n2 FROM cent),
+dots AS (SELECT v.doc_id,
+                sum(v.val * c.s)::BIGINT AS dot,
+                sum(v.val * v.val)::BIGINT AS n2v
+         FROM vec v JOIN cent c USING (dim) GROUP BY v.doc_id)
+SELECT d.doc_id,
+       CASE WHEN coalesce(t.n2v, 0) = 0 OR n2s.n2 = 0 THEN 0
+            ELSE floor(t.dot * 1000000.0 / sqrt(t.n2v * n2s.n2)) END::BIGINT
+         AS cos_ppm
+FROM documents d LEFT JOIN dots t USING (doc_id), n2s"""
 
     # BPE-ish pretokenizer counts: the regex is RE2/re-portable by
     # construction (textstats.BPE_PRETOKEN_RE) - verified match-for-match

