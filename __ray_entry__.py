@@ -269,6 +269,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
             bpe_merge_count_batch(), batch_format="pyarrow"
         )
 
+    def q_fuzzy_terms(sf_dir):
+        # spell-tolerant vocabulary probe: corpus terms within edit
+        # distance 1 of the misspelling "scal" (kernel/fuzzy.py capped
+        # banded DP == DuckDB levenshtein, property-tested)
+        return textstats.fuzzy_term_matches(docs_ds(sf_dir), "scal",
+                                            max_dist=1)
+
     def q_centroid_outlier(sf_dir):
         # corpus-centroid cosine quality score over the integer
         # feature-hash vectors (model-based outlier-filter analog);
@@ -778,6 +785,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # corpus-centroid outlier score (model-based-filter analog);
         # sweep-checked SQL twin past the window
         "centroid_outlier": q_centroid_outlier,
+        # fuzzy vocabulary probe; sweep-checked SQL twin past the window
+        "fuzzy_terms": q_fuzzy_terms,
         # sibling-covered: shares the full shingle-inverted-index plan
         # with the graded ngram_jaccard_pairs (only the ppm denominator
         # differs: min-size containment vs union Jaccard); sweep-checked
@@ -1369,6 +1378,16 @@ proj AS (SELECT doc_id,
 SELECT doc_id, dim, sum(v)::BIGINT AS val
 FROM proj GROUP BY doc_id, dim HAVING sum(v) <> 0
 ORDER BY doc_id, dim"""
+
+    # fuzzy vocabulary probe: DuckDB levenshtein is the same unit-cost
+    # edit distance as kernel/fuzzy.edit_distance_capped (no
+    # transposition; property-tested equivalent)
+    sql["fuzzy_terms"] = r"""
+WITH toks AS (SELECT DISTINCT doc_id,
+                     unnest(regexp_extract_all(lower(text), '\pL+')) AS w
+              FROM documents),
+df AS (SELECT w AS term, count(*)::BIGINT AS df FROM toks GROUP BY w)
+SELECT term, df FROM df WHERE levenshtein(term, 'scal') <= 1"""
 
     # corpus-centroid outlier score: the embed_docs projection summed
     # per doc and corpus-wide (integer, order-free), scored with the

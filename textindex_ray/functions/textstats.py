@@ -1845,3 +1845,91 @@ def centroid_outlier(
         )
 
     return ds.map_batches(score, batch_format="pyarrow")
+
+
+def fuzzy_term_matches(
+    ds: "ray.data.Dataset",
+    query: str,
+    *,
+    max_dist: int = 1,
+    num_partitions: int = 32,
+) -> "ray.data.Dataset":
+    """(term, df) for every corpus term within edit distance
+    ``max_dist`` of ``query`` — the spell-tolerant vocabulary probe
+    behind fuzzy search (`IndexReader.find_fuzzy` applies the same
+    kernel to an index dictionary; this form runs straight off the
+    documents table with an exact DuckDB ``levenshtein`` SQL twin).
+
+    df is the document frequency (docs containing the term). Plan: the
+    distinct-(doc, term) explode + ONE coarse crc32(term) % P shuffle
+    of the df-aggregate family (a term lives wholly in one partition,
+    so the partition sum IS global df); each partition then
+    distance-filters its own vocabulary slice with the length-pruned
+    capped DP (kernel/fuzzy.py) — the query string is a closure
+    constant, nothing is broadcast, and only matching terms (a handful)
+    leave the partitions.
+    """
+    import zlib
+    from collections import Counter
+
+    from textindex_ray.functions._util import probe_count
+    from textindex_ray.kernel.fuzzy import edit_distance_capped
+
+    P = int(num_partitions)
+    k = int(max_dist)
+    q = str(query)
+
+    ds, n_docs = probe_count(ds)
+    if n_docs == 0:
+        return pa.table(
+            {"term": pa.array([], pa.string()),
+             "df": pa.array([], pa.int64())}
+        )
+
+    def df_partial(batch: pa.Table) -> pa.Table:
+        cnt: Counter = Counter()
+        for t in batch.column("text").to_pylist():
+            # length prune at the source: only near-length terms travel
+            cnt.update(
+                w for w in set(_tokens(t)) if abs(len(w) - len(q)) <= k
+            )
+        terms = sorted(cnt)
+        # sentinel (dropped in part_match): an all-empty-partials corpus
+        # would hand groupby only empty blocks and lose the schema
+        terms.append("\x00")
+        return pa.table(
+            {"term": pa.array(terms, pa.string()),
+             "df": pa.array([cnt[w] for w in terms[:-1]] + [0], pa.int64()),
+             "part": pa.array(
+                 [zlib.crc32(w.encode("utf-8")) % P for w in terms[:-1]]
+                 + [P],
+                 pa.int32())}
+        )
+
+    def part_match(g: pa.Table) -> pa.Table:
+        t = g.group_by("term").aggregate([("df", "sum")])
+        terms = t.column("term").to_pylist()
+        keep = [
+            i for i, w in enumerate(terms)
+            if w != "\x00" and edit_distance_capped(w, q, k) <= k
+        ]
+        dfv = t.column("df_sum").to_numpy()
+        return pa.table(
+            {"term": pa.array([terms[i] for i in keep], pa.string()),
+             "df": pa.array(dfv[keep].astype(np.int64), pa.int64())}
+        )
+
+    out = (
+        ds.map_batches(df_partial, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(part_match, batch_format="pyarrow")
+        .materialize()  # tiny by construction: only matching terms
+    )
+    if out.count() == 0:
+        # a map_groups whose every group returns zero rows loses the
+        # schema (CLAUDE.md hazard) — hand back the typed empty form
+        return pa.table(
+            {"term": pa.array([], pa.string()),
+             "df": pa.array([], pa.int64())}
+        )
+    return out

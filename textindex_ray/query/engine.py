@@ -338,6 +338,31 @@ class IndexReader:
             ids = ids[m]
         return np.unique(ids)
 
+    def find_fuzzy(self, query: str, max_dist: int = 1) -> np.ndarray:
+        """Union of posting docIDs over vocabulary terms within edit
+        distance ``max_dist`` of ``query`` (kernel/fuzzy.py capped
+        banded DP; extends the reference's exact+wildcard term lookup
+        the way wildcard already does — same posting-union machinery
+        as :meth:`doc_set`)."""
+        from textindex_ray.kernel.fuzzy import fuzzy_matches
+
+        terms = fuzzy_matches(
+            self._dict.column("term").to_pylist(), query, max_dist
+        )
+        if not terms:
+            return np.empty(0, np.uint64)
+        rows = self.chunk_rows(terms)
+        if rows.num_rows == 0:
+            return np.empty(0, np.uint64)
+        ids, _ = _decode_chunk_rows(rows)
+        rm = self._range_mask(ids)
+        if rm is not None:
+            ids = ids[rm]
+        m = self._alive_mask(ids)
+        if m is not None:
+            ids = ids[m]
+        return np.unique(ids)
+
     # -- boolean find (J2) --------------------------------------------------
 
     def find(self, patterns: list[str]) -> np.ndarray:
