@@ -1,6 +1,7 @@
 """`ray job submit` entry point: query a built index.
 
     python jobs/query.py --index /data/index find alpha 'bet*'
+    python jobs/query.py --index /data/index fuzzy lorme --dist 1
     python jobs/query.py --index /data/index bm25 alpha beta --k 10 [--wand|--auto]
     python jobs/query.py --index /data/index files '*example*'
     python jobs/query.py --index /data/index lines --corpus /data/corpus alpha
@@ -17,7 +18,7 @@ import sys
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--index", required=True)
-    ap.add_argument("mode", choices=["find", "bm25", "files", "lines", "stats", "delete"])
+    ap.add_argument("mode", choices=["find", "fuzzy", "bm25", "files", "lines", "stats", "delete"])
     ap.add_argument("terms", nargs="*")
     ap.add_argument("--k", type=int, default=10)
     ap.add_argument("--page", type=int, default=0, help="page of 20 results (reference paging, main.rs:207)")
@@ -25,6 +26,8 @@ def main(argv=None) -> int:
     ap.add_argument("--auto", action="store_true",
                     help="pick WAND vs brute from the query terms' df spread")
     ap.add_argument("--corpus", help="corpus path for `lines` snippets")
+    ap.add_argument("--dist", type=int, default=1,
+                    help="max edit distance for `fuzzy` (kernel/fuzzy.py)")
     args = ap.parse_intermixed_args(argv)
 
     if args.mode == "delete":
@@ -106,6 +109,17 @@ def main(argv=None) -> int:
         return 0
     if args.mode == "find":
         ids = r.find(args.terms)
+        lo = args.page * 20
+        page = ids[lo : lo + 20]
+        print(json.dumps({
+            "total": int(ids.size), "page": args.page,
+            "doc_ids": page.tolist(), "urls": r.urls_for(page),
+        }))
+        return 0
+    if args.mode == "fuzzy":
+        # spell-tolerant find: vocabulary terms within --dist of the
+        # query, posting union (works on plain and segmented indexes)
+        ids = r.find_fuzzy(args.terms[0] if args.terms else "", args.dist)
         lo = args.page * 20
         page = ids[lo : lo + 20]
         print(json.dumps({

@@ -122,3 +122,37 @@ def test_reader_find_fuzzy(ray_session, tmp_path):
     # the misspelling "cta" (distance 2 from everything except... none)
     assert r.find_fuzzy("zebrr", 1).size == 1  # zebra doc only
     assert r.find_fuzzy("qqqq", 1).size == 0
+
+
+def test_find_fuzzy_segmented(ray_session, tmp_path):
+    """SegmentedReader.find_fuzzy unions per-segment expansions (a term
+    only in the delta segment is still reached by a misspelling)."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from textindex_ray.index.build import build_index
+    from textindex_ray.index.merge import update_index
+    from textindex_ray.query.segmented import open_reader
+
+    def corpus(path, rows):
+        path.mkdir()
+        pq.write_table(
+            pa.table({"url": pa.array([u for u, _ in rows]),
+                      "html": pa.array([h for _, h in rows], pa.binary())}),
+            path / "p.parquet",
+        )
+
+    corpus(tmp_path / "c0", [("http://s/0", b"cat stories"),
+                             ("http://s/1", b"dog tales")])
+    corpus(tmp_path / "c1", [("http://s/2", b"zebra facts")])
+    idx = str(tmp_path / "idx")
+    build_index(str(tmp_path / "c0"), idx, num_buckets=4)
+    update_index(str(tmp_path / "c1"), idx, mode="segment")
+
+    r = open_reader(idx)
+    assert len(r.segments) == 2
+    hits = r.find_fuzzy("zebrr", 1)  # matches only the delta's "zebra"
+    assert hits.size == 1
+    assert r.urls_for(hits) == ["http://s/2"]
+    assert r.find_fuzzy("cta", 1).size == 0  # distance 2 from "cat"
+    assert r.find_fuzzy("cat", 1).size >= 1

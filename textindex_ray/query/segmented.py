@@ -161,6 +161,13 @@ class SegmentedReader:
                  for si, s in enumerate(self.segments)]
         return np.concatenate(parts) if parts else np.empty(0, np.uint64)
 
+    def find_fuzzy(self, query: str, max_dist: int = 1) -> np.ndarray:
+        """Per-segment fuzzy vocabulary expansion (each segment scans
+        its own dictionary), gid-mapped union — same shape as doc_set."""
+        parts = [self._gid(si, s.find_fuzzy(query, max_dist))
+                 for si, s in enumerate(self.segments)]
+        return np.concatenate(parts) if parts else np.empty(0, np.uint64)
+
     # -- urls / docmap ---------------------------------------------------
 
     def find_files(self, glob: str) -> list[str]:
