@@ -39,10 +39,24 @@ def test_edit_distance_capped_property():
 
     con = duckdb.connect()
     for a, b in (("scan", "scal"), ("kitten", "sitting"), ("ab", "ba"),
-                 ("", "xy"), ("same", "same")):
+                 ("", "xy"), ("same", "same"),
+                 # byte metric: DuckDB levenshtein counts UTF-8 BYTES,
+                 # so the two-byte 'ä' is distance 2 from 'a'
+                 ("scäl", "scal"), ("hät", "hat"), ("héllo", "hello"),
+                 ("über", "uber")):
         dd = con.sql("SELECT levenshtein(?, ?)", params=[a, b]).fetchone()[0]
         for k in (0, 1, 2, 3):
             assert edit_distance_capped(a, b, k) == min(dd, k + 1), (a, b, k)
+
+    # random non-ASCII property vs DuckDB directly
+    rng2 = random.Random(7)
+    alpha = "abä€"
+    for _ in range(300):
+        a = "".join(rng2.choice(alpha) for _ in range(rng2.randrange(0, 6)))
+        b = "".join(rng2.choice(alpha) for _ in range(rng2.randrange(0, 6)))
+        dd = con.sql("SELECT levenshtein(?, ?)", params=[a, b]).fetchone()[0]
+        k = rng2.randrange(0, 4)
+        assert edit_distance_capped(a, b, k) == min(dd, k + 1), (a, b, k)
 
 
 def test_fuzzy_term_matches(ray_session):

@@ -1854,8 +1854,9 @@ def fuzzy_term_matches(
     max_dist: int = 1,
     num_partitions: int = 32,
 ) -> "ray.data.Dataset":
-    """(term, df) for every corpus term within edit distance
-    ``max_dist`` of ``query`` — the spell-tolerant vocabulary probe
+    """(term, df) for every corpus term within UTF-8 BYTE edit
+    distance ``max_dist`` of ``query`` (the DuckDB ``levenshtein``
+    metric, kernel/fuzzy.py) — the spell-tolerant vocabulary probe
     behind fuzzy search (`IndexReader.find_fuzzy` applies the same
     kernel to an index dictionary; this form runs straight off the
     documents table with an exact DuckDB ``levenshtein`` SQL twin).
@@ -1886,12 +1887,16 @@ def fuzzy_term_matches(
              "df": pa.array([], pa.int64())}
         )
 
+    qblen = len(q.encode("utf-8"))
+
     def df_partial(batch: pa.Table) -> pa.Table:
         cnt: Counter = Counter()
         for t in batch.column("text").to_pylist():
-            # length prune at the source: only near-length terms travel
+            # length prune at the source (BYTE lengths — the DuckDB
+            # levenshtein metric): only near-length terms travel
             cnt.update(
-                w for w in set(_tokens(t)) if abs(len(w) - len(q)) <= k
+                w for w in set(_tokens(t))
+                if abs(len(w.encode("utf-8")) - qblen) <= k
             )
         terms = sorted(cnt)
         # sentinel (dropped in part_match): an all-empty-partials corpus

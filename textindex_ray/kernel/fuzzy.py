@@ -1,15 +1,18 @@
 """Capped edit distance + dictionary fuzzy matching.
 
 Standard unit-cost Levenshtein (insert/delete/substitute, no
-transposition — the same metric as DuckDB's ``levenshtein``, which is
-the graded oracle's twin; property-tested against it and against a
-plain full-matrix DP in tests/test_fuzzy.py).
+transposition) computed over UTF-8 BYTES — the exact metric DuckDB's
+``levenshtein`` uses (byte-based: levenshtein('scäl','scal') = 2, the
+two-byte 'ä' costs a substitution plus an insertion), which is the
+graded oracle's twin; property-tested against it, including non-ASCII,
+and against a plain full-matrix DP in tests/test_fuzzy.py.
 
 ``edit_distance_capped(a, b, k)`` computes min(dist(a, b), k + 1) with
 a banded DP — O(len(a) * (2k+1)) instead of O(len(a) * len(b)) — plus
 the |len(a) - len(b)| > k length prune, which is what makes scanning a
 whole vocabulary for near-matches cheap (most terms fail the length
-check or abort after a row exceeds the cap).
+check or abort after a row exceeds the cap). ``k`` must be >= 0
+(clamped).
 
 The reference engine has exact + wildcard term lookup only
 (main.rs:207-249, index2.rs:550-582); fuzzy matching extends that
@@ -21,13 +24,17 @@ machinery as `doc_set`.
 from __future__ import annotations
 
 
-def edit_distance_capped(a: str, b: str, k: int) -> int:
-    """min(levenshtein(a, b), k + 1), banded DP with early abort."""
+def edit_distance_capped(a: str | bytes, b: str | bytes, k: int) -> int:
+    """min(levenshtein_bytes(a, b), k + 1), banded DP, early abort.
+    str inputs are UTF-8 encoded first (the DuckDB byte metric)."""
+    if isinstance(a, str):
+        a = a.encode("utf-8")
+    if isinstance(b, str):
+        b = b.encode("utf-8")
+    k = max(0, int(k))
     la, lb = len(a), len(b)
     if abs(la - lb) > k:
         return k + 1
-    if k < 0:
-        return 0 if a == b else 1
     if la == 0:
         return lb if lb <= k else k + 1
     if lb == 0:
@@ -64,7 +71,8 @@ def edit_distance_capped(a: str, b: str, k: int) -> int:
 
 
 def fuzzy_matches(terms, query: str, max_dist: int = 1) -> list[str]:
-    """Terms within edit distance <= max_dist of ``query`` (input
+    """Terms within BYTE edit distance <= max_dist of ``query`` (input
     order preserved). Length-pruned capped DP per term."""
-    k = int(max_dist)
-    return [t for t in terms if edit_distance_capped(t, query, k) <= k]
+    k = max(0, int(max_dist))
+    qb = query.encode("utf-8")
+    return [t for t in terms if edit_distance_capped(t, qb, k) <= k]

@@ -321,9 +321,10 @@ class IndexReader:
             self._postings_cache_vals -= cache.pop(oldest)[0].size
         return out
 
-    def doc_set(self, pattern: str) -> np.ndarray:
-        """Union of posting docIDs over vocabulary entries matching pattern."""
-        terms = self.resolve_terms(pattern)
+    def _union_postings(self, terms: list[str]) -> np.ndarray:
+        """Distinct live docIDs over a term list (one vectorized varint
+        decode, range + tombstone masks) — shared by doc_set and
+        find_fuzzy."""
         if not terms:
             return np.empty(0, np.uint64)
         rows = self.chunk_rows(terms)
@@ -338,30 +339,30 @@ class IndexReader:
             ids = ids[m]
         return np.unique(ids)
 
+    def doc_set(self, pattern: str) -> np.ndarray:
+        """Union of posting docIDs over vocabulary entries matching pattern."""
+        return self._union_postings(self.resolve_terms(pattern))
+
     def find_fuzzy(self, query: str, max_dist: int = 1) -> np.ndarray:
-        """Union of posting docIDs over vocabulary terms within edit
-        distance ``max_dist`` of ``query`` (kernel/fuzzy.py capped
-        banded DP; extends the reference's exact+wildcard term lookup
-        the way wildcard already does — same posting-union machinery
-        as :meth:`doc_set`)."""
+        """Union of posting docIDs over vocabulary terms within BYTE
+        edit distance ``max_dist`` of ``query`` (kernel/fuzzy.py capped
+        banded DP — the DuckDB levenshtein metric; extends the
+        reference's exact+wildcard term lookup the way wildcard already
+        does). The dictionary is prefiltered with a vectorized Arrow
+        byte-length band before any term becomes a Python string — the
+        full vocabulary is never materialized as a list (the reader's
+        dictionary design rule)."""
         from textindex_ray.kernel.fuzzy import fuzzy_matches
 
-        terms = fuzzy_matches(
-            self._dict.column("term").to_pylist(), query, max_dist
+        k = max(0, int(max_dist))
+        qlen = len(query.encode("utf-8"))
+        col = self._dict.column("term")
+        blen = pc.binary_length(col)
+        band = pc.and_(
+            pc.greater_equal(blen, qlen - k), pc.less_equal(blen, qlen + k)
         )
-        if not terms:
-            return np.empty(0, np.uint64)
-        rows = self.chunk_rows(terms)
-        if rows.num_rows == 0:
-            return np.empty(0, np.uint64)
-        ids, _ = _decode_chunk_rows(rows)
-        rm = self._range_mask(ids)
-        if rm is not None:
-            ids = ids[rm]
-        m = self._alive_mask(ids)
-        if m is not None:
-            ids = ids[m]
-        return np.unique(ids)
+        near = self._dict.filter(band).column("term").to_pylist()
+        return self._union_postings(fuzzy_matches(near, query, k))
 
     # -- boolean find (J2) --------------------------------------------------
 
